@@ -1,0 +1,99 @@
+"""Typed shadow columns — the Spark answer to mixed-type object columns.
+
+The reference re-types every CELL independently (``convert_data_type``,
+nci-seronet-data-validator.py:196-206): values containing ``_`` stay strings
+(IDs), else try ``float(x)``, else try ``dateutil.parser.parse(x)``, else
+keep string. The resulting heterogeneous columns drive per-cell
+``isinstance`` dispatch in every check (File_Submission_Object.py:215, 253,
+296, 538).
+
+Spark columns are homogeneous, so we keep the raw string column and derive
+two *shadow* columns per checked column:
+
+- ``c__num`` — DOUBLE, non-null iff the reference would have coerced the
+  cell to float;
+- ``c__ts``  — TIMESTAMP, non-null iff the reference would have parsed a
+  datetime (and the float attempt failed — float wins in the reference's
+  try-order).
+
+"is a number" ≙ ``c__num IS NOT NULL``; "is a date" ≙ ``c__ts IS NOT
+NULL``; "is a string" ≙ both null. All pure Column expressions —
+whole-stage codegen, no Python in the row path.
+
+Deviation (documented per SURVEY.md §7 hard-part 1): ``dateutil.parser`` is
+more lenient than any fixed format list ("Jan 5 2020", fuzzy spacing). We
+accept an explicit format family (ISO dates/datetimes, US ``M/D/Y``, and
+bare ``HH:MM[:SS]`` times) which covers the rulebook's fixtures; extend
+``_TS_FORMATS`` to widen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_SUFFIX = "__num"
+TS_SUFFIX = "__ts"
+
+# try_to_timestamp formats tried in order (first non-null wins).
+_TS_FORMATS = [
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "M/d/yyyy H:mm:ss",
+    "M/d/yyyy H:mm",
+    "M/d/yyyy",
+    "M/d/yy",
+    "HH:mm:ss",
+    "H:mm",
+]
+
+
+def num_col(c: str) -> str:
+    return c + NUM_SUFFIX
+
+
+def ts_col(c: str) -> str:
+    return c + TS_SUFFIX
+
+
+def numeric_shadow(c: Column) -> Column:
+    """DOUBLE shadow: float(x) succeeded and value has no '_' (ID exemption,
+    nci-seronet-data-validator.py:197-198)."""
+    return F.when(~c.contains("_"), c.try_cast("double"))
+
+
+def timestamp_shadow(c: Column) -> Column:
+    """TIMESTAMP shadow: float() failed, date parse succeeded, no '_'."""
+    parsed = F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt))
+                          for fmt in _TS_FORMATS])
+    return F.when(~c.contains("_") & c.try_cast("double").isNull(), parsed)
+
+
+def with_typed_shadows(df: DataFrame, columns: list[str] | None = None,
+                       skip: tuple[str, ...] = ("row_index",)) -> DataFrame:
+    """Add ``c__num`` / ``c__ts`` shadows for each string column in ONE
+    projection (the reference rebuilds the whole table cell-by-cell,
+    nci-seronet-data-validator.py:91-92)."""
+    columns = columns or [c for c, t in df.dtypes
+                          if t == "string" and c not in skip]
+    news = {}
+    for c in columns:
+        base = F.col(c)
+        news[num_col(c)] = numeric_shadow(base)
+        news[ts_col(c)] = timestamp_shadow(base)
+    return df.withColumns(news)
+
+
+def is_number(c: str) -> Column:
+    return F.col(num_col(c)).isNotNull()
+
+
+def is_date(c: str) -> Column:
+    return F.col(ts_col(c)).isNotNull()
+
+
+def is_string(c: str) -> Column:
+    """Reference semantics: a cell is a "string" iff convert_data_type left
+    it a string (neither float nor date parsed)."""
+    return F.col(num_col(c)).isNull() & F.col(ts_col(c)).isNull()

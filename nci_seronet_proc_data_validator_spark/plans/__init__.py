@@ -1,0 +1,12 @@
+from nci_seronet_proc_data_validator_spark.plans.rules import (
+    ColumnRules,
+    compile_sheet_findings,
+    dup_id_findings,
+)
+from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+    bind_sheet_rules,
+    SHEET_NAMES,
+)
+
+__all__ = ["ColumnRules", "compile_sheet_findings", "dup_id_findings",
+           "bind_sheet_rules", "SHEET_NAMES"]

@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-posture defaults.
+
+Local testing runs ``local[N]``; on a real cluster the same configs apply
+(AQE, adaptive coalescing/skew-join) and only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    - AQE on: runtime coalescing of shuffle partitions and skew-join
+      splitting, so plans survive data-size changes without retuning.
+    - shuffle.partitions ~ cores locally; a cluster deployment overrides it
+      (or relies on AQE's coalescing from a higher initial value).
+    - UTC session timezone so timestamp semantics match the DuckDB oracle
+      and are stable across environments.
+    - Arrow enabled for the few Pandas-UDF paths (multimodal decode).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
