@@ -1,0 +1,258 @@
+"""Join layer: enrichment joins (J1/J2), cross-sheet spines (J3–J5),
+submitted-id restriction (J6), reference-dict lookup (J8).
+
+The reference decodes presence/absence after full-outer joins through NaN
+arithmetic (``query("X != X")`` = "X is NaN" — ``File_Submission_Object.py:
+335-396``). Spark-first design: each source contributes an explicit boolean
+indicator column (``lit(True)`` before the outer join), and the 6
+participant + 4 biospecimen presence patterns decode as one ``when`` chain —
+a single pass over the joined spine, null-safe, and AQE-optimizable.
+
+Scale notes:
+- Enrichment joins (J1/J2) broadcast the parent Merged_Table — it is a
+  key-column projection, small by construction (the reference pre-projects
+  for the same reason, ``File_Submission_Object.py:102``).
+- The outer-join spines shuffle on the ID key once; every pattern decodes
+  from that single shuffled dataset.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.errors import (
+    ROW_CROSS_SHEET,
+    finding_struct,
+)
+
+# Merge_Cols per sheet (col_valid_dict, nci-seronet-data-validator.py:21-31).
+MERGE_COLS = {
+    "prior_clinical_test.csv": ["Research_Participant_ID",
+                                "SARS_CoV_2_PCR_Test_Result"],
+    "demographic.csv": ["Research_Participant_ID", "Age"],
+    "biospecimen.csv": ["Research_Participant_ID", "Biospecimen_ID",
+                        "Biospecimen_Type"],
+    "aliquot.csv": ["Aliquot_ID", "Biospecimen_ID"],
+    "equipment.csv": ["Equipment_ID", "Biospecimen_ID"],
+    "reagent.csv": ["Reagent_Name", "Biospecimen_ID"],
+    "consumable.csv": ["Consumable_Name", "Biospecimen_ID"],
+    "assay.csv": ["Assay_ID", "Assay_Name"],
+    "assay_target.csv": ["Assay_ID", "Assay_Target", "Assay_Antigen_Source"],
+    "confirmatory_clinical_test.csv": ["Research_Participant_ID", "Assay_ID"],
+    "submission.csv": [],
+}
+
+# Which parents each sheet is enriched from before rule evaluation
+# (merge_tables, File_Submission_Object.py:128-147). The duplicate dead
+# elif for processing sheets (:137-140, reference bug §2.9.3) collapses to
+# one entry.
+ENRICH_PARENTS = {
+    "prior_clinical_test.csv": [("demographic.csv", ["Research_Participant_ID"])],
+    "demographic.csv": [("prior_clinical_test.csv", ["Research_Participant_ID"])],
+    "biospecimen.csv": [("prior_clinical_test.csv", ["Research_Participant_ID"]),
+                        ("demographic.csv", ["Research_Participant_ID"])],
+    "aliquot.csv": [("biospecimen.csv", ["Biospecimen_ID"])],
+    "equipment.csv": [("biospecimen.csv", ["Biospecimen_ID"])],
+    "reagent.csv": [("biospecimen.csv", ["Biospecimen_ID"])],
+    "consumable.csv": [("biospecimen.csv", ["Biospecimen_ID"])],
+    "assay_target.csv": [("assay.csv", ["Assay_ID"])],
+    "confirmatory_clinical_test.csv": [
+        ("assay.csv", ["Assay_ID"]),
+        ("assay_target.csv", ["Assay_ID", "Assay_Target"])],
+}
+
+
+def merged_table(sheet_df: DataFrame, sheet_name: str) -> DataFrame | None:
+    """P1: the key-column projection used as a join side
+    (File_Submission_Object.py:102)."""
+    cols = MERGE_COLS.get(sheet_name, [])
+    if not cols:
+        return None
+    have = [c for c in cols if c in sheet_df.columns]
+    return sheet_df.select(have)
+
+
+def merge_tables(sheet_name: str, df: DataFrame,
+                 merged: dict[str, DataFrame]) -> tuple[DataFrame, list[str]]:
+    """J1/J2 enrichment: left-join parent Merged_Tables (broadcast — they
+    are small key projections). Returns (enriched df, drop_list of columns
+    the joins added — exempt from rules, Validation_Rules.py:5-6)."""
+    before = set(df.columns)
+    for parent, keys in ENRICH_PARENTS.get(sheet_name, []):
+        pt = merged.get(parent)
+        if pt is None:
+            continue
+        have_keys = [k for k in keys if k in df.columns and k in pt.columns]
+        if len(have_keys) != len(keys):
+            continue
+        df = df.join(F.broadcast(pt), on=have_keys, how="left")
+    drop_list = [c for c in df.columns if c not in before]
+    return df, drop_list
+
+
+def _indicator(name: str) -> str:
+    # '.' would parse as struct access in column references.
+    return "__in_" + name.replace(".", "_")
+
+
+def outer_join_spine(sources: dict[str, DataFrame], key: str | list[str]
+                     ) -> DataFrame:
+    """J3/J4: chained full-outer join of Merged_Tables on ``key``, with one
+    boolean presence indicator per source (replaces NaN-decoding, J5)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    parts = []
+    for name, df in sources.items():
+        if df is None:
+            continue
+        parts.append(df.withColumn(_indicator(name), F.lit(True)))
+    if not parts:
+        raise ValueError("no sources for spine")
+    spine = reduce(lambda a, b: a.join(b, on=keys, how="outer"), parts)
+    fills = {_indicator(n): False for n in sources if sources[n] is not None}
+    return spine.na.fill(fills)
+
+
+def present(name: str) -> Column:
+    return F.col(_indicator(name))
+
+
+# --- participant presence patterns (File_Submission_Object.py:379-396) ----
+_PART_PATTERNS = [
+    # (in_prior, in_demo, in_bio) → message
+    ((True, False, False),
+     "ID is found in Prior_Clinical_Test, but is missing from Demographic and Biospecimen"),
+    ((False, True, False),
+     "ID is found in Demographic, but is missing from Prior_Clinical_Test and Biospecimen"),
+    ((False, False, True),
+     "ID is found in Biospecimen, but is missing from Prior_Clinical_Test and Demographic"),
+    ((True, True, False),
+     "ID is found in Prior_Clinical_Test and Demographic but is missing from Biospecimen"),
+    ((True, False, True),
+     "ID is found in Prior_Clinical_Test and Biospecimen but is missing from Demographic"),
+    ((False, True, True),
+     "ID is found in Demographic and Biospecimen but is missing from Prior_Clinical_Test"),
+]
+
+
+def participant_cross_findings(spine: DataFrame, cbc_id: str,
+                               submitted_ids: DataFrame | None = None
+                               ) -> DataFrame:
+    """Decode the 6 participant presence patterns into findings
+    (sheet ``Cross_Participant_ID.csv``, sentinel row −10).
+
+    ``spine`` — outer_join_spine of prior/demographic/biospecimen/
+    confirmatory Merged_Tables on Research_Participant_ID.
+    ``submitted_ids`` — distinct IDs actually present in submitted sheets;
+    when given, restricts findings to them (the evident intent of the
+    reference's discarded ``get_submitted_ids`` merge, bug §2.9.2).
+    """
+    key = "Research_Participant_ID"
+    # Only well-formed IDs of this CBC (File_Submission_Object.py:382).
+    scoped = spine.filter(F.col(key).rlike("^" + cbc_id + "[_]{1}[0-9]{6}$"))
+    # Reference prefilter: missing from at least one source (:380).
+    any_missing = ~(present("prior_clinical_test.csv")
+                    & present("demographic.csv")
+                    & present("biospecimen.csv")
+                    & present("confirmatory_clinical_test.csv"))
+    scoped = scoped.filter(any_missing)
+    if submitted_ids is not None:
+        scoped = scoped.join(F.broadcast(submitted_ids.select(key).distinct()),
+                             on=key, how="left_semi")
+
+    msg = None
+    for (p, d, b), text in _PART_PATTERNS:
+        cond = ((present("prior_clinical_test.csv") == F.lit(p))
+                & (present("demographic.csv") == F.lit(d))
+                & (present("biospecimen.csv") == F.lit(b)))
+        msg = F.when(cond, text) if msg is None else msg.when(cond, text)
+    return (scoped.withColumn("_msg", msg)
+            .filter(F.col("_msg").isNotNull())
+            .select(finding_struct("Error", "Cross_Participant_ID.csv",
+                                   F.lit(ROW_CROSS_SHEET), key, F.col(key),
+                                   F.col("_msg")).alias("_f"))
+            .select("_f.*")
+            .dropDuplicates())
+
+
+# --- biospecimen presence patterns (File_Submission_Object.py:341-355) ----
+_BIO_TABLES = [
+    # (spine source sheet, display sheet name in messages)
+    ("aliquot.csv", "Aliquot.csv"),
+    ("equipment.csv", "Equipment.csv"),
+    ("reagent.csv", "Reagent.csv"),
+    ("consumable.csv", "Consumable.csv"),
+]
+
+
+def biospecimen_cross_findings(spine: DataFrame, cbc_id: str,
+                               submitted_ids: DataFrame | None = None
+                               ) -> DataFrame:
+    """Decode the 4 biospecimen patterns per processing table
+    (``write_cross_bio_errors``). All messages land on sheet
+    ``Cross_Biospecimen_ID.csv``, column ``Biospecimen_ID``.
+
+    Deviation (documented): the reference stamps these findings with the
+    joined frame's positional index + 2 — a meaningless artifact of the
+    pandas join; we use the cross-sheet sentinel −10 consistently.
+    """
+    key = "Biospecimen_ID"
+    scoped = spine.filter(
+        F.col(key).rlike("^" + cbc_id + "[_]{1}[0-9]{6}[_]{1}[0-9]{3}$"))
+    all_present = reduce(lambda a, b: a & b,
+                         [present(s) for s, _ in _BIO_TABLES]
+                         + [present("biospecimen.csv")])
+    scoped = scoped.filter(~all_present)
+    if submitted_ids is not None:
+        scoped = scoped.join(F.broadcast(submitted_ids.select(key).distinct()),
+                             on=key, how="left_semi")
+
+    in_bio = present("biospecimen.csv")
+    is_pbmc = F.col("Biospecimen_Type") == "PBMC"
+    candidates = []
+    for source, display in _BIO_TABLES:
+        in_t = present(source)
+        candidates.append(
+            F.when(in_t & ~in_bio,
+                   F.lit("ID is found in " + display
+                         + ", however ID is missing from Biospecimen.csv")))
+        if source == "aliquot.csv":
+            candidates.append(
+                F.when(in_bio & ~in_t,
+                       F.lit("ID is found in Biospecimen.csv, however "
+                             "is missing from " + display)))
+        else:
+            candidates.append(F.when(
+                in_t & in_bio & ~is_pbmc,
+                F.lit("ID is found in " + display + ", and ID is found in "
+                      "Biospecimen.csv however has Biospecimen_Type NOT PBMC")))
+            candidates.append(F.when(
+                ~in_t & in_bio & is_pbmc,
+                F.lit("ID is found in Biospecimen.csv and has Biospecimen_Type "
+                      "of PBMC, however ID is missing from " + display)))
+    # Keep-first across tables: the reference's dedup key is (Row_Index,
+    # Column_Name, Column_Value), so one ID keeps only its FIRST matching
+    # table's message (aliquot → equipment → reagent → consumable).
+    msg = F.coalesce(*candidates)
+    return (scoped.withColumn("_msg", msg)
+            .filter(F.col("_msg").isNotNull())
+            .select(finding_struct("Error", "Cross_Biospecimen_ID.csv",
+                                   F.lit(ROW_CROSS_SHEET), key, F.col(key),
+                                   F.col("_msg")).alias("_f"))
+            .select("_f.*")
+            .dropDuplicates())
+
+
+def icd10_flag_join(df: DataFrame, column: str, icd10_codes: DataFrame,
+                    flag_col: str) -> DataFrame:
+    """J8: broadcast left join against the ICD-10 code table; ``flag_col``
+    is true iff the value is a known code. Replaces the reference's per-cell
+    ``icd10.exists`` (File_Submission_Object.py:303-309, vendored package
+    icd10/__init__.py:98-107) with a JVM-side hash join."""
+    codes = icd10_codes.select(F.col(icd10_codes.columns[0]).alias("__icd10_code"),
+                               F.lit(True).alias(flag_col)).distinct()
+    out = df.join(F.broadcast(codes),
+                  df[column] == F.col("__icd10_code"), "left")
+    return out.drop("__icd10_code")

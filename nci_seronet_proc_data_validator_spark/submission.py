@@ -1,0 +1,267 @@
+"""Submission orchestrator — Entry point 1 of the reference re-expressed.
+
+Mirrors ``lambda_handler``'s per-submission flow
+(nci-seronet-data-validator.py:69-108): load sheets → cleanup → header
+check → Merged_Tables → per-sheet enrichment + rules → cross-sheet
+integrity → count reconciliation → summary. The reference mutates a
+``Submission_Object`` sheet-by-sheet, cell-by-cell; here every step is a
+DataFrame transformation and the result is ONE findings DataFrame built
+lazily — nothing executes until a sink action runs, so Catalyst sees the
+whole plan.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.errors import (
+    COLUMN_FINDING_SCHEMA,
+    ROW_COUNT_MISMATCH,
+    dedup_findings,
+    empty_findings,
+    findings_summary,
+    union_findings,
+)
+from nci_seronet_proc_data_validator_spark.operators.joins import (
+    MERGE_COLS,
+    biospecimen_cross_findings,
+    icd10_flag_join,
+    merge_tables,
+    merged_table,
+    outer_join_spine,
+    participant_cross_findings,
+)
+from nci_seronet_proc_data_validator_spark.operators.typing import with_typed_shadows
+from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+    BoundSheet,
+    bind_sheet_rules,
+    _icd10_flag,
+)
+from nci_seronet_proc_data_validator_spark.plans.rules import (
+    compile_sheet_findings,
+    dup_id_findings,
+)
+from nci_seronet_proc_data_validator_spark.sources.readers import cleanup_sheet
+
+SKIP_VALIDATION = ("submission.csv", "shipping_manifest.csv")
+
+
+@dataclass
+class ValidationResult:
+    findings: DataFrame            # canonical 6-column findings table
+    column_findings: DataFrame     # header/schema findings (4 columns)
+    summary: DataFrame             # sheet × {Errors, Warnings} crosstab
+
+    def error_count(self) -> int:
+        return self.findings.filter(F.col("Message_Type") == "Error").count()
+
+
+@dataclass
+class SubmissionValidator:
+    """Validates one submission (a dict of sheet-name → raw string
+    DataFrame with ``row_index``, as produced by ``read_sheet_csv``)."""
+
+    spark: SparkSession
+    sheets: dict[str, DataFrame]
+    cbc_id: str = "0"
+    declared_participants: int | None = None   # submission.csv iloc[1][1]
+    declared_biospecimens: int | None = None   # submission.csv iloc[2][1]
+    # DB fallback Merged_Tables for sheets not submitted (S5 JDBC reads in
+    # the reference, File_Submission_Object.py:501-527).
+    db_merged_tables: dict[str, DataFrame] = field(default_factory=dict)
+    icd10_codes: DataFrame | None = None
+    expected_columns: dict[str, list[str]] | None = None
+    today: datetime.date | None = None
+    fix_reference_bugs: bool = True
+
+    def validate(self) -> ValidationResult:
+        clean = {name: cleanup_sheet(df)
+                 for name, df in self.sheets.items()
+                 if name not in SKIP_VALIDATION}
+
+        merged = dict(self.db_merged_tables)
+        for name, df in clean.items():
+            mt = merged_table(df, name)
+            if mt is not None:
+                merged[name] = mt
+
+        parts: list[DataFrame] = []
+        part_sheets: list[tuple[str, DataFrame, BoundSheet]] = []
+        bio_sheets: list[tuple[str, DataFrame, BoundSheet]] = []
+
+        for name, df in clean.items():
+            original_cols = [c for c in df.columns if c != "row_index"]
+            enriched, drop_list = merge_tables(name, df, merged)
+            enriched = with_typed_shadows(enriched)
+            bound = bind_sheet_rules(name, original_cols, self.cbc_id,
+                                     drop_list=drop_list, today=self.today,
+                                     fix_reference_bugs=self.fix_reference_bugs)
+            # Dependency columns referenced by rules but absent (e.g. the
+            # SARS column when prior_clinical_test wasn't submitted and no
+            # DB fallback exists) — default to '' so predicates resolve.
+            enriched = self._ensure_columns(enriched, bound)
+            for c in bound.icd10_columns:
+                if self.icd10_codes is not None:
+                    enriched = icd10_flag_join(enriched, c, self.icd10_codes,
+                                               _icd10_flag(c))
+                else:
+                    enriched = enriched.withColumn(_icd10_flag(c), F.lit(False))
+            parts.append(compile_sheet_findings(enriched, name,
+                                                bound.column_rules))
+            for c in bound.dup_id_columns:
+                parts.append(dup_id_findings(df, name, c))
+            if bound.registers_participants:
+                part_sheets.append((name, df, bound))
+            if bound.registers_biospecimens:
+                bio_sheets.append((name, df, bound))
+
+        parts.extend(self._cross_sheet_findings(clean, merged))
+
+        findings = union_findings(parts) or empty_findings(self.spark)
+        findings = dedup_findings(findings).cache()
+
+        parts2 = [findings]
+        parts2.extend(self._count_reconciliation(findings, part_sheets,
+                                                 bio_sheets))
+        findings = union_findings(parts2)
+
+        column_findings = self._column_findings(clean)
+        return ValidationResult(findings=findings,
+                                column_findings=column_findings,
+                                summary=findings_summary(findings))
+
+    # ------------------------------------------------------------------
+    def _ensure_columns(self, df: DataFrame, bound: BoundSheet) -> DataFrame:
+        # Same-sheet dependency columns always exist; these arrive via the
+        # enrichment joins and are absent when the parent sheet was not
+        # submitted and no DB fallback exists (the reference always has the
+        # MySQL fallback). Sentinels: '' disables dependency-scoped rules;
+        # NULL makes assay resolution (C9) flag everything as unresolved —
+        # "not found in database or submitted file" is then literally true.
+        defaults = {
+            "SARS_CoV_2_PCR_Test_Result": F.lit(""),
+            "Biospecimen_Type": F.lit(""),
+            "Assay_Name": F.lit(None).cast("string"),
+            "Assay_Antigen_Source": F.lit(None).cast("string"),
+        }
+        missing = {c: v for c, v in defaults.items() if c not in df.columns}
+        return df.withColumns(missing) if missing else df
+
+    def _cross_sheet_findings(self, clean: dict[str, DataFrame],
+                              merged: dict[str, DataFrame]) -> list[DataFrame]:
+        out = []
+        part_sources = {s: merged.get(s) for s in
+                        ("prior_clinical_test.csv", "demographic.csv",
+                         "biospecimen.csv", "confirmatory_clinical_test.csv")}
+        if sum(v is not None for v in part_sources.values()) >= 2:
+            spine = outer_join_spine(
+                {k: v for k, v in part_sources.items() if v is not None},
+                "Research_Participant_ID")
+            spine = self._fill_missing_indicators(
+                spine, part_sources, "Research_Participant_ID")
+            submitted = self._submitted_ids(clean, part_sources,
+                                            "Research_Participant_ID")
+            out.append(participant_cross_findings(spine, self.cbc_id,
+                                                  submitted))
+        bio_sources = {s: merged.get(s) for s in
+                       ("biospecimen.csv", "aliquot.csv", "equipment.csv",
+                        "reagent.csv", "consumable.csv")}
+        if sum(v is not None for v in bio_sources.values()) >= 2:
+            spine = outer_join_spine(
+                {k: v for k, v in bio_sources.items() if v is not None},
+                "Biospecimen_ID")
+            spine = self._fill_missing_indicators(spine, bio_sources,
+                                                  "Biospecimen_ID")
+            if "Biospecimen_Type" not in spine.columns:
+                spine = spine.withColumn("Biospecimen_Type", F.lit(""))
+            submitted = self._submitted_ids(clean, bio_sources,
+                                            "Biospecimen_ID")
+            out.append(biospecimen_cross_findings(spine, self.cbc_id,
+                                                  submitted))
+        return out
+
+    def _fill_missing_indicators(self, spine, sources, key):
+        from nci_seronet_proc_data_validator_spark.operators.joins import _indicator
+        for name, src in sources.items():
+            if src is None:
+                spine = spine.withColumn(_indicator(name), F.lit(False))
+        return spine
+
+    def _submitted_ids(self, clean, sources, key) -> DataFrame | None:
+        """Union of IDs present in SUBMITTED sheets (get_submitted_ids
+        intent, File_Submission_Object.py:356-367 — reference bug §2.9.2:
+        its merge result was discarded; we apply the restriction)."""
+        if not self.fix_reference_bugs:
+            return None
+        parts = [df.select(key) for name, df in clean.items()
+                 if name in sources and key in df.columns]
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _count_reconciliation(self, findings: DataFrame, part_sheets,
+                              bio_sheets) -> list[DataFrame]:
+        """A4 ``get_passing_part_ids`` (File_Submission_Object.py:397-415):
+        distinct submitted IDs that produced no row-level finding on their
+        ID column, compared to the declared counts from submission.csv.
+
+        The comparison needs the actual count (an action) — it is driver
+        logic in the reference too (reference bug §2.9.6: the emitted
+        Column_Value reads an attribute that was never set; we emit the
+        declared count, the evident intent).
+        """
+        out = []
+        for declared, sheets, col_name, label, fname in (
+                (self.declared_participants, part_sheets,
+                 "Research_Participant_ID", "Participat", "submit_Participant_IDs"),
+                (self.declared_biospecimens, bio_sheets,
+                 "Biospecimen_ID", "Biospecimen", "submit_Biospecimen_IDs")):
+            if declared is None or not sheets:
+                continue
+            passing = None
+            for name, df, _ in sheets:
+                errs = (findings.filter(
+                    (F.col("CSV_Sheet_Name") == name)
+                    & (F.col("Column_Name") == col_name)
+                    & (F.col("Row_Index") >= 0))
+                    .select(F.col("Column_Value").alias(col_name)))
+                ok = df.select(col_name).join(errs, col_name, "left_anti")
+                passing = ok if passing is None else passing.unionByName(ok)
+            n = passing.distinct().count()
+            if int(declared) != n:
+                msg = (f"After validation only {n} {label} IDS are valid")
+                row = self.spark.createDataFrame(
+                    [("Error", "submission.csv", ROW_COUNT_MISMATCH,
+                      fname, str(declared), msg)],
+                    "Message_Type string, CSV_Sheet_Name string, "
+                    "Row_Index long, Column_Name string, "
+                    "Column_Value string, Error_Message string")
+                out.append(row)
+        return out
+
+    def _column_findings(self, clean: dict[str, DataFrame]) -> DataFrame:
+        """P10 ``check_col_names`` (File_Submission_Object.py:55-72):
+        header set vs expected catalog — pure driver-side set algebra on
+        ``df.columns``, no data movement."""
+        rows = []
+        if self.expected_columns:
+            for name, df in clean.items():
+                expected = self.expected_columns.get(name)
+                if expected is None:
+                    continue
+                have = [c for c in df.columns if c != "row_index"]
+                for c in [c for c in have if c not in expected]:
+                    rows.append(("Error", name, c,
+                                 "Column Found in CSV is not Expected"))
+                for c in [c for c in expected if c not in have]:
+                    rows.append(("Error", name, c,
+                                 "This Column is Expected and is missing "
+                                 "from CSV File"))
+        return self.spark.createDataFrame(rows, COLUMN_FINDING_SCHEMA)

@@ -1,0 +1,132 @@
+"""Cross-sheet integrity (J3–J6, A4): all 10 presence patterns + count
+reconciliation, per FIXTURES.md's planted-violation matrix."""
+
+import datetime
+
+from pyspark.sql import Row
+
+from nci_seronet_proc_data_validator_spark.sources.readers import with_row_index
+from nci_seronet_proc_data_validator_spark.submission import SubmissionValidator
+
+
+def _df(spark, columns, rows):
+    return with_row_index(
+        spark.createDataFrame([Row(**dict(zip(columns, r))) for r in rows]))
+
+
+def _submission(spark):
+    prior = _df(spark, ["Research_Participant_ID", "SARS_CoV_2_PCR_Test_Result"], [
+        ("14_000001", "Positive"),   # everywhere
+        ("14_000002", "Negative"),   # prior only
+        ("14_000004", "Positive"),   # prior+demo, no bio
+        ("14_000005", "Positive"),   # prior+bio, no demo
+    ])
+    demo = _df(spark, ["Research_Participant_ID", "Age"], [
+        ("14_000001", "30"),
+        ("14_000003", "40"),         # demo only
+        ("14_000004", "50"),
+        ("14_000006", "60"),         # demo+bio, no prior
+    ])
+    bio = _df(spark, ["Research_Participant_ID", "Biospecimen_ID",
+                      "Biospecimen_Type"], [
+        ("14_000001", "14_000001_001", "PBMC"),      # everywhere
+        ("14_000005", "14_000005_001", "Serum"),
+        ("14_000006", "14_000006_001", "PBMC"),
+        ("14_000007", "14_000007_001", "Serum"),     # bio only
+    ])
+    confirm = _df(spark, ["Research_Participant_ID", "Assay_ID"], [
+        ("14_000001", "14_001"),
+    ])
+    aliquot = _df(spark, ["Aliquot_ID", "Biospecimen_ID"], [
+        ("14_000001_001_01", "14_000001_001"),
+        ("14_000099_001_01", "14_000099_001"),   # aliquot only → missing from bio
+    ])
+    equipment = _df(spark, ["Equipment_ID", "Biospecimen_ID"], [
+        ("equipA", "14_000001_001"),
+        ("equipB", "14_000007_001"),  # equipment for non-PBMC bio → NOT PBMC error
+    ])
+    return {
+        "prior_clinical_test.csv": prior,
+        "demographic.csv": demo,
+        "biospecimen.csv": bio,
+        "confirmatory_clinical_test.csv": confirm,
+        "aliquot.csv": aliquot,
+        "equipment.csv": equipment,
+    }
+
+
+def test_participant_presence_patterns(spark):
+    v = SubmissionValidator(spark, _submission(spark), cbc_id="14",
+                            today=datetime.date(2026, 1, 1))
+    res = v.validate()
+    rows = res.findings.filter("CSV_Sheet_Name = 'Cross_Participant_ID.csv'") \
+        .collect()
+    by_id = {r["Column_Value"]: r["Error_Message"] for r in rows}
+    assert by_id["14_000002"] == (
+        "ID is found in Prior_Clinical_Test, but is missing from Demographic and Biospecimen")
+    assert by_id["14_000003"] == (
+        "ID is found in Demographic, but is missing from Prior_Clinical_Test and Biospecimen")
+    assert by_id["14_000007"] == (
+        "ID is found in Biospecimen, but is missing from Prior_Clinical_Test and Demographic")
+    assert by_id["14_000004"] == (
+        "ID is found in Prior_Clinical_Test and Demographic but is missing from Biospecimen")
+    assert by_id["14_000005"] == (
+        "ID is found in Prior_Clinical_Test and Biospecimen but is missing from Demographic")
+    assert by_id["14_000006"] == (
+        "ID is found in Demographic and Biospecimen but is missing from Prior_Clinical_Test")
+    # the fully-present participant is NOT flagged (missing only from
+    # confirmatory matches none of the 6 patterns)
+    assert "14_000001" not in by_id
+    assert all(r["Row_Index"] == -10 for r in rows)
+
+
+def test_biospecimen_presence_patterns(spark):
+    v = SubmissionValidator(spark, _submission(spark), cbc_id="14",
+                            today=datetime.date(2026, 1, 1))
+    res = v.validate()
+    rows = res.findings.filter("CSV_Sheet_Name = 'Cross_Biospecimen_ID.csv'") \
+        .collect()
+    msgs = {(r["Column_Value"], r["Error_Message"]) for r in rows}
+    assert ("14_000099_001",
+            "ID is found in Aliquot.csv, however ID is missing from Biospecimen.csv") in msgs
+    # Keep-first semantics (reference dedup key omits the message): an ID
+    # missing from several tables keeps only its aliquot-rule finding.
+    assert ("14_000007_001",
+            "ID is found in Biospecimen.csv, however is missing from Aliquot.csv") in msgs
+    assert ("14_000006_001",
+            "ID is found in Biospecimen.csv, however is missing from Aliquot.csv") in msgs
+    assert ("14_000005_001",
+            "ID is found in Biospecimen.csv, however is missing from Aliquot.csv") in msgs
+    # exactly one finding per ID on the cross sheet
+    ids = [r["Column_Value"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_count_reconciliation(spark):
+    v = SubmissionValidator(spark, _submission(spark), cbc_id="14",
+                            declared_participants=3,   # actual distinct passing ≠ 3
+                            # bio/aliquot/equipment all register into
+                            # Bio_List (Validation_Rules.py:34-35): distinct
+                            # passing bio IDs = 5 → matches, no finding
+                            declared_biospecimens=5,
+                            today=datetime.date(2026, 1, 1))
+    res = v.validate()
+    recon = res.findings.filter("Row_Index = -5").collect()
+    assert len(recon) == 1
+    r = recon[0]
+    assert r["Column_Name"] == "submit_Participant_IDs"
+    assert r["Column_Value"] == "3"
+    assert "IDS are valid" in r["Error_Message"]
+
+
+def test_column_findings(spark):
+    sheets = _submission(spark)
+    v = SubmissionValidator(
+        spark, sheets, cbc_id="14",
+        expected_columns={"demographic.csv": ["Research_Participant_ID",
+                                              "Age", "Race"]},
+        today=datetime.date(2026, 1, 1))
+    res = v.validate()
+    got = {(r["Column_Name"], r["Error_Message"])
+           for r in res.column_findings.collect()}
+    assert ("Race", "This Column is Expected and is missing from CSV File") in got
