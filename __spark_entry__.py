@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship validation pipeline at sf0.001; ``queries`` /
+``oracle_sql`` expose every implemented operator (SURVEY.md §2 + the
+LLM-pipeline operators) with DuckDB oracles. Implementations live in
+``nci_seronet_proc_data_validator_spark/driver_queries.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the validation engine over sf0.001 — in-list, numeric
+    range, ID-format and duplicate-ID rules compiled into findings, plus
+    the severity summary driving row count > 0."""
+    from nci_seronet_proc_data_validator_spark.errors import (
+        dedup_findings,
+        union_findings,
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    parts = [
+        QUERIES["c1_in_list"][0](spark, sf_dir),
+        QUERIES["c3_number_range"][0](spark, sf_dir),
+        QUERIES["c5_id_format"][0](spark, sf_dir),
+        QUERIES["c6_dup_ids"][0](spark, sf_dir),
+    ]
+    return dedup_findings(union_findings(parts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query."""
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

@@ -1,0 +1,637 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY.md §2
++ the LLM-pipeline operators), each paired with a DuckDB oracle.
+
+Every Spark query here exercises the REAL engine operators (checks, rule
+compiler, joins, spines, dedup, similarity) against the driver's TPC-H-ish
+testdata, mapped per FIXTURES.md §B. The oracle SQL expresses the same
+semantics independently in ANSI SQL.
+
+Hash-safety rules used throughout (the driver compares row-count + schema +
+order-insensitive value hash):
+- float aggregations go through DECIMAL (exact, order-independent) and cast
+  to DOUBLE at the end;
+- per-row double arithmetic is IEEE-identical across engines;
+- cosine similarities are ranked on round(sim, 12) (kills last-ulp
+  accumulation skew) and emitted rounded to 6 decimals;
+- no double→string casts of values ≥1e7 (Spark prints scientific notation,
+  DuckDB does not).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
+from nci_seronet_proc_data_validator_spark.functions.checks import (
+    CheckExpr,
+    check_date,
+    check_icd10,
+    check_id_field,
+    check_if_number,
+    check_if_substr,
+    check_in_list,
+)
+from nci_seronet_proc_data_validator_spark.operators.joins import (
+    icd10_flag_join,
+    outer_join_spine,
+    present,
+)
+from nci_seronet_proc_data_validator_spark.operators.typing import with_typed_shadows
+from nci_seronet_proc_data_validator_spark.plans.rules import (
+    ColumnRules,
+    compile_sheet_findings,
+    dup_id_findings,
+)
+from nci_seronet_proc_data_validator_spark.sources.readers import read_table
+
+
+def _as_sheet(df: DataFrame, row_index_col: str,
+              value_cols: list[str]) -> DataFrame:
+    """Shape a testdata table like an ingested sheet: long row_index + raw
+    string value columns (+ typed shadows)."""
+    cols = [F.col(row_index_col).cast("long").alias("row_index")]
+    cols += [F.col(c).cast("string").alias(c) for c in value_cols]
+    return with_typed_shadows(df.select(*cols))
+
+
+def _findings(df: DataFrame, sheet: str, column: str,
+              checks: list[CheckExpr]) -> DataFrame:
+    return compile_sheet_findings(
+        df, sheet, [ColumnRules(column=column, checks=checks)])
+
+
+# ---------------------------------------------------------------- C1 / P4 / P6
+def q_c1_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    sheet = _as_sheet(orders, "o_orderkey", ["o_orderstatus"])
+    return _findings(sheet, "orders.csv", "o_orderstatus",
+                     check_in_list("o_orderstatus", ["O", "F"]))
+
+
+SQL_C1 = """
+SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+       o_orderkey AS Row_Index, 'o_orderstatus' AS Column_Name,
+       CAST(o_orderstatus AS VARCHAR) AS Column_Value,
+       'Unexpected Value.  Value must be one of the following: [''O'', ''F'']'
+         AS Error_Message
+FROM orders
+WHERE o_orderstatus NOT IN ('O', 'F') AND o_orderstatus <> ''
+"""
+
+
+# ------------------------------------------------------------------------- C3
+def q_c3_number_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    sheet = _as_sheet(cust, "c_custkey", ["c_acctbal"])
+    return _findings(sheet, "customer.csv", "c_acctbal",
+                     check_if_number("c_acctbal", 0, 9000, False, "float"))
+
+
+SQL_C3 = """
+SELECT 'Error' AS Message_Type, 'customer.csv' AS CSV_Sheet_Name,
+       c_custkey AS Row_Index, 'c_acctbal' AS Column_Name,
+       CAST(c_acctbal AS VARCHAR) AS Column_Value,
+       'Value must be a number between 0 and 9000' AS Error_Message
+FROM customer
+WHERE c_acctbal < 0 OR c_acctbal > 9000
+"""
+
+
+def q_c3_int_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    sheet = _as_sheet(part, "p_partkey", ["p_size"])
+    return _findings(sheet, "part.csv", "p_size",
+                     check_if_number("p_size", 1, 25, False, "int"))
+
+
+SQL_C3_INT = """
+SELECT 'Error' AS Message_Type, 'part.csv' AS CSV_Sheet_Name,
+       p_partkey AS Row_Index, 'p_size' AS Column_Name,
+       CAST(p_size AS VARCHAR) AS Column_Value,
+       'Value must be an interger between 1 and 25, decimal values are not allowed'
+         AS Error_Message
+FROM part
+WHERE p_size < 1 OR p_size > 25
+"""
+
+
+# ------------------------------------------------------------------------- C5
+def q_c5_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBC-prefix semantics mapped onto nations: each customer's 'lab' is
+    its nation key; our submission's CBC is 14."""
+    cust = read_table(spark, sf_dir, "customer")
+    ids = cust.select(
+        F.col("c_custkey").cast("long").alias("row_index"),
+        F.concat(F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+                 F.lit("_"),
+                 F.lpad((F.col("c_custkey") % 1000000).cast("string"), 6, "0")
+                 ).alias("participant_id"))
+    ids = with_typed_shadows(ids)
+    return _findings(ids, "customer.csv", "participant_id",
+                     check_id_field("participant_id", "[_]{1}[0-9]{6}$",
+                                    "14", "XX_XXXXXX"))
+
+
+SQL_C5 = """
+WITH ids AS (
+  SELECT c_custkey,
+         lpad(CAST(c_nationkey AS VARCHAR), 2, '0') || '_'
+           || lpad(CAST(c_custkey % 1000000 AS VARCHAR), 6, '0') AS pid
+  FROM customer)
+SELECT 'Error' AS Message_Type, 'customer.csv' AS CSV_Sheet_Name,
+       c_custkey AS Row_Index, 'participant_id' AS Column_Name,
+       pid AS Column_Value,
+       'ID is Valid however has wrong CBC code. Expecting CBC Code (14)'
+         AS Error_Message
+FROM ids
+WHERE NOT regexp_matches(pid, '^14[_]{1}[0-9]{6}$')
+  AND regexp_matches(pid, '^[0-9]{2}[_]{1}[0-9]{6}$')
+"""
+
+
+# -------------------------------------------------------------------- C6 / A1
+def q_c6_dup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    sheet = orders.select(F.col("o_custkey").cast("string").alias("o_custkey"))
+    return dup_id_findings(sheet, "orders.csv", "o_custkey")
+
+
+SQL_C6 = """
+SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+       CAST(-3 AS BIGINT) AS Row_Index, 'o_custkey' AS Column_Name,
+       CAST(o_custkey AS VARCHAR) AS Column_Value,
+       'Id is repeated ' || CAST(count(*) AS VARCHAR)
+         || ' times, Multiple repeats are not allowed' AS Error_Message
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------------------------- C2
+def q_c2_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    sheet = _as_sheet(orders, "o_orderkey", ["o_orderdate"])
+    return _findings(sheet, "orders.csv", "o_orderdate",
+                     check_date("o_orderdate", datetime.date(1996, 1, 1),
+                                datetime.date(1997, 12, 31), False, "Date"))
+
+
+SQL_C2 = """
+SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+       o_orderkey AS Row_Index, 'o_orderdate' AS Column_Name,
+       CAST(o_orderdate AS VARCHAR) AS Column_Value,
+       'Date is valid however must be between 1996-01-01 and 1997-12-31'
+         AS Error_Message
+FROM orders
+WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+   OR CAST(o_orderdate AS DATE) > DATE '1997-12-31'
+"""
+
+
+# ------------------------------------------------------------------------- C7
+def q_c7_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    sheet = _as_sheet(cust, "c_custkey", ["c_nationkey", "c_name"])
+    return _findings(sheet, "customer.csv", "c_name",
+                     check_if_substr("c_name", "c_nationkey", "c_name"))
+
+
+SQL_C7 = """
+SELECT 'Error' AS Message_Type, 'customer.csv' AS CSV_Sheet_Name,
+       c_custkey AS Row_Index, 'c_name' AS Column_Name,
+       c_name AS Column_Value,
+       'c_nationkey is not a substring of c_name.  Data is not Valid, please check data'
+         AS Error_Message
+FROM customer
+WHERE NOT contains(c_name, CAST(c_nationkey AS VARCHAR)) AND c_name <> ''
+"""
+
+
+# -------------------------------------------------------------------- C8 / J8
+_VALID_SEGMENTS = ["BUILDING", "FURNITURE", "MACHINERY"]
+
+
+def q_c8_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICD-10-style broadcast dictionary validation, dictionary = allowed
+    market segments."""
+    cust = read_table(spark, sf_dir, "customer")
+    sheet = _as_sheet(cust, "c_custkey", ["c_mktsegment"])
+    codes = spark.createDataFrame([(c,) for c in _VALID_SEGMENTS], "code string")
+    sheet = icd10_flag_join(sheet, "c_mktsegment", codes,
+                            "c_mktsegment__icd10_valid")
+    return _findings(sheet, "customer.csv", "c_mktsegment",
+                     check_icd10("c_mktsegment", "c_mktsegment__icd10_valid"))
+
+
+SQL_C8 = """
+SELECT 'Error' AS Message_Type, 'customer.csv' AS CSV_Sheet_Name,
+       c_custkey AS Row_Index, 'c_mktsegment' AS Column_Name,
+       c_mktsegment AS Column_Value,
+       'Invalid or unknown ICD10 code, Value must be Valid ICD10 code or N/A'
+         AS Error_Message
+FROM customer
+WHERE c_mktsegment NOT IN ('BUILDING', 'FURNITURE', 'MACHINERY')
+  AND c_mktsegment <> 'N/A' AND c_mktsegment <> ''
+"""
+
+
+# -------------------------------------------------------------------- A2
+def q_a2_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Findings summary pivot: per-segment Errors (acctbal > 9000) and
+    Warnings (acctbal < 500), exercising the severity pivot (A2)."""
+    from nci_seronet_proc_data_validator_spark.errors import findings_summary
+    cust = read_table(spark, sf_dir, "customer")
+    sheet = with_typed_shadows(
+        cust.select(F.col("c_custkey").cast("long").alias("row_index"),
+                    F.col("c_mktsegment").cast("string").alias("seg"),
+                    F.col("c_acctbal").cast("string").alias("c_acctbal")))
+    checks = [
+        CheckExpr(F.col("c_acctbal__num") > 9000, "balance too high", "Error"),
+        CheckExpr(F.col("c_acctbal__num") < 500, "balance low", "Warning"),
+    ]
+    cands = [F.when(ce.violation,
+                    F.struct(F.lit(ce.severity).alias("Message_Type"),
+                             F.col("seg").alias("CSV_Sheet_Name"),
+                             F.col("row_index").alias("Row_Index"),
+                             F.lit("c_acctbal").alias("Column_Name"),
+                             F.col("c_acctbal").alias("Column_Value"),
+                             ce.msg_col().alias("Error_Message")))
+             for ce in checks]
+    findings = (sheet.select(F.explode(F.array_compact(F.array(*cands)))
+                             .alias("_f")).select("_f.*"))
+    return findings_summary(findings).orderBy("CSV_Sheet_Name")
+
+
+SQL_A2 = """
+SELECT c_mktsegment AS CSV_Sheet_Name,
+       count(*) FILTER (WHERE c_acctbal > 9000) AS Errors,
+       count(*) FILTER (WHERE c_acctbal < 500) AS Warnings
+FROM customer
+WHERE c_acctbal > 9000 OR c_acctbal < 500
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# -------------------------------------------------------------- J1/J2 enrich
+def q_j1_enrich_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (li
+            .join(orders.select("o_orderkey", "o_custkey"),
+                  li.l_orderkey == F.col("o_orderkey"), "left")
+            .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                  F.col("o_custkey") == F.col("c_custkey"), "left")
+            .groupBy("c_mktsegment")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_J1 = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+LEFT JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ----------------------------------------------------- J3–J5 presence spine
+def q_j3_presence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⟗ P-status orders with indicator columns → pattern counts
+    (exercises outer_join_spine + presence decoding)."""
+    cust = read_table(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("custkey")).distinct()
+    p_orders = (read_table(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "P")
+                .select(F.col("o_custkey").alias("custkey")).distinct())
+    spine = outer_join_spine({"customer": cust, "orders_p": p_orders},
+                             "custkey")
+    pattern = (F.when(present("customer") & ~present("orders_p"),
+                      "customer_without_p_order")
+               .when(~present("customer") & present("orders_p"),
+                     "p_order_without_customer")
+               .otherwise("both"))
+    return (spine.select(pattern.alias("pattern"))
+            .groupBy("pattern").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("pattern"))
+
+
+SQL_J3 = """
+WITH c AS (SELECT DISTINCT c_custkey AS custkey FROM customer),
+     o AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+           WHERE o_orderstatus = 'P')
+SELECT CASE WHEN c.custkey IS NOT NULL AND o.custkey IS NULL
+              THEN 'customer_without_p_order'
+            WHEN c.custkey IS NULL AND o.custkey IS NOT NULL
+              THEN 'p_order_without_customer'
+            ELSE 'both' END AS pattern,
+       count(*) AS n
+FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------- J6 / P8 anti
+def q_j6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    p_orders = (read_table(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "P"))
+    return (cust.join(p_orders, cust.c_custkey == p_orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey").orderBy("c_custkey"))
+
+
+SQL_J6 = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+ORDER BY c_custkey
+"""
+
+
+# ----------------------------------------------------------------- A3/A4/A5
+def q_a4_count_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    n_cust = cust.agg(F.count(F.lit(1)).alias("declared"))
+    n_active = orders.agg(
+        F.countDistinct("o_custkey").alias("distinct_with_orders"))
+    return (n_cust.crossJoin(n_active)
+            .withColumn("matches",
+                        F.col("declared") == F.col("distinct_with_orders")))
+
+
+SQL_A4 = """
+SELECT (SELECT count(*) FROM customer) AS declared,
+       (SELECT count(DISTINCT o_custkey) FROM orders) AS distinct_with_orders,
+       (SELECT count(*) FROM customer)
+         = (SELECT count(DISTINCT o_custkey) FROM orders) AS matches
+"""
+
+
+# ------------------------------------------------------------------ O1–O3
+def q_o3_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    a = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey", "c_mktsegment")
+         .withColumn("slice", F.lit("A")))
+    b = (cust.filter(F.col("c_acctbal") > 9500)
+         .select("c_custkey", "c_mktsegment")
+         .withColumn("slice", F.lit("B")))
+    return a.unionByName(b).orderBy("slice", "c_custkey")
+
+
+SQL_O3 = """
+SELECT c_custkey, c_mktsegment, 'A' AS slice FROM customer
+WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment, 'B' AS slice FROM customer
+WHERE c_acctbal > 9500
+ORDER BY slice, c_custkey
+"""
+
+
+# ============================ LLM-pipeline operators ======================
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: canonical doc per md5 group."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .orderBy("content_hash"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace — catches formatting-only duplicates."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")
+    return (docs.groupBy(F.md5(norm).alias("norm_hash"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .orderBy("norm_hash"))
+
+
+SQL_DEDUP_NORM = """
+SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          ' +', ' ', 'g')) AS norm_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features, all JVM-side regex."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"),
+                                    0)).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"),
+                                    0)).cast("long").alias("n_punct"),
+        (F.length("text") < 100).alias("is_short"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, length(text) AS n_chars_actual,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       length(text) < 100 AS is_short
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the labeled ``lang`` column →
+    confusion counts."""
+    docs = read_table(spark, sf_dir, "documents")
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    n_en = n(r"\b(the|and|of|to|in)\b")
+    n_de = n(r"\b(der|die|das|und|ist)\b")
+    n_es = n(r"\b(el|la|los|las|es)\b")
+    n_fr = n(r"\b(le|les|et|est|une)\b")
+    pred = (F.when((n_en >= n_de) & (n_en >= n_es) & (n_en >= n_fr), "en")
+            .when((n_de >= n_es) & (n_de >= n_fr), "de")
+            .when(n_es >= n_fr, "es")
+            .otherwise("fr"))
+    return (docs.select(F.col("lang"), pred.alias("predicted"))
+            .groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang", "predicted"))
+
+
+SQL_LANG_ID = r"""
+WITH scored AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS n_en,
+         len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS n_de,
+         len(regexp_extract_all(text, '\b(el|la|los|las|es)\b')) AS n_es,
+         len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS n_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN n_en >= n_de AND n_en >= n_es AND n_en >= n_fr THEN 'en'
+            WHEN n_de >= n_es AND n_de >= n_fr THEN 'de'
+            WHEN n_es >= n_fr THEN 'es'
+            ELSE 'fr' END AS predicted,
+       count(*) AS n
+FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 64-bit content fingerprint of the
+    normalized text (hex prefix of md5)."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------- similarity search
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors. Dot products fold
+    left-to-right in both engines (identical IEEE result); ranking on
+    round(sim, 12) defuses any residual last-ulp skew."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    return spark.sql("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                 FROM embeddings WHERE vec_id < 5),
+      sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               aggregate(zip_with(q.qe, c.embedding,
+                                  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+               / (sqrt(aggregate(transform(q.qe,
+                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                 CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+                  * sqrt(aggregate(transform(c.embedding,
+                                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                   CAST(0.0 AS DOUBLE), (a, x) -> a + x)))
+                 AS sim
+        FROM q CROSS JOIN embeddings c
+        WHERE c.vec_id <> q.query_id)
+      SELECT query_id, neighbor_id, round(sim, 6) AS sim6, rank
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY round(sim, 12) DESC, neighbor_id) AS rank
+            FROM sims)
+      WHERE rank <= 10
+      ORDER BY query_id, rank
+    """)
+
+
+SQL_EMB_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.qe, c.embedding),
+                                    s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+                     (a, x) -> a + x)
+         / (sqrt(list_reduce(list_transform(q.qe,
+                                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                             (a, x) -> a + x))
+            * sqrt(list_reduce(list_transform(c.embedding,
+                                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                               (a, x) -> a + x)))
+           AS sim
+  FROM q CROSS JOIN embeddings c
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(sim, 6) AS sim6, rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(sim, 12) DESC, neighbor_id) AS rank
+      FROM sims)
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+# ----------------------------------------------------------- events rollup
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the column
+    arrives as long — convert to microsecond timestamps."""
+    ev = read_table(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("total_value"))
+            .orderBy("hour", "event_type"))
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- registry
+QUERIES = {
+    "c1_in_list": (q_c1_in_list, SQL_C1),
+    "c2_date_range": (q_c2_date_range, SQL_C2),
+    "c3_number_range": (q_c3_number_range, SQL_C3),
+    "c3_int_check": (q_c3_int_check, SQL_C3_INT),
+    "c5_id_format": (q_c5_id_format, SQL_C5),
+    "c6_dup_ids": (q_c6_dup_ids, SQL_C6),
+    "c7_substr": (q_c7_substr, SQL_C7),
+    "c8_dict_lookup": (q_c8_dict_lookup, SQL_C8),
+    "a2_crosstab": (q_a2_crosstab, SQL_A2),
+    "a4_count_reconcile": (q_a4_count_reconcile, SQL_A4),
+    "j1_enrich_revenue": (q_j1_enrich_revenue, SQL_J1),
+    "j3_presence_patterns": (q_j3_presence_patterns, SQL_J3),
+    "j6_anti_join": (q_j6_anti_join, SQL_J6),
+    "o3_union_slices": (q_o3_union_slices, SQL_O3),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_normalized": (q_dedup_normalized, SQL_DEDUP_NORM),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
+    "embedding_topk": (q_embedding_topk, SQL_EMB_TOPK),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+}

@@ -33,6 +33,9 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read TIMESTAMP(NANOS) parquet (events table) as long nanos;
+        # sources convert to timestamp explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
