@@ -1,0 +1,114 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries are executed to completion with the noop sink (full pipeline runs,
+nothing collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES, read_events
+from nci_seronet_proc_data_validator_spark.functions.checks import (
+    check_date,
+    check_if_number,
+    check_in_list,
+)
+from nci_seronet_proc_data_validator_spark.operators.typing import with_typed_shadows
+from nci_seronet_proc_data_validator_spark.plans.rules import (
+    ColumnRules,
+    compile_sheet_findings,
+)
+from nci_seronet_proc_data_validator_spark.session import get_spark
+from nci_seronet_proc_data_validator_spark.sources.readers import read_table
+
+
+def _spread(df, spark):
+    """Local testdata is a single parquet with ~3 row groups; scan
+    parallelism is row-group-bound, so CPU-heavy downstream stages idle 29
+    of 32 cores. One narrow repartition spreads the work. On a real
+    cluster (inputs already split into many files) this is a no-op cost.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return df.repartition(cpus)
+
+
+def validation_lineitem(spark, sf_dir):
+    """Flagship scale query: the single-pass rule engine over the largest
+    table — 5 rule families on 4 columns of lineitem in ONE projection."""
+    li = _spread(read_table(spark, sf_dir, "lineitem"), spark)
+    sheet = with_typed_shadows(li.select(
+        F.col("l_orderkey").cast("long").alias("row_index"),
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+        F.col("l_linestatus").cast("string").alias("l_linestatus"),
+        F.col("l_quantity").cast("string").alias("l_quantity"),
+        F.col("l_shipdate").cast("string").alias("l_shipdate"),
+    ))
+    import datetime
+    rules = [
+        ColumnRules("l_returnflag", check_in_list("l_returnflag", ["A", "N", "R"])),
+        ColumnRules("l_linestatus", check_in_list("l_linestatus", ["O", "F"])),
+        ColumnRules("l_quantity", check_if_number("l_quantity", 1, 49, False, "int")),
+        ColumnRules("l_shipdate", check_date("l_shipdate",
+                                             datetime.date(1996, 1, 1),
+                                             datetime.date(1999, 12, 31),
+                                             False, "Date")),
+    ]
+    return compile_sheet_findings(sheet, "lineitem.csv", rules)
+
+
+BENCH_QUERIES = {
+    "validation_lineitem": validation_lineitem,
+    "c2_date_range": QUERIES["c2_date_range"][0],
+    "c6_dup_ids": QUERIES["c6_dup_ids"][0],
+    "j1_enrich_revenue": QUERIES["j1_enrich_revenue"][0],
+    "j3_presence_patterns": QUERIES["j3_presence_patterns"][0],
+    "a2_crosstab": QUERIES["a2_crosstab"][0],
+    "dedup_normalized": QUERIES["dedup_normalized"][0],
+    "embedding_topk": QUERIES["embedding_topk"][0],
+    "events_hourly": QUERIES["events_hourly"][0],
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cpus=cpus)
+    # Warm the JVM: run the same plans at the smallest scale factor first
+    # so codegen/JIT compilation is excluded from the timed runs.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for fn in BENCH_QUERIES.values():
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "bench_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,11 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         # Read TIMESTAMP(NANOS) parquet (events table) as long nanos;
         # sources convert to timestamp explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet parallelism is bounded by row groups, not byte splits —
+        # keep the default split size; compute-heavy stages over few-row-
+        # group local files should .repartition() explicitly instead.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
