@@ -523,6 +523,41 @@ FROM documents ORDER BY doc_id
 """
 
 
+# ------------------------------------------------ MinHash / SimHash dedup
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_signature, shingle_hashes, shingles, tokens)
+    docs = read_table(spark, sf_dir, "documents")
+    sig = minhash_signature(shingle_hashes(shingles(tokens("text"))))
+    return docs.select(
+        "doc_id", *[sig[i].alias(f"sig_{i}") for i in range(4)]
+    ).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs).orderBy("id_a", "id_b")
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        simhash64, tokens)
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       simhash64(tokens("text")).alias("simhash")
+                       ).orderBy("doc_id")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        embedding_near_dup_pairs)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, min_cosine=0.35) \
+        .orderBy("id_a", "id_b")
+
+
 # ------------------------------------------------------- similarity search
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for 5 query vectors. Dot products fold
@@ -635,3 +670,23 @@ QUERIES = {
     "embedding_topk": (q_embedding_topk, SQL_EMB_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
 }
+
+
+def _register_dedup_queries() -> None:
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        embedding_near_dup_oracle_sql,
+        minhash_lsh_pairs_oracle_sql,
+        minhash_oracle_sql,
+        simhash_oracle_sql,
+    )
+    QUERIES.update({
+        "minhash_signatures": (q_minhash_signatures, minhash_oracle_sql()),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs,
+                              minhash_lsh_pairs_oracle_sql()),
+        "simhash_signatures": (q_simhash_signatures, simhash_oracle_sql()),
+        "embedding_near_dup": (q_embedding_near_dup,
+                               embedding_near_dup_oracle_sql(min_cosine=0.35)),
+    })
+
+
+_register_dedup_queries()

@@ -1,0 +1,405 @@
+"""Large-scale deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+These extend the engine beyond the reference's surface for training-data
+pipelines. Everything is pure Spark SQL expression algebra (higher-order
+functions over arrays) — no Python in the row path — so the same code runs
+on 100 TB:
+
+- shingling/minhash/simhash are map-only projections (linear scan);
+- LSH banding shuffles once on (band_id, band_hash) — the only shuffle —
+  and bucket sizes are bounded by collision probability, so skew is
+  self-limiting; genuinely hot buckets (boilerplate dups) are handled by
+  AQE skew splitting;
+- candidate verification joins only within buckets (no quadratic blow-up).
+
+Hash function: the leading 8 hex digits of md5, an engine-portable 32-bit
+value (same in DuckDB for the oracle), combined with deterministic affine
+permutations (a*h + b) mod p over the 32-bit space. Constants come from a
+fixed LCG so oracle SQL can embed the identical numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne-ish prime just above 2^32; a*h stays < 2^62 (no bigint overflow,
+# identical semantics in DuckDB BIGINT arithmetic).
+MINHASH_PRIME = 4294967311
+DEFAULT_K = 64          # signature length
+DEFAULT_BANDS = 16      # LSH bands (rows per band = K / BANDS)
+
+
+def _lcg_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k permutations (a odd, < 2^30)."""
+    out = []
+    for i in range(k):
+        a = ((1103515245 * (i + 1) + 12345) % (1 << 30)) | 1
+        b = (214013 * (i + 1) + 2531011) % (1 << 30)
+        out.append((a, b))
+    return out
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), F.lit(0))
+
+
+def shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles. Empty when the document has < n tokens
+    (sequence() would run backwards otherwise)."""
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hashes(shingles_col: Column) -> Column:
+    """Distinct 32-bit shingle hashes: first 8 md5 hex digits as bigint —
+    portable across engines (DuckDB: CAST('0x'||substr(md5(s),1,8) AS
+    BIGINT))."""
+    return F.array_distinct(F.transform(
+        shingles_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")))
+
+
+def minhash_signature(hashes_col: Column, k: int = DEFAULT_K) -> Column:
+    """k-permutation MinHash signature; null-free, MAX sentinel for empty
+    docs so signatures never collide with real hashes."""
+    sigs = []
+    for a, b in _lcg_coeffs(k):
+        permuted = F.transform(
+            hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+        sigs.append(F.coalesce(F.array_min(permuted),
+                               F.lit(MINHASH_PRIME).cast("long")))
+    return F.array(*sigs)
+
+
+def lsh_band_table(df: DataFrame, id_col: str, sig_col: str,
+                   bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Explode the signature into (id, band_id, band_hash). Band hash is the
+    md5 of the '-'-joined band slice — compact keys for the bucket shuffle.
+    """
+    k = DEFAULT_K
+    rows = k // bands
+    entries = F.array(*[
+        F.struct(F.lit(b).alias("band_id"),
+                 F.md5(F.concat_ws("-", *[
+                     F.col(sig_col)[b * rows + r].cast("string")
+                     for r in range(rows)])).alias("band_hash"))
+        for b in range(bands)])
+    return (df.select(F.col(id_col), F.explode(entries).alias("band"))
+            .select(id_col, "band.band_id", "band.band_hash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      k: int = DEFAULT_K, bands: int = DEFAULT_BANDS,
+                      min_jaccard: float = 0.0) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline:
+
+    text → shingles → 32-bit hashes → k-minhash signature → band buckets →
+    candidate pairs (same bucket, id_a < id_b) → exact shingle-set Jaccard.
+
+    One scan to build signatures, one shuffle on band buckets, one
+    self-join restricted to buckets, one (broadcastable) join back to
+    shingle sets for verification. Returns (id_a, id_b, jaccard).
+    """
+    base = docs.select(
+        F.col(id_col),
+        shingle_hashes(shingles(tokens(text_col), n)).alias("sh"))
+    base = base.withColumn("sig", minhash_signature(F.col("sh"), k))
+
+    bands_df = lsh_band_table(base, id_col, "sig", bands)
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (a.join(b, ["band_id", "band_hash"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+    sh = base.select(F.col(id_col), F.col("sh"))
+    out = (cand
+           .join(sh.select(F.col(id_col).alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col(id_col).alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b")
+           .select(
+               "id_a", "id_b",
+               (F.size(F.array_intersect("sh_a", "sh_b")) /
+                F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+                ).alias("jaccard")))
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_oracle_sql(n: int = 3, k: int = DEFAULT_K,
+                       bands: int = DEFAULT_BANDS,
+                       sig_prefix: int = 4) -> str:
+    """DuckDB SQL computing the first ``sig_prefix`` signature slots per
+    document — the oracle for the minhash math."""
+    coeffs = _lcg_coeffs(k)[:sig_prefix]
+    sig_exprs = ",\n       ".join(
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * h + {b}) % {MINHASH_PRIME})), "
+        f"{MINHASH_PRIME}) AS sig_{i}"
+        for i, (a, b) in enumerate(coeffs))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {n}
+           THEN list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> CAST(concat('0x', substr(md5(
+                                      concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8))
+                                    AS BIGINT))
+           ELSE [] END) AS sh
+  FROM toks)
+SELECT doc_id,
+       {sig_exprs}
+FROM sh ORDER BY doc_id
+"""
+
+
+def minhash_lsh_pairs_oracle_sql(n: int = 3, k: int = DEFAULT_K,
+                                 bands: int = DEFAULT_BANDS,
+                                 min_jaccard: float = 0.0) -> str:
+    """DuckDB SQL for the FULL MinHash+LSH pipeline (signatures → bands →
+    candidate pairs → exact Jaccard), constants identical to the Spark
+    operator."""
+    rows = k // bands
+    coeffs = _lcg_coeffs(k)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * h + {b}) % {MINHASH_PRIME})), "
+        f"{MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs))
+    band_rows = ",\n    ".join(
+        "({b}, md5({concat}))".format(
+            b=b, concat=" || '-' || ".join(
+                f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)))
+        for b in range(bands))
+    shingle_expr = (
+        f"list_distinct(CASE WHEN len(t) >= {n} "
+        f"THEN list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8)) AS BIGINT)) "
+        f"ELSE [] END)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+shing AS (SELECT doc_id, {shingle_expr} AS sh FROM toks),
+sig AS (SELECT doc_id, sh,
+    {sig_exprs}
+  FROM shing),
+bands AS (
+  SELECT doc_id, band.* FROM sig,
+    LATERAL (VALUES {band_rows}) AS band(band_id, band_hash)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1)
+         AS jaccard
+FROM cand
+JOIN shing sa ON sa.doc_id = id_a
+JOIN shing sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / greatest(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)), 1)
+      >= {min_jaccard}
+ORDER BY id_a, id_b
+"""
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash from the two leading 32-bit words of each token's
+    md5. Bit i of the result is 1 iff the sum over tokens of ±1 (bit set →
+    +1) is positive. One aggregate over the token array — map-only."""
+    def tok_bits(t: Column) -> Column:
+        # Unrolled: shiftright requires a literal shift amount.
+        h1 = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+        return F.array(*[
+            F.when((F.shiftright(h1 if i < 32 else h2, i % 32) % 2) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for i in range(64)])
+
+    counters = F.aggregate(
+        tokens_col,
+        F.expr("array_repeat(0L, 64)"),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda x, y: x + y))
+    # Pack bits 0..62 via exact double powers of two (shift amounts must be
+    # literals in Spark, but pow(2, i) is exact for any power of two);
+    # bit 63 is the sign bit, set with the min-long literal.
+    low = F.aggregate(
+        F.zip_with(F.slice(counters, 1, 63),
+                   F.sequence(F.lit(0), F.lit(62)),
+                   lambda c, i: F.when(
+                       c > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long"))
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    top = F.when(F.element_at(counters, 64) > 0,
+                 F.lit(-9223372036854775808)).otherwise(F.lit(0).cast("long"))
+    return low.bitwiseOR(top)
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+    """Near-dup candidates by SimHash: band the 64 bits into 4 x 16-bit
+    chunks (pigeonhole: hamming ≤ 3 guarantees a shared chunk; wider
+    distances are caught probabilistically), bucket-join, verify hamming.
+    """
+    base = docs.select(F.col(id_col),
+                       simhash64(tokens(text_col)).alias("sh64"))
+    chunks = F.array(*[
+        F.struct(F.lit(c).alias("chunk_id"),
+                 F.shiftright(F.col("sh64"), 16 * c)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+        for c in range(4)])
+    bt = (base.select(id_col, "sh64", F.explode(chunks).alias("c"))
+          .select(id_col, "sh64", "c.chunk_id", "c.chunk"))
+    a, b = bt.alias("a"), bt.alias("b")
+    ham = F.bit_count(F.col("a.sh64").bitwiseXOR(F.col("b.sh64")))
+    return (a.join(b, ["chunk_id", "chunk"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash_oracle_sql() -> str:
+    """DuckDB SQL computing the same 64-bit SimHash per document (via
+    UNNEST + per-bit sums — different shape, identical result)."""
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h{1 if i < 32 else 2} >> {i % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(64))
+    low_terms = " + ".join(
+        f"(CASE WHEN coalesce(c{i}, 0) > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE 0 END)" for i in range(63))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+  FROM toks),
+counters AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST({low_terms} AS BIGINT)
+       | (CASE WHEN coalesce(c63, 0) > 0
+               THEN CAST(-9223372036854775808 AS BIGINT)
+               ELSE 0 END) AS simhash
+FROM documents d LEFT JOIN counters USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# -------------------------------------------------- embedding near-dup LSH
+def _hyperplane_coeffs(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, zero-mean)."""
+    out, state = [], 20260813
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) - 0.5)
+        out.append(row)
+    return out
+
+
+def embedding_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket: the sign bits of n_planes dot
+    products. Cosine-similar vectors collide with high probability."""
+    planes = _hyperplane_coeffs(n_planes, dim)
+    bits = []
+    for p, row in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col,
+                       F.array(*[F.lit(v) for v in row]),
+                       lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(dot > 0,
+                           F.shiftleft(F.lit(1), p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding", dim: int = 64,
+                             n_planes: int = 8,
+                             min_cosine: float = 0.95) -> DataFrame:
+    """Embedding near-duplicates: hyperplane-LSH bucket, then exact cosine
+    within buckets. The bucket join keeps the pair count ~N²/2^planes
+    instead of N²."""
+    def norm(c: Column) -> Column:
+        return F.sqrt(F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda a, x: a + x))
+
+    base = emb.select(F.col(id_col), F.col(vec_col).alias("v"),
+                      embedding_bucket(F.col(vec_col), dim, n_planes)
+                      .alias("bucket"),
+                      norm(F.col(vec_col)).alias("nrm"))
+    a, b = base.alias("a"), base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda a_, x: a_ + x)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, "bucket")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine))
+
+
+def embedding_near_dup_oracle_sql(dim: int = 64, n_planes: int = 8,
+                                  min_cosine: float = 0.95) -> str:
+    """DuckDB SQL mirroring the hyperplane-LSH near-dup pipeline, plane
+    constants embedded verbatim (left-fold dot products → identical IEEE
+    doubles)."""
+    planes = _hyperplane_coeffs(n_planes, dim)
+
+    def dot(vec: str, row: list[float]) -> str:
+        lits = ", ".join(repr(v) for v in row)
+        return (f"list_reduce(list_transform(list_zip({vec}, [{lits}]), "
+                f"s -> CAST(s[1] AS DOUBLE) * s[2]), (a, x) -> a + x)")
+
+    bucket = " | ".join(
+        f"(CASE WHEN {dot('embedding', row)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes))
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         ({bucket}) AS bucket,
+         sqrt(list_reduce(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              (a, x) -> a + x)) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+              (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cosine
+FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)),
+            (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= {min_cosine}
+ORDER BY id_a, id_b
+"""

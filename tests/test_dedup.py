@@ -1,0 +1,74 @@
+"""Dedup operator semantics: planted near-duplicates must surface; unrelated
+documents must not."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    minhash_lsh_pairs,
+    minhash_signature,
+    shingle_hashes,
+    shingles,
+    simhash_pairs,
+    simhash64,
+    tokens,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find some tasty food")
+NEAR = BASE.replace("tasty", "fresh")          # one-token change
+OTHER = ("completely different content about spark query engines and "
+         "distributed shuffle execution plans with columnar storage")
+
+
+def _docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE), (5, "tiny doc")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0          # exact dup
+    assert (1, 2) in pairs and 0.5 < pairs[(1, 2)] < 1.0     # near dup
+    assert (2, 4) in pairs
+    # unrelated docs must not pair with high jaccard
+    assert all(j < 0.2 for (a, b), j in pairs.items()
+               if 3 in (a, b) or 5 in (a, b))
+
+
+def test_minhash_signature_stability(spark):
+    df = _docs(spark).select(
+        "doc_id",
+        minhash_signature(shingle_hashes(shingles(tokens("text")))).alias("sig"))
+    rows = {r["doc_id"]: r["sig"] for r in df.collect()}
+    assert rows[1] == rows[4]                   # identical text → identical sig
+    agree = sum(x == y for x, y in zip(rows[1], rows[2])) / 64
+    assert agree > 0.5                          # near dup signatures mostly agree
+    assert len(rows[1]) == 64
+    # empty-ish doc gets sentinel values, not nulls
+    assert all(v is not None for v in rows[5])
+
+
+def test_simhash_near_dups(spark):
+    sh = {r["doc_id"]: r["h"] for r in _docs(spark).select(
+        "doc_id", simhash64(tokens("text")).alias("h")).collect()}
+    assert sh[1] == sh[4]
+    ham12 = bin(sh[1] ^ sh[2]).count("1")
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham12 < ham13                        # near dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(_docs(spark)).collect()}
+    assert (1, 4) in pairs
+
+
+def test_embedding_near_dups(spark):
+    base = [0.1 * i for i in range(8)]
+    near = list(base); near[3] += 0.001
+    far = [1.0, -1.0] * 4
+    rows = [(1, base), (2, near), (3, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dup_pairs(emb, dim=8).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
+    assert not any(3 in k for k in pairs)
