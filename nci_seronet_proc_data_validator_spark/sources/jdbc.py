@@ -1,0 +1,102 @@
+"""JDBC sources (S5–S7), gated — the test environment has no database.
+
+Reference behaviors re-expressed:
+- S5 ``get_mysql_queries`` (File_Submission_Object.py:501-527): per-sheet
+  hand-written SELECTs with projection + predicate pushdown. Spark's JDBC
+  source pushes both automatically when given the query; the one rename
+  (``Test_Result`` → ``SARS_CoV_2_PCR_Test_Result``) stays explicit.
+- S6 jobs-queue scan (nci-seronet-data-validator.py:152-159): the reference
+  issues a JOIN with no ON clause (a filtered cross join) and then
+  overwrites the result with a second mis-parameterized read — both bugs
+  (SURVEY.md §2.9.1). We implement the evident intent: an equi-join of the
+  submission and file validator tables on submission id, filtered on both
+  status columns.
+- S7 INFORMATION_SCHEMA column catalog (nci:145-150): the schema authority.
+  Without a database, ``static_expected_columns`` (sources/catalog.py)
+  stands in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Per-sheet Merged_Table queries (S5). `%s` params from the reference are
+# inlined as named constants for the one parameterized case.
+MERGED_TABLE_QUERIES = {
+    "prior_clinical_test.csv":
+        "SELECT Research_Participant_ID, Test_Result "
+        "FROM Participant_Prior_Test_Result WHERE Test_Name = 'SARS_Cov_2_PCR'",
+    "demographic.csv":
+        "SELECT Research_Participant_ID, Age FROM Participant",
+    "biospecimen.csv":
+        "SELECT Research_Participant_ID, Biospecimen_ID, Biospecimen_Type "
+        "FROM Biospecimen",
+    "aliquot.csv": "SELECT Aliquot_ID, Biospecimen_ID FROM Aliquot",
+    "equipment.csv":
+        "SELECT Equipment_ID, Biospecimen_ID FROM Biospecimen_Equipment",
+    "reagent.csv": "SELECT Reagent_Name, Biospecimen_ID FROM Reagent_Biospecimen",
+    "consumable.csv":
+        "SELECT Consumable_Name, Biospecimen_ID FROM Consumable_Biospecimen",
+    "assay.csv": "SELECT Assay_ID, Assay_Name FROM Assay",
+    "assay_target.csv":
+        "SELECT Assay_ID, Assay_Target, Assay_Antigen_Source FROM Assay",
+    "confirmatory_clinical_test.csv":
+        "SELECT Research_Participant_ID, Assay_ID "
+        "FROM Participant_Confirmatory_Assay_Result",
+}
+
+
+def read_merged_table(spark: SparkSession, url: str, sheet_name: str,
+                      properties: dict | None = None) -> DataFrame | None:
+    """S5: DB fallback Merged_Table for a sheet that was not submitted.
+    Wrapping the SELECT as a JDBC subquery pushes projection and predicate
+    to the database, like the reference's hand-written SQL."""
+    q = MERGED_TABLE_QUERIES.get(sheet_name)
+    if q is None or not url:
+        return None
+    df = (spark.read.format("jdbc")
+          .option("url", url)
+          .option("query", q)
+          .options(**(properties or {}))
+          .load())
+    if sheet_name == "prior_clinical_test.csv":
+        df = df.withColumnRenamed("Test_Result", "SARS_CoV_2_PCR_Test_Result")
+    return df
+
+
+def read_pending_submissions(spark: SparkSession, url: str,
+                             batch_status: str = "BATCH_Validation_In_Process",
+                             file_status: str = "FILE_Unzipped",
+                             properties: dict | None = None
+                             ) -> DataFrame | None:
+    """S6 with the intent restored: equi-join of submission and file jobs
+    tables on submission id, filtered on both statuses (the reference's
+    ON-less JOIN and double-read are documented bugs, SURVEY.md §2.9.1)."""
+    if not url:
+        return None
+    q = (f"SELECT sub.submission_file_id AS orig_file_id, "
+         f"sub.submission_file_id, tbl.unzipped_file_id, "
+         f"sub.submission_file_location, tbl.file_validation_file_location "
+         f"FROM table_submission_validator sub "
+         f"JOIN table_file_validator tbl "
+         f"ON sub.submission_file_id = tbl.submission_file_id "
+         f"WHERE sub.batch_validation_status = '{batch_status}' "
+         f"AND tbl.file_validation_status = '{file_status}'")
+    return (spark.read.format("jdbc").option("url", url)
+            .option("query", q).options(**(properties or {})).load())
+
+
+def read_expected_columns(spark: SparkSession, url: str, db_name: str,
+                          properties: dict | None = None) -> DataFrame | None:
+    """S7: INFORMATION_SCHEMA.COLUMNS catalog scan with the reference's
+    bookkeeping-column anti-filter (nci:148-150)."""
+    if not url:
+        return None
+    q = (f"SELECT TABLE_NAME, COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS "
+         f"WHERE TABLE_SCHEMA = '{db_name}'")
+    df = (spark.read.format("jdbc").option("url", url)
+          .option("query", q).options(**(properties or {})).load())
+    bookkeeping = ["Submission_CBC", "Submission_Time", "Submission_File",
+                   "Biospecimen_Company_ID", "Equipment_Calibration_Due_Date",
+                   "Comments"]
+    return df.filter(~df.COLUMN_NAME.isin(bookkeeping))

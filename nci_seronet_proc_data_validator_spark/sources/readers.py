@@ -103,6 +103,60 @@ def cleanup_sheet(df: DataFrame) -> DataFrame:
     return out
 
 
+def read_any(spark: SparkSession, paths: str | list[str],
+             fmt: str = "suffix", **options) -> DataFrame | None:
+    """S2/S3 ``get_df``/``get_df_from_keys`` (s3.py:116-179): read one or
+    many objects into a single DataFrame.
+
+    - ``fmt='csv'|'parquet'|'json'|'orc'`` — explicit format, multi-path
+      read (Spark unions splits natively — parallel, unlike the
+      reference's sequential read-and-concat loop);
+    - ``fmt='suffix'`` — dispatch per extension, ``unionByName`` across
+      format groups (allowMissingColumns);
+    - ``fmt='mixed'`` — try csv, then parquet, then json in turn
+      (reference tried csv/parquet/xlsx, s3.py:164-172; xlsx is a
+      driver-side pandas concern, out of engine scope);
+    - returns ``None`` when nothing matched (reference behavior).
+    """
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    if not paths:
+        return None
+
+    def _read(f: str, ps: list[str]) -> DataFrame:
+        r = spark.read.options(**options)
+        if f == "csv":
+            r = r.option("header", "true")
+        return r.format(f).load(ps)
+
+    if fmt in ("csv", "parquet", "json", "orc"):
+        return _read(fmt, paths)
+    if fmt == "suffix":
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            ext = p.rsplit(".", 1)[-1].lower()
+            f = {"csv": "csv", "parquet": "parquet", "pq": "parquet",
+                 "json": "json", "orc": "orc"}.get(ext)
+            if f:
+                groups.setdefault(f, []).append(p)
+        dfs = [_read(f, ps) for f, ps in sorted(groups.items())]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+    if fmt == "mixed":
+        for f in ("csv", "parquet", "json"):
+            try:
+                df = _read(f, paths)
+                df.schema  # force plan analysis to validate the format
+                return df
+            except Exception:
+                continue
+        return None
+    raise ValueError(f"unknown format {fmt!r}")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,6 @@
+from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+    hourly_rollup_stream,
+    validate_stream,
+)
+
+__all__ = ["validate_stream", "hourly_rollup_stream"]

@@ -1,0 +1,124 @@
+"""Sinks (S9–S12), multi-format reader (S2/S3), multimodal plumbing, and
+the streaming surface."""
+
+import glob
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _findings(spark):
+    rows = [
+        ("Error", "demographic.csv", 3, "Age", "300", "range"),
+        ("Warning", "demographic.csv", 4, "Race", "", "missing"),
+        ("Error", "biospecimen.csv", 2, "Biospecimen_ID", "xx", "format"),
+    ]
+    return spark.createDataFrame(
+        rows, "Message_Type string, CSV_Sheet_Name string, Row_Index long, "
+              "Column_Name string, Column_Value string, Error_Message string")
+
+
+def test_error_report_sink(spark, tmp_path):
+    from nci_seronet_proc_data_validator_spark.sinks import write_error_reports
+    out = str(tmp_path / "reports")
+    write_error_reports(_findings(spark), out)
+    parts = glob.glob(os.path.join(out, "CSV_Sheet_Name=*"))
+    assert {os.path.basename(p) for p in parts} == {
+        "CSV_Sheet_Name=demographic.csv", "CSV_Sheet_Name=biospecimen.csv"}
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 3
+
+
+def test_job_status_and_notification(spark):
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        build_notification_payload, job_status_rows, write_job_status_jdbc)
+    status = job_status_rows(_findings(spark), "sub-1", "2026-08-13 00:00:00")
+    rows = {r["file_name"]: r for r in status.collect()}
+    assert rows["demographic.csv"]["file_validation_status"] == \
+        "FILE_Validation_Failure"
+    assert rows["demographic.csv"]["n_errors"] == 1
+    assert rows["demographic.csv"]["n_warnings"] == 1
+    # gated JDBC write is a no-op without a URL
+    assert write_job_status_jdbc(status, None, "t") is False
+
+    from nci_seronet_proc_data_validator_spark.errors import findings_summary
+    payload = build_notification_payload(
+        [r.asDict() for r in findings_summary(_findings(spark)).collect()],
+        "sub-1.zip", "lab14")
+    text = payload["blocks"][0]["text"]["text"]
+    assert "FAILED" in text and "demographic.csv" in text
+
+
+def test_read_any_suffix_and_mixed(spark, tmp_path):
+    from nci_seronet_proc_data_validator_spark.sources.readers import read_any
+    csv = tmp_path / "a.csv"
+    csv.write_text("x,y\n1,foo\n2,bar\n")
+    df = spark.createDataFrame([(3, "baz")], "x long, y string")
+    pq = str(tmp_path / "b.parquet")
+    df.write.parquet(pq)
+    out = read_any(spark, [str(csv), pq + "/part-00000*.parquet"
+                           if False else pq], fmt="suffix")
+    # csv x is string, parquet x is long → unionByName keeps both columns
+    assert out is not None and out.count() == 3
+    assert read_any(spark, [], fmt="suffix") is None
+    mixed = read_any(spark, str(csv), fmt="mixed")
+    assert mixed is not None and mixed.count() == 2
+
+
+def test_multimodal_decode_plumbing(spark):
+    from nci_seronet_proc_data_validator_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image_features, frame_sample_plan, media_stats)
+    rows = [
+        (1, "image", "image/png", bytes([10, 20, 30, 40]), 64, 64, None),
+        (2, "image", "image/png", None, None, None, None),
+        (3, "video", "video/mp4", bytes(range(100)), 320, 240, 3500),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert feats[1]["n_bytes"] == 4
+    assert 0.0 < feats[1]["brightness"] < 1.0
+    assert feats[2]["n_bytes"] == 0        # null payload handled
+    frames = frame_sample_plan(df).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+    stats = {r["modality"]: r["n"] for r in media_stats(df).collect()}
+    assert stats == {"image": 2, "video": 1}
+
+
+def test_streaming_validation(spark, tmp_path):
+    from nci_seronet_proc_data_validator_spark.streaming import validate_stream
+    in_dir, cp, out = (str(tmp_path / d) for d in ("in", "cp", "out"))
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "demographic.csv"), "w") as f:
+        f.write("Research_Participant_ID,Age,Race\n"
+                "14_000001,30,White\n"
+                "14_000002,999,Martian\n")
+    q = validate_stream(spark, in_dir, cp, "demographic.csv",
+                        ["Research_Participant_ID", "Age", "Race"], "14", out)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    msgs = {(r["Column_Name"], r["Column_Value"]) for r in got.collect()}
+    assert ("Age", "999") in msgs and ("Race", "Martian") in msgs
+
+
+def test_streaming_hourly_rollup(spark, tmp_path):
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        hourly_rollup_stream)
+    src = str(tmp_path / "events_src")
+    rows = [("2024-01-01 10:05:00", "click", 1.5),
+            ("2024-01-01 10:45:00", "click", 2.5),
+            ("2024-01-01 11:05:00", "view", 1.0)]
+    (spark.createDataFrame(rows, "ts_s string, event_type string, value double")
+     .select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+     .write.parquet(src))
+    stream = (spark.readStream.schema("ts timestamp, event_type string, "
+                                      "value double").parquet(src))
+    agg = hourly_rollup_stream(stream)
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("rollup_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # append mode only emits windows closed by the watermark; with a single
+    # batch nothing finalizes — the contract here is that the query runs
+    # and the schema is right.
+    out = spark.sql("SELECT * FROM rollup_out")
+    assert out.columns == ["hour", "event_type", "n", "total_value"]
