@@ -646,6 +646,66 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative gap count (the batch twin of
+    session_window): per-user sessions split on 30-minute silence."""
+    from pyspark.sql import Window as W
+    ev = read_events(spark, sf_dir)
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        (F.col("ts").cast("long")
+         - F.lag(F.col("ts").cast("long")).over(w_user)) > 1800, 1) \
+        .otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(gap).over(
+        w_user.rowsBetween(W.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .orderBy("user_id", "session_id"))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price within each order priority (ranking
+    window, deterministic tie-break on key)."""
+    from pyspark.sql import Window as W
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+            .orderBy("o_orderpriority", "rank"))
+
+
+SQL_TOPK_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 3 ORDER BY o_orderpriority, rank
+"""
+
+
 # --------------------------------------------------------------- registry
 QUERIES = {
     "c1_in_list": (q_c1_in_list, SQL_C1),
@@ -669,7 +729,24 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_FINGERPRINT),
     "embedding_topk": (q_embedding_topk, SQL_EMB_TOPK),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_GROUP),
 }
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroids/queries = the first 16/5 vectors (deterministic
+    stand-ins for a k-means build)."""
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_topk)
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = (emb.filter(F.col("vec_id") < 16)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("ce")))
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("qe")))
+    return ivf_topk(emb, centroids, queries_df).orderBy("query_id", "rank")
 
 
 def _register_dedup_queries() -> None:
@@ -687,6 +764,9 @@ def _register_dedup_queries() -> None:
         "embedding_near_dup": (q_embedding_near_dup,
                                embedding_near_dup_oracle_sql(min_cosine=0.35)),
     })
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_topk_oracle_sql)
+    QUERIES["ivf_topk"] = (q_ivf_topk, ivf_topk_oracle_sql())
 
 
 _register_dedup_queries()
