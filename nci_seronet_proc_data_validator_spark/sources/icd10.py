@@ -1,0 +1,45 @@
+"""ICD-10 reference table (J8/C8 support).
+
+The reference vendors the ``icd10-cm`` package and calls ``icd10.exists(x)``
+per cell against its gzip-JSON code map (icd10/__init__.py:98-107). The
+Spark-native shape is a small reference DataFrame broadcast-joined against
+the checked column (operators/joins.icd10_flag_join).
+
+Resolution order:
+1. an explicit file (csv/parquet, one ``code`` column) — production mounts
+   the full table;
+2. the ``icd10`` PyPI package if importable (same data source the
+   reference vendors) — codes enumerated once, driver-side;
+3. a small built-in demo subset (publicly documented common codes) so the
+   operator is exercisable out of the box. NOT a complete code list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Publicly documented, commonly cited ICD-10-CM codes (demo subset only).
+DEMO_CODES = [
+    "A00", "B20", "C34.90", "D64.9", "E11.9", "E66.9", "E78.5", "F32.9",
+    "G47.33", "I10", "I25.10", "I50.9", "J44.9", "J45.909", "K21.9",
+    "M54.5", "N18.9", "R05", "U07.1", "Z00.00",
+]
+
+
+def load_icd10_codes(spark: SparkSession,
+                     path: str | None = None) -> DataFrame:
+    if path:
+        if path.endswith(".parquet"):
+            return spark.read.parquet(path).select("code")
+        return (spark.read.option("header", "true").csv(path)
+                .select("code"))
+    try:
+        import icd10  # optional; vendored by the reference
+
+        codes = sorted(icd10.codes.keys()) if hasattr(icd10, "codes") else []
+        if codes:
+            return spark.createDataFrame([(c,) for c in codes],
+                                         "code string")
+    except Exception:
+        pass
+    return spark.createDataFrame([(c,) for c in DEMO_CODES], "code string")
