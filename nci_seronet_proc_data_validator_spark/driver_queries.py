@@ -706,6 +706,32 @@ WHERE rank <= 3 ORDER BY o_orderpriority, rank
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (composed union+window operator vs DuckDB's native ASOF
+    JOIN): each click/view event picks up the latest preceding error
+    value for its user."""
+    from nci_seronet_proc_data_validator_spark.operators.asof import asof_join
+    ev = read_events(spark, sf_dir)
+    left = (ev.filter(F.col("event_type").isin("click", "view"))
+            .select("event_id", "user_id", "ts"))
+    right = (ev.filter(F.col("event_type") == "error")
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("err_value")))
+    out = asof_join(left, right, "user_id", "ts", ["err_value"])
+    return out.select("event_id", "user_id", "err_value").orderBy("event_id")
+
+
+SQL_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type IN ('click', 'view')),
+r AS (SELECT user_id, ts, max(value) AS err_value FROM events
+      WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, r.err_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 # --------------------------------------------------------------- registry
 QUERIES = {
     "c1_in_list": (q_c1_in_list, SQL_C1),
@@ -731,6 +757,7 @@ QUERIES = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_GROUP),
+    "asof_join": (q_asof_join, SQL_ASOF),
 }
 
 
