@@ -50,6 +50,54 @@ from nci_seronet_proc_data_validator_spark.sources.readers import cleanup_sheet
 SKIP_VALIDATION = ("submission.csv", "shipping_manifest.csv")
 
 
+def parse_submission_metadata(submission_df: DataFrame,
+                              cbc_name_to_id: dict[str, str] | None = None
+                              ) -> dict:
+    """O4 ``get_submission_metadata`` (File_Submission_Object.py:80-89):
+    submission.csv is a 2-column key/value sheet — the CBC (lab) name is
+    the HEADER of column 2, participant count at data row 2, biospecimen
+    count at row 3. The CBC name resolves to a 2-digit id via the CBC
+    table (MySQL in the reference; a dict here). Unknown name → cbc_id
+    '0', which makes every ID check report "submission file is missing".
+
+    The sheet is tiny by construction — the two ``first()``-style lookups
+    collect ≤3 rows, never data-scale.
+    """
+    cols = [c for c in submission_df.columns if c != "row_index"]
+    cbc_name = cols[1] if len(cols) > 1 else ""
+    rows = (submission_df.orderBy("row_index").limit(3).collect()
+            if "row_index" in submission_df.columns
+            else submission_df.limit(3).collect())
+
+    def _cell(r, default="0"):
+        v = r[cbc_name] if cbc_name in r.__fields__ else default
+        return v if v not in (None, "") else default
+
+    participants = _cell(rows[1]) if len(rows) > 1 else "0"
+    biospecimens = _cell(rows[2]) if len(rows) > 2 else "0"
+    cbc_id = (cbc_name_to_id or {}).get(cbc_name, "0")
+    return {"cbc_name": cbc_name, "cbc_id": str(cbc_id),
+            "declared_participants": participants,
+            "declared_biospecimens": biospecimens}
+
+
+def check_submission_quality(sheets: dict[str, DataFrame],
+                             column_findings_count: int,
+                             cbc_id: str) -> tuple[bool, str]:
+    """Quality gate (nci-seronet-data-validator.py:179-194): a submission
+    is processable iff submission.csv exists, the CBC resolved, and no
+    header errors were found. Failure short-circuits all per-sheet work
+    (control flow stays in the driver, like the reference)."""
+    if "submission.csv" not in sheets:
+        return False, "submission.csv is missing from the submission"
+    if str(cbc_id) in ("0", "00", ""):
+        return False, "CBC name does not exist in the database"
+    if column_findings_count > 0:
+        return False, ("column errors were found, files do not match "
+                       "database tables")
+    return True, "passed"
+
+
 @dataclass
 class ValidationResult:
     findings: DataFrame            # canonical 6-column findings table
