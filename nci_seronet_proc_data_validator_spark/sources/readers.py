@@ -157,8 +157,18 @@ def read_any(spark: SparkSession, paths: str | list[str],
     raise ValueError(f"unknown format {fmt!r}")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make queries independent of who built the SparkSession (the driver
+    uses its own): UTC session time (oracle parity) and nanos-as-long
+    parquet reads (the events table is TIMESTAMP(NANOS), which Spark
+    otherwise rejects). Both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table."""
+    _ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
