@@ -74,8 +74,12 @@ BENCH_QUERIES = {
     "j3_presence_patterns": QUERIES["j3_presence_patterns"][0],
     "a2_crosstab": QUERIES["a2_crosstab"][0],
     "dedup_normalized": QUERIES["dedup_normalized"][0],
+    "minhash_lsh_pairs": QUERIES["minhash_lsh_pairs"][0],
     "embedding_topk": QUERIES["embedding_topk"][0],
+    "ivf_topk": QUERIES["ivf_topk"][0],
     "events_hourly": QUERIES["events_hourly"][0],
+    "sessionize": QUERIES["sessionize"][0],
+    "asof_join": QUERIES["asof_join"][0],
 }
 
 

@@ -706,6 +706,30 @@ WHERE rank <= 3 ORDER BY o_orderpriority, rank
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (segment → priority → grand total) — grouping
+    sets the reference never had; decimal-routed sums for oracle parity."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                         orders.o_custkey == F.col("c_custkey"), "left")
+    return (joined.rollup("c_mktsegment", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("total_price"))
+            .orderBy(F.col("c_mktsegment").asc_nulls_first(),
+                     F.col("o_orderpriority").asc_nulls_first()))
+
+
+SQL_ROLLUP = """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (composed union+window operator vs DuckDB's native ASOF
     JOIN): each click/view event picks up the latest preceding error
@@ -758,6 +782,7 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_GROUP),
     "asof_join": (q_asof_join, SQL_ASOF),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP),
 }
 
 

@@ -112,6 +112,11 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         shingle_hashes(shingles(tokens(text_col), n)).alias("sh"))
     base = base.withColumn("sig", minhash_signature(F.col("sh"), k))
+    # The signature table feeds BOTH sides of the band self-join and both
+    # verification joins — without persistence the text→shingle→signature
+    # pipeline executes 4×. At scale this materialization is the "signature
+    # index" an LSH system would store anyway.
+    base = base.persist()
 
     bands_df = lsh_band_table(base, id_col, "sig", bands)
     a = bands_df.alias("a")
@@ -256,7 +261,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     distances are caught probabilistically), bucket-join, verify hamming.
     """
     base = docs.select(F.col(id_col),
-                       simhash64(tokens(text_col)).alias("sh64"))
+                       simhash64(tokens(text_col)).alias("sh64")).persist()
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),
                  F.shiftright(F.col("sh64"), 16 * c)
@@ -355,7 +360,7 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
     base = emb.select(F.col(id_col), F.col(vec_col).alias("v"),
                       embedding_bucket(F.col(vec_col), dim, n_planes)
                       .alias("bucket"),
-                      norm(F.col(vec_col)).alias("nrm"))
+                      norm(F.col(vec_col)).alias("nrm")).persist()
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"),
