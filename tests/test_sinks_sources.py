@@ -122,3 +122,21 @@ def test_streaming_hourly_rollup(spark, tmp_path):
     # and the schema is right.
     out = spark.sql("SELECT * FROM rollup_out")
     assert out.columns == ["hour", "event_type", "n", "total_value"]
+
+
+def test_local_artifact_writer(spark, tmp_path):
+    import pandas as pd
+    import pytest as _pytest
+    from nci_seronet_proc_data_validator_spark.sinks.local_artifacts import (
+        write_local_artifact)
+    df = _findings(spark)
+    p_csv = str(tmp_path / "f.csv.gz")
+    write_local_artifact(df, p_csv, "csv", compression="gzip")
+    assert len(pd.read_csv(p_csv)) == 3
+    p_pkl = str(tmp_path / "f.pkl")
+    write_local_artifact(df, p_pkl, "pickle")
+    assert len(pd.read_pickle(p_pkl)) == 3
+    with _pytest.raises(ValueError):
+        write_local_artifact(df, str(tmp_path / "x"), "csv", max_rows=1)
+    with _pytest.raises((NotImplementedError, Exception)):
+        write_local_artifact(df, str(tmp_path / "f.xlsx"), "xlsx")
