@@ -648,37 +648,46 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag + cumulative gap count (the batch twin of
-    session_window): per-user sessions split on 30-minute silence."""
+    session_window): per-user sessions split on 30-minute silence.
+
+    Precision contract: events.parquet is TIMESTAMP(NANOS); both engines
+    truncate to integer epoch-MICROseconds before any comparison, the gap
+    test runs in integer micros, and session bounds are emitted as BIGINT
+    micros — so a nanosecond-preserving oracle build hashes identically to
+    one that coerces to micro timestamps at read."""
     from pyspark.sql import Window as W
-    ev = read_events(spark, sf_dir)
-    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = read_events(spark, sf_dir).withColumn("tsu", F.unix_micros("ts"))
+    w_user = W.partitionBy("user_id").orderBy("tsu", "event_id")
     gap = F.when(
-        (F.col("ts").cast("long")
-         - F.lag(F.col("ts").cast("long")).over(w_user)) > 1800, 1) \
+        (F.col("tsu") - F.lag("tsu").over(w_user)) > 1800 * 1_000_000, 1) \
         .otherwise(0)
     sess = ev.withColumn("session_id", F.sum(gap).over(
         w_user.rowsBetween(W.unboundedPreceding, 0)))
     return (sess.groupBy("user_id", "session_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.min("ts").alias("session_start"),
-                 F.max("ts").alias("session_end"))
+                 F.min("tsu").alias("session_start"),
+                 F.max("tsu").alias("session_end"))
             .orderBy("user_id", "session_id"))
 
 
 SQL_SESSIONIZE = """
-WITH g AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+  FROM events),
+g AS (
+  SELECT user_id, tsu, event_id,
+         CASE WHEN tsu - lag(tsu) OVER w > 1800000000
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
 s AS (
-  SELECT user_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT user_id, tsu,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g)
-SELECT user_id, session_id, count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(tsu) AS session_start, max(tsu) AS session_end
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
