@@ -22,42 +22,66 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 ROW_INDEX_COL = "row_index"
 
 
+# ``monotonically_increasing_id`` = (partition_id << 33) + per-partition
+# row counter (0-based, +1 per row in partition order) — a documented,
+# stable bit layout we decode to rebuild zipWithIndex semantics JVM-side.
+_MID_PARTITION_SHIFT = 33
+_MID_ORDINAL_MASK = (1 << _MID_PARTITION_SHIFT) - 1
+
+
 def with_row_index(df: DataFrame, offset: int = 2,
                    col_name: str = ROW_INDEX_COL) -> DataFrame:
-    """Attach a stable 0-gap row index matching source order.
+    """Attach a stable 0-gap row index matching source order — JVM-only.
 
-    Implementation: ``zipWithIndex`` on the underlying RDD — distributed,
-    two passes (one to count per-partition sizes, one to emit), no shuffle
-    to a single partition. This matches the reference's "CSV line = index +
-    2" convention exactly for single-file sheets.
+    The DataFrame twin of ``RDD.zipWithIndex`` without its Python
+    round-trip (``df.rdd`` deserializes every row into Python objects and
+    ``createDataFrame`` re-serializes them — a per-row cost on the ingest
+    path of every sheet). Two passes, all in the JVM:
 
-    At 100 TB one global contiguous index is inherently sequential in
-    *semantics* (not in execution — zipWithIndex stays parallel); pipelines
-    that don't need reference-identical line numbers should prefer
-    ``with_file_row_index`` (per-file indices, no cross-partition
-    coordination at all).
+    1. count rows per partition (partition id decoded from
+       ``monotonically_increasing_id``'s high bits); collect is
+       #partitions rows — driver-scale by construction;
+    2. broadcast-join the cumulative offsets and add the low-bit
+       per-partition ordinal.
+
+    No wide shuffle anywhere: the stream side stays in place, only the
+    tiny offsets relation is broadcast. Matches the reference's "CSV line
+    = index + 2" convention (``File_Submission_Object.py:159``) for
+    single-file sheets; across multiple input files the index follows
+    Spark's partition order, exactly as ``zipWithIndex`` did.
+
+    Determinism caveat: both passes re-evaluate the id over the same scan,
+    which is stable for file sources and local relations (the only inputs
+    used here); do not insert a nondeterministic transform upstream.
     """
-    schema = T.StructType(list(df.schema.fields) +
-                          [T.StructField(col_name, T.LongType(), False)])
-    indexed = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + offset))
-    return df.sparkSession.createDataFrame(indexed, schema)
-
-
-def with_file_row_index(df_path: str, spark: SparkSession, offset: int = 2,
-                        col_name: str = ROW_INDEX_COL, **csv_opts) -> DataFrame:
-    """Per-file row index via the Parquet/CSV `_metadata` or text-line path.
-
-    Scale path: indices are per input file (``file_path`` kept), so no
-    global coordination is required. For the validator's semantics (one
-    sheet = one file) this equals the global index.
-    """
-    df = read_sheet_csv(spark, df_path, **csv_opts)
-    return df  # row index already attached by read_sheet_csv
+    mid_col, pid_col, base_col = "__sg_mid", "__sg_pid", "__sg_base"
+    tmp = df.withColumn(mid_col, F.monotonically_increasing_id())
+    pid = F.shiftright(F.col(mid_col), _MID_PARTITION_SHIFT)
+    counts = tmp.groupBy(pid.alias(pid_col)).count().collect()
+    if not counts:
+        return df.withColumn(col_name, F.lit(offset).cast("long"))
+    base = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r[pid_col]):
+        offsets.append((r[pid_col], base))
+        base += r["count"]
+    # VALUES literal (LocalTableScan), not createDataFrame: PySpark routes
+    # local rows through an RDD (Scan ExistingRDD), which the ingest
+    # plan-shape test forbids outright.
+    values = ", ".join(f"({p}, {b})" for p, b in offsets)
+    offsets_df = df.sparkSession.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS {pid_col}, "
+        f"CAST(col2 AS BIGINT) AS {base_col} FROM VALUES {values}")
+    ordinal = F.col(mid_col).bitwiseAND(F.lit(_MID_ORDINAL_MASK))
+    return (tmp.withColumn(pid_col, pid)
+            .join(F.broadcast(offsets_df), pid_col)
+            .withColumn(col_name,
+                        F.col(base_col) + ordinal + F.lit(int(offset)))
+            .select(*df.columns, col_name))
 
 
 def read_sheet_csv(spark: SparkSession, path: str | list[str],

@@ -43,6 +43,33 @@ def test_enrich_join_broadcasts_customer(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_csv_ingest_is_jvm_only(spark, tmp_path):
+    """The ingest path (read → na.fill → row index) must never leave the
+    JVM: no Python eval, no RDD round-trip (VERDICT r1 scale-killer #2)."""
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    p = tmp_path / "sheet.csv"
+    p.write_text("a,b\nx,1\ny,2\nz,3\n")
+    df = read_sheet_csv(spark, str(p))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" not in plan
+    assert "SerializeFromObject" not in plan
+    rows = {r["a"]: r["row_index"] for r in df.collect()}
+    assert rows == {"x": 2, "y": 3, "z": 4}  # header = line 1
+
+
+def test_row_index_multi_partition(spark):
+    """Contiguous 0-gap index across many partitions, offset honored."""
+    from nci_seronet_proc_data_validator_spark.sources import with_row_index
+    df = spark.range(0, 1000, 1, 7).selectExpr("CAST(id AS STRING) AS v")
+    out = with_row_index(df, offset=2)
+    idx = sorted(r["row_index"] for r in out.collect())
+    assert idx == list(range(2, 1002))
+    # per-partition order preserved: v ascending within the range source
+    first = out.orderBy("row_index").limit(3).collect()
+    assert [r["v"] for r in first] == ["0", "1", "2"]
+
+
 def test_lsh_shuffles_on_band_buckets_only(spark, sf_dir):
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         minhash_lsh_pairs)
