@@ -250,9 +250,16 @@ def icd10_flag_join(df: DataFrame, column: str, icd10_codes: DataFrame,
     """J8: broadcast left join against the ICD-10 code table; ``flag_col``
     is true iff the value is a known code. Replaces the reference's per-cell
     ``icd10.exists`` (File_Submission_Object.py:303-309, vendored package
-    icd10/__init__.py:98-107) with a JVM-side hash join."""
-    codes = icd10_codes.select(F.col(icd10_codes.columns[0]).alias("__icd10_code"),
-                               F.lit(True).alias(flag_col)).distinct()
+    icd10/__init__.py:98-107) with a JVM-side hash join.
+
+    Dot normalization: the reference strips dots before lookup
+    (``codes.get(s.replace('.', ''))``), accepting both 'E11.9' and 'E119'
+    — both sides of the join are normalized the same way here."""
+    codes = icd10_codes.select(
+        F.translate(F.col(icd10_codes.columns[0]), ".", "")
+        .alias("__icd10_code"),
+        F.lit(True).alias(flag_col)).distinct()
     out = df.join(F.broadcast(codes),
-                  df[column] == F.col("__icd10_code"), "left")
+                  F.translate(df[column], ".", "") == F.col("__icd10_code"),
+                  "left")
     return out.drop("__icd10_code")

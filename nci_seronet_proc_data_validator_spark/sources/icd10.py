@@ -26,13 +26,22 @@ DEMO_CODES = [
 ]
 
 
+def _dotless(df: DataFrame) -> DataFrame:
+    """Store codes dotless — the reference's ``exists`` strips dots before
+    lookup (icd10/__init__.py: ``codes.get(s.replace('.', ''))``), so
+    'E11.9' and 'E119' are the same code."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.translate("code", ".", "").alias("code")).distinct()
+
+
 def load_icd10_codes(spark: SparkSession,
                      path: str | None = None) -> DataFrame:
     if path:
         if path.endswith(".parquet"):
-            return spark.read.parquet(path).select("code")
-        return (spark.read.option("header", "true").csv(path)
-                .select("code"))
+            return _dotless(spark.read.parquet(path).select("code"))
+        return _dotless(spark.read.option("header", "true").csv(path)
+                        .select("code"))
     try:
         import icd10  # optional; vendored by the reference
 
@@ -42,4 +51,5 @@ def load_icd10_codes(spark: SparkSession,
                                          "code string")
     except Exception:
         pass
-    return spark.createDataFrame([(c,) for c in DEMO_CODES], "code string")
+    return _dotless(
+        spark.createDataFrame([(c,) for c in DEMO_CODES], "code string"))

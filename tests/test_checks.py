@@ -185,3 +185,27 @@ def test_unit_value_dependency_trio(spark):
     assert f[(5, "Duration_of_HIV_infection_unit")]["Error_Message"] == \
         "Duration_of_HIV_infection is a Number .  Value must be one of the following: ['Day', 'Month', 'Year']"
     assert not any(k[0] in (2, 6) for k in f)
+
+
+def test_icd10_dot_normalization(spark):
+    """Reference icd10.exists strips dots before lookup — 'E11.9' and
+    'E119' are the same code; unknown codes flag either way."""
+    from nci_seronet_proc_data_validator_spark.functions.checks import check_icd10
+    from nci_seronet_proc_data_validator_spark.operators.joins import icd10_flag_join
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows,
+    )
+    from nci_seronet_proc_data_validator_spark.sources.icd10 import load_icd10_codes
+
+    codes = load_icd10_codes(spark)
+    df = _sheet(spark, [("E11.9",), ("E119",), ("NOTACODE",), ("N/A",)],
+                ["Other_Comorbidity"])
+    df = icd10_flag_join(with_typed_shadows(df), "Other_Comorbidity",
+                         codes, "ok")
+    from nci_seronet_proc_data_validator_spark.plans.rules import ColumnRules
+    out = compile_sheet_findings(
+        df, "demographic.csv",
+        [ColumnRules("Other_Comorbidity",
+                     check_icd10("Other_Comorbidity", "ok"))])
+    bad = {r["Row_Index"] for r in out.collect()}
+    assert bad == {4}  # only NOTACODE flags; dotted + dotless both valid
