@@ -27,12 +27,17 @@ from pyspark.sql import functions as F
 from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
 from nci_seronet_proc_data_validator_spark.functions.checks import (
     CheckExpr,
+    assay_special,
     check_date,
     check_icd10,
     check_id_field,
     check_if_number,
+    check_if_string,
     check_if_substr,
     check_in_list,
+    compare_total_to_live,
+    compare_viability,
+    get_missing_values,
 )
 from nci_seronet_proc_data_validator_spark.operators.joins import (
     icd10_flag_join,
@@ -253,16 +258,10 @@ def q_a2_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         CheckExpr(F.col("c_acctbal__num") > 9000, "balance too high", "Error"),
         CheckExpr(F.col("c_acctbal__num") < 500, "balance low", "Warning"),
     ]
-    cands = [F.when(ce.violation,
-                    F.struct(F.lit(ce.severity).alias("Message_Type"),
-                             F.col("seg").alias("CSV_Sheet_Name"),
-                             F.col("row_index").alias("Row_Index"),
-                             F.lit("c_acctbal").alias("Column_Name"),
-                             F.col("c_acctbal").alias("Column_Value"),
-                             ce.msg_col().alias("Error_Message")))
-             for ce in checks]
-    findings = (sheet.select(F.explode(F.array_compact(F.array(*cands)))
-                             .alias("_f")).select("_f.*"))
+    # Route through the real compiler path (sheet label is the per-row
+    # segment column) so the oracle proves the engine, not a re-implementation.
+    findings = compile_sheet_findings(
+        sheet, F.col("seg"), [ColumnRules("c_acctbal", checks)])
     return findings_summary(findings).orderBy("CSV_Sheet_Name")
 
 
@@ -403,6 +402,266 @@ UNION ALL
 SELECT c_custkey, c_mktsegment, 'B' AS slice FROM customer
 WHERE c_acctbal > 9500
 ORDER BY slice, c_custkey
+"""
+
+
+# ----------------------- §2.6 remaining checks (C4, C9–C12) + A6 + J4 -----
+def q_c4_string_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 ``check_if_string`` over a genuinely mixed-type column: every 3rd
+    value is a clean string, the rest coerce to number / date and flag."""
+    orders = read_table(spark, sf_dir, "orders")
+    mixed = (F.when(F.col("o_orderkey") % 3 == 1,
+                    F.col("o_custkey").cast("string"))
+             .when(F.col("o_orderkey") % 3 == 2,
+                   F.col("o_orderdate").cast("string"))
+             .otherwise(F.col("o_orderpriority")))
+    sheet = with_typed_shadows(
+        orders.select(F.col("o_orderkey").cast("long").alias("row_index"),
+                      mixed.alias("mixed_value")))
+    return _findings(sheet, "orders.csv", "mixed_value",
+                     check_if_string("mixed_value"))
+
+
+SQL_C4 = """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 1 THEN CAST(o_custkey AS VARCHAR)
+              WHEN o_orderkey % 3 = 2 THEN CAST(o_orderdate AS VARCHAR)
+              ELSE o_orderpriority END AS v
+  FROM orders)
+SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+       o_orderkey AS Row_Index, 'mixed_value' AS Column_Name,
+       v AS Column_Value,
+       'Value must be a string and NOT N/A' AS Error_Message
+FROM s
+WHERE (TRY_CAST(v AS DOUBLE) IS NOT NULL
+       OR (regexp_matches(v, '^[0-9]{1,4}[-/:]')
+           AND TRY_CAST(v AS TIMESTAMP) IS NOT NULL))
+  AND v <> '' AND NOT contains(v, '_')
+"""
+
+
+def q_c9_assay_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 ``assay_special``: broadcast left join against the valid-assay
+    reference (BUILDING customers); unresolved values flag."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    valid = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+             .select(F.col("c_custkey").cast("string").alias("resolved_key"))
+             .distinct())
+    sheet = with_typed_shadows(
+        orders.select(F.col("o_orderkey").cast("long").alias("row_index"),
+                      F.col("o_custkey").cast("string").alias("o_custkey")))
+    joined = sheet.join(F.broadcast(valid),
+                        sheet.o_custkey == valid.resolved_key, "left")
+    return _findings(joined, "orders.csv", "o_custkey",
+                     assay_special("o_custkey", "resolved_key", "o_custkey"))
+
+
+SQL_C9 = """
+SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+       o_orderkey AS Row_Index, 'o_custkey' AS Column_Name,
+       CAST(o_custkey AS VARCHAR) AS Column_Value,
+       'o_custkey is not found in the table of valid o_custkeys in databse or submitted file'
+         AS Error_Message
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_c10_live_le_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 ``compare_total_to_live``: Live_Cells > Total_Cells flags (column
+    pairing by name substitution)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    sheet = with_typed_shadows(li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long").alias("row_index"),
+        F.col("l_quantity").cast("long").cast("string")
+        .alias("Total_Cells_Count"),
+        F.col("l_linenumber").cast("string").alias("Live_Cells_Count")))
+    return _findings(sheet, "lineitem.csv", "Total_Cells_Count",
+                     compare_total_to_live("Total_Cells_Count"))
+
+
+SQL_C10 = """
+SELECT 'Error' AS Message_Type, 'lineitem.csv' AS CSV_Sheet_Name,
+       l_orderkey * 8 + l_linenumber AS Row_Index,
+       'Total_Cells_Count' AS Column_Name,
+       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS Column_Value,
+       'Live Cell Count must be less than Total Cell Count' AS Error_Message
+FROM lineitem
+WHERE CAST(l_linenumber AS DOUBLE) > CAST(l_quantity AS DOUBLE)
+"""
+
+
+def q_c11_viability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 ``compare_viability``: viability != round(live/total*100, 1).
+    Odd orderkeys carry a planted '.5' offset and flag; values are built
+    from integer casts so both engines print identical strings."""
+    li = read_table(spark, sf_dir, "lineitem")
+    viab = F.concat(
+        (F.col("l_linenumber") * 5).cast("string"),
+        F.when(F.col("l_orderkey") % 2 == 1, ".5").otherwise(""))
+    sheet = with_typed_shadows(li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long").alias("row_index"),
+        F.lit("20").alias("Total_Cells_Count"),
+        F.col("l_linenumber").cast("string").alias("Live_Cells_Count"),
+        viab.alias("Viability_Count")))
+    return _findings(sheet, "lineitem.csv", "Viability_Count",
+                     compare_viability("Viability_Count"))
+
+
+SQL_C11 = """
+WITH s AS (
+  SELECT l_orderkey * 8 + l_linenumber AS rk,
+         CAST(l_linenumber AS DOUBLE) AS live,
+         CAST(l_linenumber * 5 AS VARCHAR)
+           || CASE WHEN l_orderkey % 2 = 1 THEN '.5' ELSE '' END AS viab
+  FROM lineitem)
+SELECT 'Error' AS Message_Type, 'lineitem.csv' AS CSV_Sheet_Name,
+       rk AS Row_Index, 'Viability_Count' AS Column_Name,
+       viab AS Column_Value,
+       'Viability Count must be equal to (Live_Count / Total_Count) * 100'
+         AS Error_Message
+FROM s
+WHERE round(live / 20 * 100, 1) <> CAST(viab AS DOUBLE)
+"""
+
+
+def q_c12_missing_sars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 ``get_missing_values`` with the 'Yes: SARS-Positive' conditional:
+    blanks are Errors in the Positive cohort, Warnings in the Negative."""
+    orders = read_table(spark, sf_dir, "orders")
+    sars = (F.when(F.col("o_orderstatus") == "F", "Negative")
+            .otherwise("Positive"))
+    val = (F.when(F.col("o_orderkey") % 7 == 0, "")
+           .otherwise(F.col("o_orderpriority")))
+    sheet = with_typed_shadows(orders.select(
+        F.col("o_orderkey").cast("long").alias("row_index"),
+        sars.alias("SARS_CoV_2_PCR_Test_Result"),
+        val.alias("Symptom_Onset")))
+    return _findings(sheet, "orders.csv", "Symptom_Onset",
+                     get_missing_values("Symptom_Onset", "Yes: SARS-Positive"))
+
+
+SQL_C12 = """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'Negative'
+              ELSE 'Positive' END AS sars,
+         CASE WHEN o_orderkey % 7 = 0 THEN ''
+              ELSE o_orderpriority END AS v
+  FROM orders)
+SELECT CASE WHEN sars = 'Positive' THEN 'Error' ELSE 'Warning' END
+         AS Message_Type,
+       'orders.csv' AS CSV_Sheet_Name,
+       o_orderkey AS Row_Index, 'Symptom_Onset' AS Column_Name,
+       '' AS Column_Value,
+       CASE WHEN sars = 'Positive'
+            THEN 'This column is requred for Sars Positive Patients, missing values are not allowed.  Please recheck data'
+            ELSE 'Missing Values where found, this is a warning.  Please recheck data'
+         END AS Error_Message
+FROM s WHERE v = ''
+"""
+
+
+def q_a6_dedup_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ``dedup_findings``: exact duplicates collapse, but the same
+    finding on a DIFFERENT sheet survives (the keyed-per-sheet fix of
+    reference bug §2.9(5))."""
+    from nci_seronet_proc_data_validator_spark.errors import (
+        dedup_findings,
+        union_findings,
+    )
+    base = q_c1_in_list(spark, sf_dir)
+    other_sheet = base.withColumn("CSV_Sheet_Name", F.lit("orders_copy.csv"))
+    return dedup_findings(union_findings([base, other_sheet, base]))
+
+
+SQL_A6 = f"""
+WITH base AS ({SQL_C1})
+SELECT * FROM base
+UNION
+SELECT Message_Type, 'orders_copy.csv' AS CSV_Sheet_Name, Row_Index,
+       Column_Name, Column_Value, Error_Message
+FROM base
+"""
+
+
+def q_j4_bio_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5: biospecimen ⟗ aliquot/equipment/reagent/consumable spine with
+    presence indicators → the 4 per-table patterns (keep-first across
+    tables), exercising outer_join_spine + biospecimen_cross_findings."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        biospecimen_cross_findings,
+    )
+    part = read_table(spark, sf_dir, "part")
+    k = F.col("k")
+    ids = part.select(
+        F.concat(F.lit("14_"),
+                 F.lpad((F.col("p_partkey") % 1000000).cast("string"), 6, "0"),
+                 F.lit("_001")).alias("Biospecimen_ID"),
+        F.col("p_partkey").alias("k"))
+    bio = (ids.filter(k % 5 != 0)
+           .select("Biospecimen_ID",
+                   F.when(k % 3 == 0, "PBMC").otherwise("Serum")
+                   .alias("Biospecimen_Type")))
+    spine = outer_join_spine(
+        {"biospecimen.csv": bio,
+         "aliquot.csv": ids.filter(k % 2 == 0).select("Biospecimen_ID"),
+         "equipment.csv": ids.filter(k % 7 != 3).select("Biospecimen_ID"),
+         "reagent.csv": ids.select("Biospecimen_ID"),
+         "consumable.csv": ids.filter(k % 11 != 0).select("Biospecimen_ID")},
+        "Biospecimen_ID")
+    return (biospecimen_cross_findings(spine, "14")
+            .orderBy("Column_Value"))
+
+
+SQL_J4 = """
+WITH f AS (
+  SELECT '14_' || lpad(CAST(p_partkey % 1000000 AS VARCHAR), 6, '0') || '_001'
+           AS bid,
+         (p_partkey % 5 <> 0) AS in_bio,
+         (p_partkey % 2 = 0) AS in_al,
+         (p_partkey % 7 <> 3) AS in_eq,
+         TRUE AS in_re,
+         (p_partkey % 11 <> 0) AS in_co,
+         (p_partkey % 5 <> 0 AND p_partkey % 3 = 0) AS pbmc
+  FROM part),
+m AS (
+  SELECT bid, CASE
+    WHEN in_al AND NOT in_bio
+      THEN 'ID is found in Aliquot.csv, however ID is missing from Biospecimen.csv'
+    WHEN in_bio AND NOT in_al
+      THEN 'ID is found in Biospecimen.csv, however is missing from Aliquot.csv'
+    WHEN in_eq AND NOT in_bio
+      THEN 'ID is found in Equipment.csv, however ID is missing from Biospecimen.csv'
+    WHEN in_eq AND in_bio AND NOT pbmc
+      THEN 'ID is found in Equipment.csv, and ID is found in Biospecimen.csv however has Biospecimen_Type NOT PBMC'
+    WHEN NOT in_eq AND in_bio AND pbmc
+      THEN 'ID is found in Biospecimen.csv and has Biospecimen_Type of PBMC, however ID is missing from Equipment.csv'
+    WHEN in_re AND NOT in_bio
+      THEN 'ID is found in Reagent.csv, however ID is missing from Biospecimen.csv'
+    WHEN in_re AND in_bio AND NOT pbmc
+      THEN 'ID is found in Reagent.csv, and ID is found in Biospecimen.csv however has Biospecimen_Type NOT PBMC'
+    WHEN NOT in_re AND in_bio AND pbmc
+      THEN 'ID is found in Biospecimen.csv and has Biospecimen_Type of PBMC, however ID is missing from Reagent.csv'
+    WHEN in_co AND NOT in_bio
+      THEN 'ID is found in Consumable.csv, however ID is missing from Biospecimen.csv'
+    WHEN in_co AND in_bio AND NOT pbmc
+      THEN 'ID is found in Consumable.csv, and ID is found in Biospecimen.csv however has Biospecimen_Type NOT PBMC'
+    WHEN NOT in_co AND in_bio AND pbmc
+      THEN 'ID is found in Biospecimen.csv and has Biospecimen_Type of PBMC, however ID is missing from Consumable.csv'
+    END AS msg
+  FROM f
+  WHERE NOT (in_bio AND in_al AND in_eq AND in_re AND in_co))
+SELECT 'Error' AS Message_Type, 'Cross_Biospecimen_ID.csv' AS CSV_Sheet_Name,
+       CAST(-10 AS BIGINT) AS Row_Index, 'Biospecimen_ID' AS Column_Name,
+       bid AS Column_Value, msg AS Error_Message
+FROM m WHERE msg IS NOT NULL
+ORDER BY Column_Value
 """
 
 
@@ -775,7 +1034,14 @@ QUERIES = {
     "c6_dup_ids": (q_c6_dup_ids, SQL_C6),
     "c7_substr": (q_c7_substr, SQL_C7),
     "c8_dict_lookup": (q_c8_dict_lookup, SQL_C8),
+    "c4_string_check": (q_c4_string_check, SQL_C4),
+    "c9_assay_resolution": (q_c9_assay_resolution, SQL_C9),
+    "c10_live_le_total": (q_c10_live_le_total, SQL_C10),
+    "c11_viability": (q_c11_viability, SQL_C11),
+    "c12_missing_sars": (q_c12_missing_sars, SQL_C12),
     "a2_crosstab": (q_a2_crosstab, SQL_A2),
+    "a6_dedup_findings": (q_a6_dedup_findings, SQL_A6),
+    "j4_bio_spine": (q_j4_bio_spine, SQL_J4),
     "a4_count_reconcile": (q_a4_count_reconcile, SQL_A4),
     "j1_enrich_revenue": (q_j1_enrich_revenue, SQL_J1),
     "j3_presence_patterns": (q_j3_presence_patterns, SQL_J3),

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.errors import (
@@ -44,10 +44,13 @@ class ColumnRules:
     rule_found: bool = True
 
 
-def compile_sheet_findings(df: DataFrame, sheet_name: str,
+def compile_sheet_findings(df: DataFrame, sheet_name: str | Column,
                            column_rules: list[ColumnRules],
                            row_index_col: str = ROW_INDEX_COL) -> DataFrame:
-    """Evaluate every bound rule of a sheet in one projection."""
+    """Evaluate every bound rule of a sheet in one projection.
+
+    ``sheet_name`` may be a per-row Column (e.g. a partition label) —
+    ``finding_struct`` accepts either."""
     row_idx = F.col(row_index_col)
     candidates = []
     for cr in column_rules:
