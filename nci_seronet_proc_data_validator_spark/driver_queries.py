@@ -809,6 +809,54 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ).orderBy("doc_id")
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 4 x 16-bit chunk buckets (pigeonhole),
+    bucket self-join, hamming verify — one shuffle on (chunk_id, chunk)."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        simhash_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted count on a low-cardinality (hot) key — result must
+    equal the plain groupBy the oracle runs."""
+    from nci_seronet_proc_data_validator_spark.operators.skew import (
+        salted_count)
+    li = read_table(spark, sf_dir, "lineitem")
+    return salted_count(li, "l_returnflag").orderBy("l_returnflag")
+
+
+SQL_SKEW_AGG = """
+SELECT l_returnflag, count(*) AS count
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated join (hot big side x n_salts-replicated small side)
+    — must equal the plain inner join the oracle runs."""
+    from nci_seronet_proc_data_validator_spark.operators.skew import (
+        salted_broadcast_join)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = (read_table(spark, sf_dir, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"))
+    j = salted_broadcast_join(orders, cust, "o_custkey", n_salts=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("total_price"))
+            .orderBy("c_mktsegment"))
+
+
+SQL_SKEW_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         embedding_near_dup_pairs)
@@ -1082,12 +1130,16 @@ def _register_dedup_queries() -> None:
         minhash_lsh_pairs_oracle_sql,
         minhash_oracle_sql,
         simhash_oracle_sql,
+        simhash_pairs_oracle_sql,
     )
     QUERIES.update({
         "minhash_signatures": (q_minhash_signatures, minhash_oracle_sql()),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs,
                               minhash_lsh_pairs_oracle_sql()),
         "simhash_signatures": (q_simhash_signatures, simhash_oracle_sql()),
+        "simhash_pairs": (q_simhash_pairs, simhash_pairs_oracle_sql()),
+        "skew_salted_agg": (q_skew_salted_agg, SQL_SKEW_AGG),
+        "skew_salted_join": (q_skew_salted_join, SQL_SKEW_JOIN),
         "embedding_near_dup": (q_embedding_near_dup,
                                embedding_near_dup_oracle_sql(min_cosine=0.35)),
     })

@@ -313,6 +313,51 @@ ORDER BY d.doc_id
 """
 
 
+def simhash_pairs_oracle_sql(max_hamming: int = 8) -> str:
+    """DuckDB SQL for the full SimHash near-dup pipeline: 64-bit simhash →
+    4 x 16-bit chunk buckets → candidate pairs → hamming verify. Constants
+    identical to ``simhash_pairs``; ``>> n & 65535`` extracts the same 16
+    bits whether the engine's shift sign-extends or not."""
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h{1 if i < 32 else 2} >> {i % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(64))
+    low_terms = " + ".join(
+        f"(CASE WHEN coalesce(c{i}, 0) > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE 0 END)" for i in range(63))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+  FROM toks),
+counters AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM hashed GROUP BY doc_id),
+sig AS (
+  SELECT d.doc_id,
+         CAST({low_terms} AS BIGINT)
+         | (CASE WHEN coalesce(c63, 0) > 0
+                 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE 0 END) AS sh64
+  FROM documents d LEFT JOIN counters USING (doc_id)),
+chunks AS (
+  SELECT doc_id, sh64, c.chunk_id,
+         (sh64 >> (16 * c.chunk_id)) & 65535 AS chunk
+  FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS c(chunk_id))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh64, b.sh64)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh64, b.sh64)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 # -------------------------------------------------- embedding near-dup LSH
 def _hyperplane_coeffs(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG, zero-mean)."""
