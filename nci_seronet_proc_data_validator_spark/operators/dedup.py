@@ -68,14 +68,24 @@ def shingle_hashes(shingles_col: Column) -> Column:
 
 def minhash_signature(hashes_col: Column, k: int = DEFAULT_K) -> Column:
     """k-permutation MinHash signature; null-free, MAX sentinel for empty
-    docs so signatures never collide with real hashes."""
-    sigs = []
-    for a, b in _lcg_coeffs(k):
-        permuted = F.transform(
-            hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
-        sigs.append(F.coalesce(F.array_min(permuted),
-                               F.lit(MINHASH_PRIME).cast("long")))
-    return F.array(*sigs)
+    docs so signatures never collide with real hashes.
+
+    Single pass over the shingle array: fold each hash into a running
+    k-vector of minima against a constant (a, b) coefficient array —
+    O(k*|sh|) arithmetic like the naive form, but ONE traversal and one
+    small expression tree instead of k independent transform+array_min
+    branches (VERDICT r1 perf note #8)."""
+    coeffs = F.array(*[
+        F.struct(F.lit(a).cast("long").alias("a"),
+                 F.lit(b).cast("long").alias("b"))
+        for a, b in _lcg_coeffs(k)])
+    init = F.expr(f"array_repeat({MINHASH_PRIME}L, {k})")
+    return F.aggregate(
+        hashes_col, init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs,
+            lambda m, c: F.least(m, (c["a"] * h + c["b"])
+                                 % F.lit(MINHASH_PRIME))))
 
 
 def lsh_band_table(df: DataFrame, id_col: str, sig_col: str,
