@@ -33,12 +33,28 @@ def test_error_report_sink(spark, tmp_path):
 def test_job_status_and_notification(spark):
     from nci_seronet_proc_data_validator_spark.sinks.reports import (
         build_notification_payload, job_status_rows, write_job_status_jdbc)
-    status = job_status_rows(_findings(spark), "sub-1", "2026-08-13 00:00:00")
+    status = job_status_rows(_findings(spark), "sub-1", "2026-08-13 00:00:00",
+                             sheet_names=["demographic.csv",
+                                          "biospecimen.csv", "aliquot.csv"])
     rows = {r["file_name"]: r for r in status.collect()}
-    assert rows["demographic.csv"]["file_validation_status"] == \
-        "FILE_Validation_Failure"
+    # reference vocabulary (File_Submission_Object.py:458-479)
+    assert rows["demographic.csv"]["data_validation_status"] == \
+        "FILE_PROCESSED_ERRORS_FOUND"
     assert rows["demographic.csv"]["n_errors"] == 1
     assert rows["demographic.csv"]["n_warnings"] == 1
+    # clean sheet still gets a SUCCESS row (Data_Object_Table iteration)
+    assert rows["aliquot.csv"]["data_validation_status"] == \
+        "FILE_PROCESSED_SUCCESS"
+    assert all(r["batch_validation_status"] == "FILE_VALIDATION_FAILURE"
+               for r in rows.values())
+    # warnings-only submission → WARNINGS_FOUND file + WARNINGS batch
+    warn_only = _findings(spark).filter("Message_Type = 'Warning'")
+    wrows = {r["file_name"]: r for r in
+             job_status_rows(warn_only, "sub-1", "d").collect()}
+    assert wrows["demographic.csv"]["data_validation_status"] == \
+        "FILE_PROCESSED_WARNINGS_FOUND"
+    assert wrows["demographic.csv"]["batch_validation_status"] == \
+        "FILE_VALIDATION_SUCCESS_WARNINGS"
     # gated JDBC write is a no-op without a URL
     assert write_job_status_jdbc(status, None, "t") is False
 
@@ -48,6 +64,47 @@ def test_job_status_and_notification(spark):
         "sub-1.zip", "lab14")
     text = payload["blocks"][0]["text"]["text"]
     assert "FAILED" in text and "demographic.csv" in text
+
+
+def _sqlite_factory(path):
+    def _connect():
+        import sqlite3
+        return sqlite3.connect(path, timeout=30)
+    return _connect
+
+
+def test_job_status_upsert_idempotent(spark, tmp_path):
+    """S11 upsert: revalidating the same submission updates the existing
+    job row per file instead of appending a duplicate."""
+    import sqlite3
+
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        job_status_rows, upsert_job_status)
+    db = str(tmp_path / "jobs.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE table_data_validator ("
+        "orig_file_id TEXT, file_name TEXT, data_validation_status TEXT, "
+        "batch_validation_status TEXT, n_errors INTEGER, n_warnings INTEGER, "
+        "data_validation_date TEXT)")
+    conn.commit()
+    conn.close()
+
+    factory = _sqlite_factory(db)
+    upsert_job_status(
+        job_status_rows(_findings(spark), "sub-1", "day1"), factory)
+    upsert_job_status(
+        job_status_rows(_findings(spark), "sub-1", "day2"), factory)
+
+    conn = sqlite3.connect(db)
+    got = conn.execute(
+        "SELECT file_name, data_validation_date, count(*) "
+        "FROM table_data_validator GROUP BY file_name, data_validation_date"
+    ).fetchall()
+    conn.close()
+    # one row per file, carrying the SECOND run's date (updated, not dup'd)
+    assert sorted(got) == [("biospecimen.csv", "day2", 1),
+                           ("demographic.csv", "day2", 1)]
 
 
 def test_read_any_suffix_and_mixed(spark, tmp_path):
