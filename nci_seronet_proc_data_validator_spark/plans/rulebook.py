@@ -23,8 +23,11 @@ provably False) is implemented the way it was evidently intended: on
 Additional dead branch implemented as intended: the reference's
 ``Storage_Start/End_Time_at_2_8_Initials`` rules (Validation_Rules.py:183-185)
 are unreachable — those names match the earlier ``'Initials'`` substring
-branch (:172) first. We dispatch them to the dependency-scoped rules the
-rulebook clearly intended (excluding ``Storage*`` from the substring branch).
+branch (:172) first. With ``fix_reference_bugs=True`` (default) we dispatch
+them to the dependency-scoped rules the rulebook clearly intended
+(excluding ``Storage*`` from the substring branch); with ``False`` they hit
+the substring branch's unconditional ``check_if_string``, reproducing the
+reference exactly.
 """
 
 from __future__ import annotations
@@ -168,7 +171,8 @@ def bind_sheet_rules(sheet: str, columns: list[str], cbc_id: str,
 
         # ---- per-sheet dispatch
         sheet_checks, sheet_required, matched = _sheet_rules(
-            sheet, col, min_date, max_date, far_future, out)
+            sheet, col, min_date, max_date, far_future, out,
+            fix_reference_bugs)
         checks += sheet_checks
         if matched:
             required = sheet_required
@@ -197,14 +201,15 @@ def bind_sheet_rules(sheet: str, columns: list[str], cbc_id: str,
 
 
 def _sheet_rules(sheet: str, col: str, min_date, max_date, far_future,
-                 out: BoundSheet):
+                 out: BoundSheet, fix_reference_bugs: bool = True):
     """Returns (checks, required_column, matched) for the sheet dispatch."""
     if sheet == "prior_clinical_test.csv":
         return _prior_clinical(col, min_date, max_date)
     if sheet == "demographic.csv":
         return _demographic(col, min_date, max_date, out)
     if sheet == "biospecimen.csv":
-        return _biospecimen(col, min_date, max_date, far_future)
+        return _biospecimen(col, min_date, max_date, far_future,
+                            fix_reference_bugs)
     if sheet in ("aliquot.csv", "equipment.csv", "reagent.csv",
                  "consumable.csv"):
         return _processing(col, max_date, far_future)
@@ -308,7 +313,8 @@ def _demographic(col, min_date, max_date, out: BoundSheet):
     return [], req, False
 
 
-def _biospecimen(col, min_date, max_date, far_future):
+def _biospecimen(col, min_date, max_date, far_future,
+                 fix_reference_bugs: bool = True):
     """Validation_Rules.py:161-197."""
     req = "Yes"
     if col == "Biospecimen_Group":
@@ -321,7 +327,12 @@ def _biospecimen(col, min_date, max_date, far_future):
         return check_if_number(col, 0, 1e9, True, "float"), req, True
     if col == 'Collection_Tube_Type_Expiration_Date':
         return (check_date(col, max_date, far_future, False, "Date"), "No", True)
-    if ('Company_Clinic' in col) or ('Initials' in col and 'Storage' not in col) \
+    # With the bug-fix flag off, Storage_*_Initials match this substring
+    # branch first (reference Validation_Rules.py:172 shadows :183-185);
+    # with it on, they fall through to the dependency-scoped rules below.
+    if ('Company_Clinic' in col) \
+            or ('Initials' in col
+                and (not fix_reference_bugs or 'Storage' not in col)) \
             or ('Collection_Tube_Type' in col):
         req = "No" if col == 'Collection_Tube_Type_Lot_Number' else "Yes"
         return check_if_string(col, False), req, True

@@ -104,24 +104,32 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
     return with_row_index(df, offset=offset)
 
 
-def cleanup_sheet(df: DataFrame) -> DataFrame:
+def cleanup_sheet(df: DataFrame,
+                  fix_reference_bugs: bool = True) -> DataFrame:
     """Reference ``cleanup_table`` (File_Submission_Object.py:43-45):
     drop rows where every (data) cell is blank, and drop unnamed columns.
 
-    P2: ``dropna(how='all')`` with ''-as-missing → filter on "any col
-    non-blank". P3: pandas auto-names headerless columns ``Unnamed: N``;
-    Spark uses ``_cN`` — drop both shapes.
+    P2: the reference's ``dropna(how='all')`` is actually a NO-OP under
+    ``na_filter=False`` (blank cells are ``''``, never NaN), so it keeps
+    all-blank rows — e.g. Excel-exported trailing ``,,,`` lines — and then
+    emits a missing-value finding for every column of them. We treat
+    dropping them as the call's evident intent (reference bug, SURVEY.md
+    §2.9(8)); pass ``fix_reference_bugs=False`` to keep the rows and
+    reproduce the observed reference findings. P3: pandas auto-names
+    headerless columns ``Unnamed: N``; Spark uses ``_cN`` — drop both
+    shapes.
     """
     keep = [c for c in df.columns
             if c != ROW_INDEX_COL
             and not c.startswith("Unnamed")
             and not (c.startswith("_c") and c[2:].isdigit())]
-    data_cols = [c for c in keep if c != ROW_INDEX_COL]
+    out = df.select(*keep, ROW_INDEX_COL)
+    if not fix_reference_bugs:
+        return out
     any_filled = None
-    for c in data_cols:
+    for c in keep:
         pred = F.col(c) != F.lit("")
         any_filled = pred if any_filled is None else (any_filled | pred)
-    out = df.select(*keep, ROW_INDEX_COL)
     if any_filled is not None:
         out = out.filter(any_filled)
     return out

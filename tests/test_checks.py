@@ -209,3 +209,39 @@ def test_icd10_dot_normalization(spark):
                      check_icd10("Other_Comorbidity", "ok"))])
     bad = {r["Row_Index"] for r in out.collect()}
     assert bad == {4}  # only NOTACODE flags; dotted + dotless both valid
+
+
+def test_fix_reference_bugs_flag_surfaces(spark):
+    """fix_reference_bugs=False must reproduce the reference exactly:
+    Storage_*_Initials hit the unconditional 'Initials' substring branch,
+    and all-blank ingest rows are kept (dropna is a no-op under
+    na_filter=False)."""
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        cleanup_sheet,
+        read_sheet_csv,
+    )
+    cols = ["Research_Participant_ID", "Storage_Time_at_2_8",
+            "Storage_Start_Time_at_2_8_Initials"]
+    fixed = bind_sheet_rules("biospecimen.csv", cols, "14")
+    asis = bind_sheet_rules("biospecimen.csv", cols, "14",
+                            fix_reference_bugs=False)
+
+    def msgs(bound):
+        cr = {c.column: c for c in bound.column_rules}
+        return [ce.message for ce
+                in cr["Storage_Start_Time_at_2_8_Initials"].checks
+                if isinstance(ce.message, str)]
+
+    # fixed: dependency-scoped messages; as-is: one unconditional string rule
+    assert any("Storage_Time_at_2_8 is a Number" in m for m in msgs(fixed))
+    assert "Value must be a string and NOT N/A" in msgs(asis)
+    assert not any("is a Number" in m for m in msgs(asis))
+
+    # blank-row gate (SURVEY §2.9(8))
+    import pathlib
+    p = pathlib.Path("/tmp/blankrows.csv")
+    p.write_text("a,b\nx,1\n,\ny,2\n")
+    df = read_sheet_csv(spark, str(p))
+    assert cleanup_sheet(df).count() == 2
+    kept = cleanup_sheet(df, fix_reference_bugs=False)
+    assert kept.count() == 3   # the ',,' line survives, as in the reference
