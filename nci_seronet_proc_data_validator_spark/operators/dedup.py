@@ -41,6 +41,22 @@ def _lcg_coeffs(k: int) -> list[tuple[int, int]]:
     return out
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's parallelism when the input scan has
+    fewer partitions than cores.
+
+    Local/test parquet is often a single file with one row group → the
+    compute-heavy signature stages run as ONE task on a 32-core machine.
+    The narrow repartition of raw text is trivially cheap at that size. On
+    a real cluster the input is already split into ≥cores partitions, the
+    condition is false, and this is a no-op — no shuffle added at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), F.lit(0))
@@ -118,7 +134,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     self-join restricted to buckets, one (broadcastable) join back to
     shingle sets for verification. Returns (id_a, id_b, jaccard).
     """
-    base = docs.select(
+    base = spread_small_input(docs).select(
         F.col(id_col),
         shingle_hashes(shingles(tokens(text_col), n)).alias("sh"))
     base = base.withColumn("sig", minhash_signature(F.col("sh"), k))
@@ -270,8 +286,8 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     chunks (pigeonhole: hamming ≤ 3 guarantees a shared chunk; wider
     distances are caught probabilistically), bucket-join, verify hamming.
     """
-    base = docs.select(F.col(id_col),
-                       simhash64(tokens(text_col)).alias("sh64")).persist()
+    base = spread_small_input(docs).select(
+        F.col(id_col), simhash64(tokens(text_col)).alias("sh64")).persist()
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),
                  F.shiftright(F.col("sh64"), 16 * c)
@@ -412,10 +428,10 @@ def embedding_near_dup_pairs(emb: DataFrame, id_col: str = "vec_id",
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0), lambda a, x: a + x))
 
-    base = emb.select(F.col(id_col), F.col(vec_col).alias("v"),
-                      embedding_bucket(F.col(vec_col), dim, n_planes)
-                      .alias("bucket"),
-                      norm(F.col(vec_col)).alias("nrm")).persist()
+    base = spread_small_input(emb).select(
+        F.col(id_col), F.col(vec_col).alias("v"),
+        embedding_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("nrm")).persist()
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"),

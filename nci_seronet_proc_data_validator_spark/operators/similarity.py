@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nci_seronet_proc_data_validator_spark.operators.dedup import (
+    spread_small_input,
+)
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -38,9 +42,10 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 10,
                      qid_col: str = "query_id", qvec_col: str = "qe"
                      ) -> DataFrame:
     """Exact cosine top-k for each query vector (queries broadcast)."""
-    c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("ne"),
-                   _norm(F.col(vec_col)).alias("n_nrm"))
+    c = spread_small_input(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ne"),
+        _norm(F.col(vec_col)).alias("n_nrm"))
     q = queries.select(F.col(qid_col).alias("query_id"),
                        F.col(qvec_col).alias("qe"),
                        _norm(F.col(qvec_col)).alias("q_nrm"))
@@ -70,7 +75,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
         / (_norm(F.col(vec_col)) * _norm(F.col(cvec_col)))
     w = Window.partitionBy(id_col).orderBy(
         F.round(F.col("_csim"), 12).desc(), F.col(cid_col))
-    return (emb.crossJoin(F.broadcast(centroids))
+    return (spread_small_input(emb).crossJoin(F.broadcast(centroids))
             .withColumn("_csim", sim)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -42,6 +42,12 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # The default 100-entry codegen class cache thrashes when a
+        # workload cycles through many distinct large plans (measured: the
+        # minhash signature expression re-compiles for ~5s once 12 other
+        # queries ran in between). Static conf — takes effect only on
+        # fresh JVMs, harmless otherwise.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

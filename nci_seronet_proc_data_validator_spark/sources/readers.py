@@ -135,6 +135,30 @@ def cleanup_sheet(df: DataFrame,
     return out
 
 
+def read_xlsx(spark: SparkSession, paths: list[str]) -> DataFrame | None:
+    """S2 xlsx read. The reference asserts on ``.xlsx`` keys and then has
+    no read path (``s3.py:130-137``) — i.e. it crashes; we implement the
+    evident intent, gated on openpyxl like the xlsx writer.
+
+    Driver-side pandas read by design: submission xlsx sheets are
+    file-per-sheet and driver-scale (the reference loaded them into pandas
+    wholesale); at data scale you'd convert to parquet upstream, not scan
+    xlsx from executors. Cells ingest as strings with '' for blanks
+    (``na_filter=False`` semantics, S4). Returns None when openpyxl is
+    absent (this container) — callers treat the group as unreadable.
+    """
+    try:
+        import openpyxl  # noqa: F401  (gate; env may not ship it)
+    except ImportError:
+        return None
+    import pandas as pd
+
+    frames = [pd.read_excel(p, dtype=str).fillna("") for p in paths]
+    pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
+        else frames[0]
+    return spark.createDataFrame(pdf.astype(str))
+
+
 def read_any(spark: SparkSession, paths: str | list[str],
              fmt: str = "suffix", **options) -> DataFrame | None:
     """S2/S3 ``get_df``/``get_df_from_keys`` (s3.py:116-179): read one or
@@ -144,17 +168,19 @@ def read_any(spark: SparkSession, paths: str | list[str],
       read (Spark unions splits natively — parallel, unlike the
       reference's sequential read-and-concat loop);
     - ``fmt='suffix'`` — dispatch per extension, ``unionByName`` across
-      format groups (allowMissingColumns);
-    - ``fmt='mixed'`` — try csv, then parquet, then json in turn
-      (reference tried csv/parquet/xlsx, s3.py:164-172; xlsx is a
-      driver-side pandas concern, out of engine scope);
+      format groups (allowMissingColumns); ``.xlsx``/``.xls`` route via
+      the gated ``read_xlsx``;
+    - ``fmt='mixed'`` — try csv, then parquet, then json, then xlsx in
+      turn (reference tried csv/parquet/xlsx, s3.py:164-172);
     - returns ``None`` when nothing matched (reference behavior).
     """
     paths = [paths] if isinstance(paths, str) else list(paths)
     if not paths:
         return None
 
-    def _read(f: str, ps: list[str]) -> DataFrame:
+    def _read(f: str, ps: list[str]) -> DataFrame | None:
+        if f == "xlsx":
+            return read_xlsx(spark, ps)
         r = spark.read.options(**options)
         if f == "csv":
             r = r.option("header", "true")
@@ -167,10 +193,12 @@ def read_any(spark: SparkSession, paths: str | list[str],
         for p in paths:
             ext = p.rsplit(".", 1)[-1].lower()
             f = {"csv": "csv", "parquet": "parquet", "pq": "parquet",
-                 "json": "json", "orc": "orc"}.get(ext)
+                 "json": "json", "orc": "orc",
+                 "xlsx": "xlsx", "xls": "xlsx"}.get(ext)
             if f:
                 groups.setdefault(f, []).append(p)
-        dfs = [_read(f, ps) for f, ps in sorted(groups.items())]
+        dfs = [d for f, ps in sorted(groups.items())
+               if (d := _read(f, ps)) is not None]
         if not dfs:
             return None
         out = dfs[0]
@@ -178,9 +206,11 @@ def read_any(spark: SparkSession, paths: str | list[str],
             out = out.unionByName(d, allowMissingColumns=True)
         return out
     if fmt == "mixed":
-        for f in ("csv", "parquet", "json"):
+        for f in ("csv", "parquet", "json", "xlsx"):
             try:
                 df = _read(f, paths)
+                if df is None:
+                    continue
                 df.schema  # force plan analysis to validate the format
                 return df
             except Exception:

@@ -197,3 +197,33 @@ def test_local_artifact_writer(spark, tmp_path):
         write_local_artifact(df, str(tmp_path / "x"), "csv", max_rows=1)
     with _pytest.raises((NotImplementedError, Exception)):
         write_local_artifact(df, str(tmp_path / "f.xlsx"), "xlsx")
+
+
+def test_read_xlsx_gated(spark, tmp_path):
+    """Without openpyxl the xlsx read path degrades cleanly: the xlsx
+    group is treated as unreadable (None), other groups still load."""
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_any,
+        read_xlsx,
+    )
+    try:
+        import openpyxl  # noqa: F401
+        have_openpyxl = True
+    except ImportError:
+        have_openpyxl = False
+
+    fake = tmp_path / "sheet.xlsx"
+    fake.write_bytes(b"not really an xlsx")
+    if not have_openpyxl:
+        assert read_xlsx(spark, [str(fake)]) is None
+        assert read_any(spark, [str(fake)], fmt="suffix") is None
+        csv = tmp_path / "a.csv"
+        csv.write_text("x,y\n1,foo\n")
+        mixed = read_any(spark, [str(csv), str(fake)], fmt="suffix")
+        assert mixed is not None and mixed.count() == 1
+    else:  # real env with openpyxl: a real workbook round-trips
+        import pandas as pd
+        pd.DataFrame({"x": ["1"], "y": ["foo"]}).to_excel(
+            str(fake), index=False)
+        out = read_xlsx(spark, [str(fake)])
+        assert out is not None and out.count() == 1
