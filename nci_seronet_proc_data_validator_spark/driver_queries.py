@@ -818,6 +818,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=8).orderBy("id_a", "id_b")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filtered n-gram Jaccard join vs the oracle's brute
+    force — losslessness at the threshold is the contract."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, min_jaccard=0.05).orderBy("id_a", "id_b")
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted count on a low-cardinality (hot) key — result must
     equal the plain groupBy the oracle runs."""
@@ -1129,10 +1138,12 @@ def _register_dedup_queries() -> None:
         embedding_near_dup_oracle_sql,
         minhash_lsh_pairs_oracle_sql,
         minhash_oracle_sql,
+        ngram_jaccard_oracle_sql,
         simhash_oracle_sql,
         simhash_pairs_oracle_sql,
     )
     QUERIES.update({
+        "ngram_jaccard_pairs": (q_ngram_jaccard, ngram_jaccard_oracle_sql()),
         "minhash_signatures": (q_minhash_signatures, minhash_oracle_sql()),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs,
                               minhash_lsh_pairs_oracle_sql()),

@@ -339,6 +339,87 @@ ORDER BY d.doc_id
 """
 
 
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        min_jaccard: float = 0.05) -> DataFrame:
+    """Exact n-gram Jaccard near-dup join via prefix filtering (AllPairs/
+    PPJoin) — the LOSSLESS alternative to MinHash LSH.
+
+    Under any fixed global order of shingles (we use ascending hash), two
+    sets with Jaccard ≥ t must share at least one element within each
+    other's first ``|S| - ceil(t*|S|) + 1`` elements, so candidates =
+    pairs sharing a prefix token; every candidate is then verified with
+    the exact intersection-over-union. Unlike LSH banding there are no
+    false negatives at the threshold.
+
+    Scale shape: one shuffle on prefix tokens (the inverted index), one
+    bucket-local self-join, verification joins back to the persisted
+    shingle sets. A boilerplate shingle shared by many docs makes a hot
+    bucket — production deployments order the global permutation by
+    ascending document frequency (smallest buckets first in every
+    prefix), which this operator accepts by pre-sorting ``sh``; AQE skew
+    splitting covers the rest.
+    """
+    base = spread_small_input(docs).select(
+        F.col(id_col),
+        F.array_sort(
+            shingle_hashes(shingles(tokens(text_col), n))).alias("sh"))
+    base = base.withColumn("sz", F.size("sh")).persist()
+
+    plen = (F.col("sz") - F.ceil(F.lit(min_jaccard) * F.col("sz")) + 1) \
+        .cast("int")
+    pref = base.select(F.col(id_col),
+                       F.explode(F.slice(F.col("sh"), F.lit(1), plen))
+                       .alias("tok"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, "tok")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+    sh = base.select(F.col(id_col), F.col("sh"))
+    out = (cand
+           .join(sh.select(F.col(id_col).alias("id_a"),
+                           F.col("sh").alias("sh_a")), "id_a")
+           .join(sh.select(F.col(id_col).alias("id_b"),
+                           F.col("sh").alias("sh_b")), "id_b")
+           .select(
+               "id_a", "id_b",
+               (F.size(F.array_intersect("sh_a", "sh_b")) /
+                F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+                ).alias("jaccard")))
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def ngram_jaccard_oracle_sql(n: int = 3, min_jaccard: float = 0.05) -> str:
+    """Brute-force all-pairs Jaccard in DuckDB — feasible at oracle scale,
+    and exactly what the prefix-filtered join must reproduce (losslessness
+    is the operator's contract, so the oracle needs no prefix logic)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {n}
+           THEN list_transform(generate_series(1, len(t) - {n - 1}),
+                i -> CAST(concat('0x', substr(md5(
+                       concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8))
+                     AS BIGINT))
+           ELSE [] END) AS sh
+  FROM toks)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)),
+                      1) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= {min_jaccard}
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_pairs_oracle_sql(max_hamming: int = 8) -> str:
     """DuckDB SQL for the full SimHash near-dup pipeline: 64-bit simhash →
     4 x 16-bit chunk buckets → candidate pairs → hamming verify. Constants

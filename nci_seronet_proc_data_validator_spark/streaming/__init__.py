@@ -1,6 +1,7 @@
 from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+    dedup_stream,
     hourly_rollup_stream,
     validate_stream,
 )
 
-__all__ = ["validate_stream", "hourly_rollup_stream"]
+__all__ = ["validate_stream", "hourly_rollup_stream", "dedup_stream"]

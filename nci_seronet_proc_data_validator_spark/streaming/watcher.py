@@ -85,3 +85,21 @@ def hourly_rollup_stream(events: DataFrame,
                  .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("hour"), "event_type", "n",
                     "total_value"))
+
+
+def dedup_stream(docs: DataFrame, ts_col: str = "ts",
+                 text_col: str = "text",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of the same content hash
+    within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state on the content hash and
+    evicts entries once the watermark passes — bounded state (horizon x
+    distinct-hash arrival rate), the property a 100 TB ingest stream needs;
+    an unbounded ``dropDuplicates`` would grow state forever. The batch
+    twin is the exact-dedup groupBy (``q_dedup_exact``).
+    """
+    return (docs
+            .withWatermark(ts_col, watermark)
+            .withColumn("content_hash", F.md5(F.col(text_col)))
+            .dropDuplicatesWithinWatermark(["content_hash"]))

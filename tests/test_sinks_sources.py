@@ -227,3 +227,25 @@ def test_read_xlsx_gated(spark, tmp_path):
             str(fake), index=False)
         out = read_xlsx(spark, [str(fake)])
         assert out is not None and out.count() == 1
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on content hash: re-arrivals of
+    the same text within the horizon are dropped, distinct texts survive."""
+    from nci_seronet_proc_data_validator_spark.streaming import dedup_stream
+    src = str(tmp_path / "docs_src")
+    rows = [("2024-01-01 10:00:00", 1, "alpha beta"),
+            ("2024-01-01 10:01:00", 2, "alpha beta"),   # dup content
+            ("2024-01-01 10:02:00", 3, "gamma delta"),
+            ("2024-01-01 10:03:00", 4, "alpha beta")]   # dup content
+    (spark.createDataFrame(rows, "ts_s string, doc_id long, text string")
+     .selectExpr("cast(ts_s as timestamp) as ts", "doc_id", "text")
+     .write.parquet(src))
+    stream = (spark.readStream
+              .schema("ts timestamp, doc_id long, text string").parquet(src))
+    q = (dedup_stream(stream).writeStream.outputMode("append")
+         .format("memory").queryName("dedup_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT text FROM dedup_out").collect()
+    assert sorted(r["text"] for r in out) == ["alpha beta", "gamma delta"]
