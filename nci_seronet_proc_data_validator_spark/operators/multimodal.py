@@ -91,6 +91,71 @@ def decode_image_features(df: DataFrame,
         extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, payload binary, out_w int, out_h int, resized boolean"
+)
+
+
+def resize_images(df: DataFrame, max_dim: int = 256,
+                  payload_col: str = "payload",
+                  id_col: str = "media_id") -> DataFrame:
+    """Image resize plumbing: aspect-preserving target dims from metadata,
+    payload transformed batch-by-batch in ``mapInPandas``.
+
+    Target geometry is pure column algebra (prunable, no bytes touched);
+    only rows that actually need shrinking enter the Python stage — the
+    filter happens BEFORE the Arrow exchange, so at scale the expensive
+    path sees just the oversized images. The pixel transform itself is the
+    ``_decode_real`` plug point; the stub passes bytes through unchanged.
+    """
+    w, h = F.col("meta_width"), F.col("meta_height")
+    scale = F.lit(max_dim) / F.greatest(w, h)
+    need = (F.greatest(w, h) > max_dim) & (F.col("modality") == "image")
+    tagged = df.select(
+        F.col(id_col), F.col(payload_col),
+        F.when(need, (w * scale).cast("int")).otherwise(w).alias("out_w"),
+        F.when(need, (h * scale).cast("int")).otherwise(h).alias("out_h"),
+        need.alias("resized"))
+
+    def shrink(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            # Real codec would decode+resample payload rows where
+            # pdf.resized; structural stub keeps bytes as-is.
+            yield pdf
+    return tagged.mapInPandas(shrink, schema=RESIZE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, est_samples long, rms double"
+)
+
+
+def audio_features(df: DataFrame, sample_rate: int = 16000,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Audio feature extraction (structural stub over real mapInPandas
+    plumbing): estimated sample count from duration metadata, byte-level
+    'rms' from the payload. A real pipeline swaps the stub for librosa in
+    the same batch loop."""
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "n_bytes": payloads.map(lambda p: 0 if p is None else len(p)),
+                "est_samples": (pdf["meta_duration_ms"].fillna(0)
+                                * sample_rate // 1000).astype("int64"),
+                "rms": payloads.map(
+                    lambda p: 0.0 if not p
+                    else (sum(b * b for b in p[:256])
+                          / min(len(p), 256)) ** 0.5 / 255.0),
+            })
+    return (df.filter(F.col("modality") == "audio")
+            .select(id_col, payload_col, "meta_duration_ms")
+            .mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA))
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: computes the frame timestamps each
     video would yield (decode itself is the stubbed plug point). Pure

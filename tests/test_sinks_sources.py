@@ -249,3 +249,25 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT text FROM dedup_out").collect()
     assert sorted(r["text"] for r in out) == ["alpha beta", "gamma delta"]
+
+
+def test_multimodal_resize_and_audio(spark):
+    from nci_seronet_proc_data_validator_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features, resize_images)
+    rows = [
+        (1, "image", "image/png", bytes(10), 512, 256, None),   # needs resize
+        (2, "image", "image/png", bytes(10), 100, 50, None),    # small enough
+        (3, "audio", "audio/wav", bytes(range(64)), None, None, 2000),
+        (4, "video", "video/mp4", bytes(10), 320, 240, 1000),   # not image
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    rs = {r["media_id"]: r for r in resize_images(df, max_dim=256).collect()}
+    assert (rs[1]["out_w"], rs[1]["out_h"], rs[1]["resized"]) == (256, 128, True)
+    assert (rs[2]["out_w"], rs[2]["resized"]) == (100, False)
+    assert rs[4]["resized"] is False                 # video untouched
+    assert rs[1]["payload"] is not None              # bytes flow through
+
+    au = audio_features(df).collect()
+    assert len(au) == 1 and au[0]["media_id"] == 3
+    assert au[0]["est_samples"] == 32000             # 2s @ 16kHz
+    assert au[0]["n_bytes"] == 64 and 0.0 < au[0]["rms"] < 1.0
