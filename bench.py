@@ -66,9 +66,23 @@ def validation_lineitem(spark, sf_dir):
     return compile_sheet_findings(sheet, "lineitem.csv", rules)
 
 
+def c2_date_range_spread(spark, sf_dir):
+    """The c2 driver query with the orders scan spread across cores —
+    locally the single-file scan would run the 15-format date parse on
+    one task (same no-op-at-scale rationale as _spread)."""
+    import datetime
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        _as_sheet, _findings)
+    orders = _spread(read_table(spark, sf_dir, "orders"), spark)
+    sheet = _as_sheet(orders, "o_orderkey", ["o_orderdate"])
+    return _findings(sheet, "orders.csv", "o_orderdate",
+                     check_date("o_orderdate", datetime.date(1996, 1, 1),
+                                datetime.date(1997, 12, 31), False, "Date"))
+
+
 BENCH_QUERIES = {
     "validation_lineitem": validation_lineitem,
-    "c2_date_range": QUERIES["c2_date_range"][0],
+    "c2_date_range": c2_date_range_spread,
     "c6_dup_ids": QUERIES["c6_dup_ids"][0],
     "j1_enrich_revenue": QUERIES["j1_enrich_revenue"][0],
     "j3_presence_patterns": QUERIES["j3_presence_patterns"][0],

@@ -56,7 +56,10 @@ from nci_seronet_proc_data_validator_spark.sources.readers import read_table
 def _as_sheet(df: DataFrame, row_index_col: str,
               value_cols: list[str]) -> DataFrame:
     """Shape a testdata table like an ingested sheet: long row_index + raw
-    string value columns (+ typed shadows)."""
+    string value columns (+ typed shadows). Deliberately NO repartition:
+    the findings scan must stay map-only (plan-shape invariant); bench
+    wraps inputs with its own ``_spread`` where local single-file scans
+    would serialize."""
     cols = [F.col(row_index_col).cast("long").alias("row_index")]
     cols += [F.col(c).cast("string").alias(c) for c in value_cols]
     return with_typed_shadows(df.select(*cols))
@@ -785,8 +788,9 @@ FROM documents ORDER BY doc_id
 # ------------------------------------------------ MinHash / SimHash dedup
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
-        minhash_signature, shingle_hashes, shingles, tokens)
-    docs = read_table(spark, sf_dir, "documents")
+        minhash_signature, shingle_hashes, shingles, spread_small_input,
+        tokens)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     sig = minhash_signature(shingle_hashes(shingles(tokens("text"))))
     return docs.select(
         "doc_id", *[sig[i].alias(f"sig_{i}") for i in range(4)]
@@ -802,8 +806,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
-        simhash64, tokens)
-    docs = read_table(spark, sf_dir, "documents")
+        simhash64, spread_small_input, tokens)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     return docs.select("doc_id",
                        simhash64(tokens("text")).alias("simhash")
                        ).orderBy("doc_id")
