@@ -785,6 +785,24 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality features + composite gate
+    (map-only array algebra; see operators/text_quality.py)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        quality_features)
+    docs = read_table(spark, sf_dir, "documents")
+    return quality_features(docs).orderBy("doc_id")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document bigram repetition detection (explode + two keyed
+    aggregations; see operators/text_quality.py)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        repetition_features)
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_features(docs).orderBy("doc_id")
+
+
 # ------------------------------------------------ MinHash / SimHash dedup
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
@@ -1161,6 +1179,12 @@ def _register_dedup_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         ivf_topk_oracle_sql)
     QUERIES["ivf_topk"] = (q_ivf_topk, ivf_topk_oracle_sql())
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        quality_oracle_sql, repetition_oracle_sql)
+    QUERIES.update({
+        "quality_score": (q_quality_score, quality_oracle_sql()),
+        "repetition_bigrams": (q_repetition, repetition_oracle_sql()),
+    })
 
 
 _register_dedup_queries()

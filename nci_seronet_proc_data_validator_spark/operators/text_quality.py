@@ -1,0 +1,145 @@
+"""Text-quality scoring and repetition detection — LLM-pipeline operators
+beyond the reference's surface (the reference validates structured CSV
+cells, not prose; these follow the same engine conventions: JVM-side
+Column algebra only, no Python in the row path).
+
+Design notes (100 TB posture):
+
+- ``quality_features`` is **map-only**: every feature is an array-algebra
+  expression over the whitespace token list (``split`` + ``filter`` +
+  ``aggregate``), so the scan parallelizes with the input and nothing
+  shuffles.
+- ``repetition_features`` counts duplicate bigrams per document. The
+  within-document top-bigram count could be computed with a per-row
+  O(n_distinct * n) array fold, but at scale the right shape is
+  explode → two keyed aggregations on ``(doc_id, bigram)`` then
+  ``doc_id`` — partial aggregation (map-side combine) absorbs the
+  explosion, and both shuffles are on high-cardinality keys.
+- Integer features (counts, summed lengths) are exact on both engines;
+  the single composite double is computed with an identical expression
+  tree on both sides and rounded to 6 digits (the same contract the
+  embedding-similarity oracles use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# English function-word profile (same list both engines; the synthetic
+# corpus is en-dominated word soup, which these thresholds target).
+STOPWORDS = ("the", "and", "of", "to", "in", "a", "is")
+
+#: tokens = non-empty runs between whitespace; '' guards `split`'s
+#: leading/trailing empties so counts match DuckDB's filtered split.
+_WS = "filter(split({c}, ' +'), x -> x != '')"
+
+
+def _words(text_col: str) -> Column:
+    return F.expr(_WS.format(c=text_col))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style quality features per document, map-only.
+
+    Emitted features are exact integers (hash-stable across engines):
+    word count, summed word length, stopword hits, distinct-word count —
+    plus one rounded composite ``quality_score`` and an integer-math
+    ``is_quality`` gate (>=5% stopwords and >=20% type-token ratio),
+    so the boolean never rides on float rounding.
+    """
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ws = _words(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_words"),
+        F.expr(
+            "aggregate(" + _WS.format(c=text_col) +
+            ", 0L, (a, x) -> a + length(x))"
+        ).cast("long").alias("sum_word_len"),
+        F.size(F.expr(
+            "filter(" + _WS.format(c=text_col) +
+            f", x -> array_contains(array({stops}), x))"
+        )).cast("long").alias("n_stop"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    ).filter(F.col("n_words") > 0)
+    score = F.round(
+        (F.col("n_stop") * 1.0 / F.col("n_words")
+         + F.col("n_distinct") * 1.0 / F.col("n_words")) / 2, 6)
+    gate = ((F.col("n_stop") * 20 >= F.col("n_words"))
+            & (F.col("n_distinct") * 5 >= F.col("n_words")))
+    return base.select("*", score.alias("quality_score"),
+                       gate.alias("is_quality"))
+
+
+def quality_oracle_sql(table: str = "documents") -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+  FROM {table}),
+f AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(ws, x -> len(x))) AS BIGINT)
+           AS sum_word_len,
+         CAST(len(list_filter(ws,
+                x -> list_contains([{stops}], x))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+  FROM w)
+SELECT doc_id, n_words, sum_word_len, n_stop, n_distinct,
+       round((n_stop * 1.0 / n_words + n_distinct * 1.0 / n_words) / 2, 6)
+         AS quality_score,
+       (n_stop * 20 >= n_words AND n_distinct * 5 >= n_words) AS is_quality
+FROM f WHERE n_words > 0 ORDER BY doc_id
+"""
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Within-document bigram repetition: total/distinct bigram counts,
+    the top bigram's frequency, and an ``is_repetitive`` gate (top bigram
+    actually repeats AND covers >20% of all bigrams — the repeat floor
+    keeps short all-unique docs out). Documents with fewer than two words
+    have no bigrams and are excluded (both engines)."""
+    ws = _words(text_col)
+    base = (df.select(F.col(id_col), ws.alias("ws"))
+            .filter(F.size("ws") >= 2))
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    per_bigram = (base.select(id_col, F.explode(bigrams).alias("bg"))
+                  .groupBy(id_col, "bg")
+                  .agg(F.count(F.lit(1)).alias("n")))
+    out = (per_bigram.groupBy(id_col)
+           .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+                F.max("n").cast("long").alias("top_count")))
+    return out.select(
+        id_col, "n_bigrams", "n_distinct_bigrams", "top_count",
+        ((F.col("top_count") >= 2)
+         & (F.col("top_count") * 5 > F.col("n_bigrams")))
+        .alias("is_repetitive"))
+
+
+def repetition_oracle_sql(table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+  FROM {table}),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bg
+  FROM w WHERE len(ws) >= 2),
+c AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       CAST(max(n) AS BIGINT) AS top_count,
+       (max(n) >= 2 AND max(n) * 5 > sum(n)) AS is_repetitive
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""

@@ -1,0 +1,57 @@
+"""Text-quality + repetition operators (operators/text_quality.py)."""
+
+from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+    quality_features,
+    repetition_features,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_features_exact_counts(spark):
+    df = _docs(spark, [
+        (1, "the cat sat on the mat"),       # 6 words, 2 stop ('the'×2)
+        (2, ""),                             # no words -> excluded
+        (3, "zz zz zz zz"),                  # no stopwords, 1 distinct
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in quality_features(df).collect()}
+    assert set(out) == {1, 3}
+    d1 = out[1]
+    assert d1["n_words"] == 6
+    assert d1["sum_word_len"] == 17          # thecatsatonthemat
+    assert d1["n_stop"] == 2
+    assert d1["n_distinct"] == 5
+    # gate: 2*20 >= 6 and 5*5 >= 6 -> quality
+    assert d1["is_quality"] is True
+    d3 = out[3]
+    assert d3["n_stop"] == 0 and d3["n_distinct"] == 1
+    # gate fails both prongs: 0*20 < 4 and 1*5 >= 4 (stop prong fails)
+    assert d3["is_quality"] is False
+
+
+def test_repetition_features_top_bigram(spark):
+    df = _docs(spark, [
+        (1, "a b a b a b"),    # bigrams: ab ba ab ba ab -> top 'a b'=3 of 5
+        (2, "one two three"),  # 2 distinct bigrams, top=1 of 2
+        (3, "solo"),           # <2 words -> excluded
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in repetition_features(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["n_distinct_bigrams"] == 2
+    assert out[1]["top_count"] == 3
+    assert out[1]["is_repetitive"] is True   # 3*5 > 5
+    assert out[2]["top_count"] == 1
+    assert out[2]["is_repetitive"] is False  # repeat floor: top_count < 2
+
+
+def test_repetition_gate_threshold(spark):
+    # 5 distinct bigrams, top=1: 1*5 > 5 is False -> not repetitive.
+    df = _docs(spark, [(1, "a b c d e f")])
+    row = repetition_features(df).collect()[0]
+    assert row["n_bigrams"] == 5 and row["top_count"] == 1
+    assert row["is_repetitive"] is False
