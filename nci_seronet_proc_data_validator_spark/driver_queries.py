@@ -822,6 +822,42 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs).orderBy("id_a", "id_b")
 
 
+BM25_TERMS = ["spark", "window", "join"]
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed bag of query terms (operators/search.py)."""
+    from nci_seronet_proc_data_validator_spark.operators.search import (
+        bm25_topk)
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample (operators/sampling.py)."""
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        stratified_sample)
+    docs = read_table(spark, sf_dir, "documents")
+    return (stratified_sample(docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → cluster assignments: MinHash-LSH edges fed through
+    iterative min-label propagation (operators/graph.py); the oracle
+    recomputes the same pipeline with a recursive CTE."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        connected_components)
+    docs = read_table(spark, sf_dir, "documents")
+    cc = connected_components(minhash_lsh_pairs(docs))
+    return (cc.select(F.col("id").alias("doc_id"), "cluster_id")
+            .orderBy("doc_id"))
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         simhash64, spread_small_input, tokens)
@@ -1184,6 +1220,22 @@ def _register_dedup_queries() -> None:
     QUERIES.update({
         "quality_score": (q_quality_score, quality_oracle_sql()),
         "repetition_bigrams": (q_repetition, repetition_oracle_sql()),
+    })
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        connected_components_oracle_sql)
+    QUERIES["dedup_clusters"] = (
+        q_dedup_clusters,
+        connected_components_oracle_sql(minhash_lsh_pairs_oracle_sql()))
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        stratified_sample_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.search import (
+        bm25_oracle_sql)
+    QUERIES.update({
+        "bm25_topk": (q_bm25_topk, bm25_oracle_sql(BM25_TERMS)),
+        "stratified_sample": (
+            q_stratified_sample,
+            stratified_sample_oracle_sql("lang", SAMPLE_RATES,
+                                         SAMPLE_DEFAULT)),
     })
 
 

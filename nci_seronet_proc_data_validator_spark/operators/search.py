@@ -1,0 +1,108 @@
+"""BM25 full-text ranking over the documents table — the retrieval-side
+companion to the dedup/similarity operators (training-data pipelines use
+it for corpus search, contamination checks, and quality-weighted mixes).
+
+Scale shape (100 TB posture):
+
+- The tokenizer is the same JVM ``regexp_extract_all`` the dedup operators
+  use; document length is computed from the token array map-only, without
+  exploding.
+- The explode for term frequencies is **filtered to the query terms before
+  the shuffle** — the (doc, term) aggregation only ever sees rows whose
+  term is in the query, so the shuffle volume is O(matching postings), not
+  O(total tokens).
+- Corpus statistics (N, avgdl) are a single aggregate broadcast back into
+  the plan (no driver-side ``count()``; the whole query is one lazy plan).
+- Document frequencies ride the already-tiny filtered tf relation.
+- Ranking ties: ``row_number`` over ``(round(score, 12) DESC, doc_id)`` —
+  the same float-stable tiebreak contract the similarity oracles use.
+
+The IEEE contract with the DuckDB oracle: every arithmetic expression is
+written with the identical tree shape on both engines; integer-valued
+doubles (tf, df, N, dl) are exact, ``avgdl`` is an exact-integer sum over
+a count, and the one ``ln`` plus the final ≤|query|-term sum round through
+6 digits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_K1 = 1.2
+DEFAULT_B = 0.75
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], top_n: int = 10,
+              k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-``top_n`` documents by BM25 score for a bag of query terms.
+
+    Returns ``(doc_id, score6, rank)`` — score rounded to 6 digits, rank
+    1-based dense over ``(round(score,12) DESC, doc_id)``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        .alias("t"))
+    dl = toks.select(id_col, F.size("t").cast("double").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("N"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (toks.select(id_col, F.explode("t").alias("term"))
+          .filter(F.col("term").isin(list(terms)))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = (idf * F.col("tf") * (k1 + 1)
+               / (F.col("tf")
+                  + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(dl, id_col)
+              .crossJoin(F.broadcast(stats))
+              .select(F.col(id_col), contrib.alias("contrib")))
+    agg = scored.groupBy(id_col).agg(F.sum("contrib").alias("score"))
+    w = Window.orderBy(F.round(F.col("score"), 12).desc(), F.col(id_col))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_n)
+            .select(id_col, F.round("score", 6).alias("score6"), "rank")
+            .orderBy("rank"))
+
+
+def bm25_oracle_sql(terms: list[str], top_n: int = 10,
+                    k1: float = DEFAULT_K1, b: float = DEFAULT_B,
+                    table: str = "documents") -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM {table}),
+dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS N, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ({term_list})
+  GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (stats.N - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+           AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats),
+agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1)
+SELECT doc_id, round(score, 6) AS score6, rank
+FROM (SELECT doc_id, score,
+             row_number() OVER (ORDER BY round(score, 12) DESC, doc_id)
+               AS rank
+      FROM agg)
+WHERE rank <= {top_n}
+ORDER BY rank
+"""

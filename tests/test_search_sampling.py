@@ -1,0 +1,57 @@
+"""BM25 ranking (operators/search.py) and deterministic stratified
+sampling (operators/sampling.py)."""
+
+import math
+
+import pytest
+
+from nci_seronet_proc_data_validator_spark.operators.sampling import (
+    stratified_sample,
+)
+from nci_seronet_proc_data_validator_spark.operators.search import bm25_topk
+
+
+def test_bm25_scores_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat dog dog"), (3, "bird bird bird")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in bm25_topk(docs, ["cat"]).collect()}
+    assert set(out) == {1, 2}            # doc 3 has no query terms
+    assert out[1]["rank"] == 1 and out[2]["rank"] == 2
+    # N=3, df=2, dl=avgdl=3 -> idf=ln(1.6); k1=1.2, b=0.75
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    s1 = idf * 2 * 2.2 / (2 + 1.2)       # tf=2
+    s2 = idf * 1 * 2.2 / (1 + 1.2)       # tf=1
+    assert out[1]["score6"] == pytest.approx(s1, abs=1e-6)
+    assert out[2]["score6"] == pytest.approx(s2, abs=1e-6)
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    # 'rare' appears in 1 of 20 docs, 'common' in all 20: the rare-term
+    # doc must outrank docs with only the common term.
+    rows = [(i, "common filler words here") for i in range(19)]
+    rows.append((99, "rare common"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = bm25_topk(docs, ["rare", "common"], top_n=3).collect()
+    assert top[0]["doc_id"] == 99
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates, default = {"en": 0.5}, 0.1
+
+    def ids(df):
+        return sorted(r["doc_id"] for r in
+                      stratified_sample(df, "lang", rates, default)
+                      .collect())
+
+    a = ids(docs)
+    b = ids(docs.repartition(13, "lang"))
+    assert a == b                        # layout-independent
+    en = sum(1 for i in a if i % 2 == 0)
+    de = len(a) - en
+    # 500 candidates each; md5 buckets ~uniform
+    assert 200 < en < 300
+    assert 20 < de < 80
