@@ -822,6 +822,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs).orderBy("id_a", "id_b")
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (operators/text_quality.py)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bpe_token_counts)
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs).orderBy("doc_id")
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles (p10/p50/p90) — the cutoff
+    calibration step behind length-based quality filters. Exact
+    ``percentile`` here for oracle parity; at 100 TB the drop-in is
+    ``approx_percentile`` (t-digest, single pass, mergeable sketches)."""
+    docs = read_table(spark, sf_dir, "documents")
+    pct = F.expr("percentile(n_chars, array(0.1, 0.5, 0.9))")
+    return (docs.groupBy("lang")
+            .agg(F.round(pct[0], 6).alias("p10"),
+                 F.round(pct[1], 6).alias("p50"),
+                 F.round(pct[2], 6).alias("p90"))
+            .orderBy("lang"))
+
+
+SQL_LENGTH_PCT = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.1), 6) AS p10,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 BM25_TERMS = ["spark", "window", "join"]
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 SAMPLE_DEFAULT = 0.1
@@ -1236,6 +1267,12 @@ def _register_dedup_queries() -> None:
             q_stratified_sample,
             stratified_sample_oracle_sql("lang", SAMPLE_RATES,
                                          SAMPLE_DEFAULT)),
+    })
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bpe_token_oracle_sql)
+    QUERIES.update({
+        "bpe_token_count": (q_bpe_tokens, bpe_token_oracle_sql()),
+        "length_percentiles": (q_length_percentiles, SQL_LENGTH_PCT),
     })
 
 

@@ -97,6 +97,39 @@ FROM f WHERE n_words > 0 ORDER BY doc_id
 """
 
 
+# GPT-2-style pre-tokenizer, RE2-safe (no lookahead, which Java regex has
+# but DuckDB's RE2 lacks): contraction suffixes, space-prefixed
+# letter/digit runs, punctuation runs, residual whitespace. Both engines
+# honor leftmost alternation preference, so counts agree.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_counts(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document, map-only — the
+    quick token-budget estimator a data pipeline runs before a real
+    tokenizer pass."""
+    ws = _words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN),
+                                    0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def bpe_token_oracle_sql(table: str = "documents") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM {table} ORDER BY doc_id
+"""
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Within-document bigram repetition: total/distinct bigram counts,

@@ -79,3 +79,38 @@ def test_lsh_shuffles_on_band_buckets_only(spark, sf_dir):
     # signature build itself is map-side; shuffles belong to the bucket
     # join + dedup, not to a groupBy over raw text
     assert "Scan parquet" in plan
+
+
+def test_quality_features_map_only(spark, sf_dir):
+    """Quality scoring is pure array algebra over the scan — no shuffle,
+    no Python eval."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        quality_features)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(quality_features(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_pushes_to_scan(spark, sf_dir):
+    """The sampling cut is a map-only predicate: one scan, no shuffle."""
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        stratified_sample)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(stratified_sample(docs, "lang", {"en": 0.5}, 0.1))
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
+    """The tf explode must be filtered to query terms BEFORE the (doc,
+    term) aggregation shuffle, and corpus stats / df must broadcast."""
+    from nci_seronet_proc_data_validator_spark.operators.search import (
+        bm25_topk)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bm25_topk(docs, ["spark", "window", "join"]))
+    assert "BroadcastHashJoin" in plan       # dfreq + stats sides
+    # the IN-filter on exploded terms sits below the first aggregate
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1
+    assert "spark" in plan  # term literals present in a Filter

@@ -55,3 +55,15 @@ def test_repetition_gate_threshold(spark):
     row = repetition_features(df).collect()[0]
     assert row["n_bigrams"] == 5 and row["top_count"] == 1
     assert row["is_repetitive"] is False
+
+
+def test_bpe_token_counts(spark):
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bpe_token_counts)
+    df = _docs(spark, [(1, "don't stop"), (2, "hello,  world!!")])
+    out = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in bpe_token_counts(df).collect()}
+    # "don" + "'t" + " stop"
+    assert out[1] == (2, 3)
+    # "hello" + "," + "  " + "world" + "!!"  (no-lookahead \s+ branch)
+    assert out[2] == (2, 5)
