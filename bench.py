@@ -94,6 +94,11 @@ BENCH_QUERIES = {
     "events_hourly": QUERIES["events_hourly"][0],
     "sessionize": QUERIES["sessionize"][0],
     "asof_join": QUERIES["asof_join"][0],
+    # round-2 additions (new keys only — r1 keys above are unchanged so
+    # per-query timings stay comparable across rounds)
+    "quality_score": QUERIES["quality_score"][0],
+    "bm25_topk": QUERIES["bm25_topk"][0],
+    "dedup_clusters": QUERIES["dedup_clusters"][0],
 }
 
 

@@ -39,6 +39,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                          F.col("src").alias("dst"))).distinct().persist()
     labels = (e.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for it in range(max_iter):
         nbr_min = (e.join(labels.withColumnRenamed("id", "src"), "src")
                    .groupBy(F.col("dst").alias("id"))
@@ -48,16 +49,31 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                               F.least(F.col("label"),
                                       F.coalesce("nbr_min", "label"))
                               .alias("label")))
+        # Path halving (pointer jumping): label <- label[label]. One more
+        # keyed join per round, but convergence drops from O(diameter)
+        # rounds to O(log diameter) — at cluster scale rounds are the
+        # synchronization barriers, so fewer rounds beats leaner rounds.
+        # Invariant label[x] <= x makes the shortcut monotone-safe.
+        lab2 = new_labels.select(F.col("id").alias("lid"),
+                                 F.col("label").alias("label2"))
+        new_labels = (new_labels
+                      .join(lab2, new_labels["label"] == lab2["lid"], "left")
+                      .select("id",
+                              F.least(F.col("label"),
+                                      F.coalesce("label2", "label"))
+                              .alias("label")))
         if (it + 1) % _CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
-        changed = (new_labels.withColumnRenamed("label", "new_label")
-                   .join(labels, "id")
-                   .filter(F.col("new_label") != F.col("label")).count())
+        # Convergence without a compare-join: labels only ever decrease,
+        # so any change strictly lowers sum(label) — one scalar aggregate
+        # per round (which also materializes the persisted frontier).
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     e.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
 
