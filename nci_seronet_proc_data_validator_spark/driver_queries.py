@@ -1276,4 +1276,91 @@ def _register_dedup_queries() -> None:
     })
 
 
+# ------------------------------------------ round-2 pipeline operators
+# The synthetic corpus carries no organic PII, so the PII query injects
+# deterministic spans (emails/phones/SSNs/IPs keyed off doc_id) with the
+# SAME expression on both engines — the operator under test is the
+# detection/redaction machinery, not the fixture.
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+
+    def s(e):  # noqa: ANN001 - Column
+        return e.cast("string")
+
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" contact user"), s(did), F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" call 555-"), F.lpad(s(did % 1000), 3, "0"),
+            F.lit("-"), F.lpad(s(did % 10000), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" ssn 212-45-"), F.lpad(s(did % 10000), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" from 10.0."), s(did % 256), F.lit("."),
+            s(did % 254 + 1)))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+_PII_DOC_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0
+     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+     ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+     THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+     ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+     THEN ' ssn 212-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+     ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+          || CAST(doc_id % 254 + 1 AS VARCHAR)
+     ELSE '' END
+  AS text
+FROM documents
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the (augmented) corpus, map-only."""
+    from nci_seronet_proc_data_validator_spark.operators.pii import (
+        pii_features)
+    docs = read_table(spark, sf_dir, "documents")
+    return pii_features(_pii_augmented(docs)).orderBy("doc_id")
+
+
+_BENCH_PRED = "doc_id % 97 = 0"
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs vs the deterministic
+    benchmark slice (doc_id % 97 == 0), 5-gram hash collision."""
+    from nci_seronet_proc_data_validator_spark.operators.contamination import (
+        benchmark_overlap)
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_overlap(corpus, bench, n=5)
+
+
+def _register_round2_queries() -> None:
+    from nci_seronet_proc_data_validator_spark.operators.contamination import (
+        benchmark_overlap_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.pii import (
+        pii_oracle_sql)
+    QUERIES.update({
+        "pii_scan": (q_pii_scan, pii_oracle_sql(_PII_DOC_SQL)),
+        "contamination": (q_contamination,
+                          benchmark_overlap_oracle_sql(_BENCH_PRED, n=5)),
+    })
+
+
 _register_dedup_queries()
+_register_round2_queries()
