@@ -1350,6 +1350,54 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(corpus, bench, n=5)
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join, the bucketed way: high-value anchor events
+    (value > 300) open a ±15-min window per user; count/sum every event
+    of that user inside the window. Bin width 30 min ≥ window width, so
+    each interval explodes to ≤ 2 bins and the join is a plain equi-join
+    on (user_id, bin) — never a BNLJ."""
+    from nci_seronet_proc_data_validator_spark.operators.interval import (
+        interval_join)
+    ev = (read_events(spark, sf_dir)
+          .withColumn("tsu", F.unix_micros("ts")))
+    anchors = (ev.filter(F.col("value") > 300)
+               .select(F.col("event_id").alias("interval_id"), "user_id",
+                       (F.col("tsu") - 900_000_000).alias("lo"),
+                       (F.col("tsu") + 900_000_000).alias("hi")))
+    points = ev.select("user_id", "tsu", "value")
+    joined = interval_join(anchors, points, "user_id")
+    return (joined.groupBy("interval_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value"))
+            .orderBy("interval_id"))
+
+
+SQL_INTERVAL_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value
+  FROM events),
+a AS (
+  SELECT event_id AS interval_id, user_id,
+         tsu - 900000000 AS lo, tsu + 900000000 AS hi
+  FROM e WHERE value > 300)
+SELECT a.interval_id, count(*) AS n_events,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM a JOIN e p ON p.user_id = a.user_id AND p.tsu BETWEEN a.lo AND a.hi
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations, k=8, over the embeddings table — the
+    centroid-training step for the IVF index, integer-exact on both
+    engines (see operators/kmeans.py)."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_fit)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=8, iters=2)
+
+
 def _register_round2_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.contamination import (
         benchmark_overlap_oracle_sql)
@@ -1359,7 +1407,11 @@ def _register_round2_queries() -> None:
         "pii_scan": (q_pii_scan, pii_oracle_sql(_PII_DOC_SQL)),
         "contamination": (q_contamination,
                           benchmark_overlap_oracle_sql(_BENCH_PRED, n=5)),
+        "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     })
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_oracle_sql)
+    QUERIES["kmeans_centroids"] = (q_kmeans, kmeans_oracle_sql(k=8, iters=2))
 
 
 _register_dedup_queries()

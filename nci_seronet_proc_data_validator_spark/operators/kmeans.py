@@ -1,0 +1,128 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column —
+the centroid-training step the IVF ANN index (``operators/similarity``)
+needs; the reference has no vector pipeline at all.
+
+This is the engine's one genuinely *iterative* DataFrame algorithm, so
+its design doubles as the template for iterative work at 100 TB:
+
+- **Broadcast the model, shuffle nothing per iteration.** Centroids are
+  k·dim values — always driver/broadcast scale. Each Lloyd iteration is
+  one map-side assignment (crossJoin with the broadcast centroid table +
+  per-vector ranking window) and one keyed aggregation on
+  ``(cluster, dim)`` whose cardinality is k·dim — partial aggregation
+  absorbs the per-row work map-side, the shuffle is tiny.
+- **Bounded lineage.** Iterations chain plans; callers running many
+  iterations should ``localCheckpoint`` every few rounds (the 2-iteration
+  oracle setting doesn't need it — same convention as
+  ``operators/graph``).
+- **Exact cross-engine arithmetic via integer quantization.** Float
+  means are order-dependent (double addition is non-associative, and
+  Spark's partial aggregation order is nondeterministic), so the oracle
+  contract quantizes components to integer micro-units
+  (``round(x · 1e6)`` as BIGINT) up front: squared-L2 distances and
+  per-dimension sums are then EXACT integer math, ties break on integer
+  equality, and both engines converge bit-identically. dim·(1e7)² per
+  term × 64 dims stays far below 2^63.
+
+Determinism: init = the k lowest-id vectors (cluster ids 0..k-1 in id
+order); assignment ties go to the lowest cluster id; empty clusters drop
+out (both engines share the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.operators.dedup import (
+    spread_small_input,
+)
+
+QUANT = 1_000_000
+
+
+def quantize(vec_col: Column) -> Column:
+    """float array → integer micro-unit array (exact both engines)."""
+    return F.transform(
+        vec_col,
+        lambda x: F.round(x.cast("double") * QUANT).cast("long"))
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; return the final centroids in
+    exploded scalar form ``(centroid_id, pos, cq, n_assigned)`` where
+    ``cq`` is the quantized component after the last mean update and
+    ``n_assigned`` the size of the cluster in the final assignment.
+    """
+    v = spread_small_input(emb).select(
+        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+    cent = (v.orderBy("vid").limit(k)
+            .withColumn("cid",
+                        F.row_number().over(Window.orderBy("vid")) - 1)
+            .select("cid", F.col("qv").alias("qc")))
+    sums = None
+    for _ in range(iters):
+        wv = Window.partitionBy("vid").orderBy("dist", "cid")
+        assigned = (v.crossJoin(F.broadcast(cent))
+                    .withColumn("dist", _sqdist(F.col("qv"), F.col("qc")))
+                    .withColumn("rn", F.row_number().over(wv))
+                    .filter(F.col("rn") == 1)
+                    .select("vid", "qv", "cid"))
+        sums = (assigned
+                .select("cid", F.posexplode("qv").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .withColumn("cq", F.round(F.col("s").cast("double")
+                                          / F.col("n")).cast("long")))
+        cent = (sums.groupBy("cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                    lambda st: st["cq"]).alias("qc")))
+    return (sums.select(F.col("cid").alias("centroid_id"), "pos", "cq",
+                        F.col("n").alias("n_assigned"))
+            .orderBy("centroid_id", "pos"))
+
+
+def kmeans_oracle_sql(k: int = 8, iters: int = 2,
+                      table: str = "embeddings") -> str:
+    """DuckDB twin with the iterations unrolled as CTEs (parallel
+    ``unnest`` zips value with 0-based position)."""
+    dist = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)")
+    ctes = [f"""v AS (
+  SELECT vec_id AS vid,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
+  FROM {table})""", f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, qv AS qc
+  FROM (SELECT vid, qv FROM v ORDER BY vid LIMIT {k}))"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vid, qv, cid FROM (
+    SELECT v.vid, v.qv, c.cid,
+           row_number() OVER (PARTITION BY v.vid
+             ORDER BY {dist.format(a='v.qv', b='c.qc')}, c.cid) AS rn
+    FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""s{i} AS (
+  SELECT cid, pos, sum(val) AS s, count(*) AS n,
+         CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+  FROM (SELECT cid, unnest(qv) AS val,
+               unnest(generate_series(0, len(qv) - 1)) AS pos
+        FROM a{i})
+  GROUP BY 1, 2)""")
+        ctes.append(f"""c{i} AS (
+  SELECT cid, list(cq ORDER BY pos) AS qc FROM s{i} GROUP BY cid)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT cid AS centroid_id, pos, cq, n AS n_assigned
+FROM s{iters} ORDER BY centroid_id, pos
+"""
