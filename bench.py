@@ -99,6 +99,8 @@ BENCH_QUERIES = {
     "quality_score": QUERIES["quality_score"][0],
     "bm25_topk": QUERIES["bm25_topk"][0],
     "dedup_clusters": QUERIES["dedup_clusters"][0],
+    "interval_join": QUERIES["interval_join"][0],
+    "kmeans_centroids": QUERIES["kmeans_centroids"][0],
 }
 
 

@@ -35,8 +35,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     """
     e = pairs.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
-    e = e.union(e.select(F.col("dst").alias("src"),
-                         F.col("src").alias("dst"))).distinct().persist()
+    # Eager checkpoint, not persist: the edge set is orders smaller than
+    # the corpus that produced it, and truncating lineage here keeps every
+    # iteration's plan at "two cached inputs + a join" — otherwise Catalyst
+    # re-optimizes the full upstream (LSH) plan once per round, which at
+    # any scale turns driver planning time into the per-round floor.
+    e = (e.union(e.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst")))
+         .distinct().localCheckpoint())
     labels = (e.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).persist())
     prev_sum = labels.agg(F.sum("label")).first()[0]
