@@ -1398,6 +1398,23 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(emb, k=8, iters=2)
 
 
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN pipeline — k-means-trained centroids feeding the IVF
+    probe — cross-checked end to end (train is integer-exact, probe is
+    the shared IEEE fold contract)."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_centroid_vectors)
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_topk)
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_centroid_vectors(emb, k=8, iters=2)
+    queries_df = (emb.filter(F.col("vec_id") < 5)
+                  .select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("qe")))
+    return (ivf_topk(emb, centroids, queries_df, k=5, nprobe=2)
+            .orderBy("query_id", "rank"))
+
+
 def _register_round2_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.contamination import (
         benchmark_overlap_oracle_sql)
@@ -1410,8 +1427,16 @@ def _register_round2_queries() -> None:
         "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     })
     from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-        kmeans_oracle_sql)
+        kmeans_centroid_vectors_cte, kmeans_ctes, kmeans_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_topk_oracle_sql)
     QUERIES["kmeans_centroids"] = (q_kmeans, kmeans_oracle_sql(k=8, iters=2))
+    QUERIES["ivf_topk_trained"] = (
+        q_ivf_topk_trained,
+        ivf_topk_oracle_sql(
+            n_queries=5, k=5, nprobe=2,
+            prefix_ctes=kmeans_ctes(k=8, iters=2),
+            cent_cte=kmeans_centroid_vectors_cte(k=8, iters=2)))
 
 
 _register_dedup_queries()

@@ -91,10 +91,11 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
             .orderBy("centroid_id", "pos"))
 
 
-def kmeans_oracle_sql(k: int = 8, iters: int = 2,
-                      table: str = "embeddings") -> str:
-    """DuckDB twin with the iterations unrolled as CTEs (parallel
-    ``unnest`` zips value with 0-based position)."""
+def kmeans_ctes(k: int = 8, iters: int = 2,
+                table: str = "embeddings") -> list[str]:
+    """The unrolled-Lloyd CTE chain shared by the k-means oracle and any
+    oracle composing on top of the trained centroids (``c{iters}`` is the
+    final centroid table, ``s{iters}`` its per-component stats)."""
     dist = ("list_reduce(list_transform(list_zip({a}, {b}), "
             "s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)")
     ctes = [f"""v AS (
@@ -120,9 +121,38 @@ def kmeans_oracle_sql(k: int = 8, iters: int = 2,
   GROUP BY 1, 2)""")
         ctes.append(f"""c{i} AS (
   SELECT cid, list(cq ORDER BY pos) AS qc FROM s{i} GROUP BY cid)""")
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def kmeans_oracle_sql(k: int = 8, iters: int = 2,
+                      table: str = "embeddings") -> str:
+    """DuckDB twin with the iterations unrolled as CTEs (parallel
+    ``unnest`` zips value with 0-based position)."""
+    joined = ",\n".join(kmeans_ctes(k, iters, table))
     return f"""
 WITH {joined}
 SELECT cid AS centroid_id, pos, cq, n AS n_assigned
 FROM s{iters} ORDER BY centroid_id, pos
 """
+
+
+def kmeans_centroid_vectors(emb: DataFrame, k: int = 8, iters: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Trained centroids as float vectors ``(centroid_id, ce)`` — the
+    shape ``similarity.ivf_topk`` consumes. De-quantization is a single
+    IEEE double divide per component, bit-identical on both engines."""
+    return (kmeans_fit(emb, k, iters, id_col, vec_col)
+            .groupBy(F.col("centroid_id"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
+                lambda s: s["cq"].cast("double") / QUANT).alias("ce")))
+
+
+def kmeans_centroid_vectors_cte(k: int = 8, iters: int = 2,
+                                table: str = "embeddings") -> str:
+    """``cent(centroid_id, ce)`` CTE over the trained ``c{iters}`` chain
+    (prepend ``kmeans_ctes(...)``)."""
+    return (f"cent AS (\n  SELECT cid AS centroid_id, "
+            f"list_transform(qc, x -> CAST(x AS DOUBLE) / {QUANT}) AS ce\n"
+            f"  FROM c{iters})")

@@ -115,9 +115,14 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, queries: DataFrame,
 
 
 def ivf_topk_oracle_sql(n_centroids: int = 16, n_queries: int = 5,
-                        k: int = 5, nprobe: int = 2) -> str:
-    """DuckDB oracle for the full IVF pipeline (centroids = the first
-    ``n_centroids`` vectors, queries = the first ``n_queries``)."""
+                        k: int = 5, nprobe: int = 2,
+                        cent_cte: str | None = None,
+                        prefix_ctes: list[str] | None = None) -> str:
+    """DuckDB oracle for the full IVF pipeline. By default centroids are
+    the first ``n_centroids`` vectors; pass ``cent_cte`` (a CTE named
+    ``cent(centroid_id, ce)``, plus any ``prefix_ctes`` it builds on) to
+    oracle-check a trained index, e.g. k-means centroids
+    (``kmeans.kmeans_centroid_vectors_cte``)."""
     dot = ("list_reduce(list_transform(list_zip({a}, {b}), "
            "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), "
            "(x, y) -> x + y)")
@@ -128,10 +133,12 @@ def ivf_topk_oracle_sql(n_centroids: int = 16, n_queries: int = 5,
         return (f"{dot.format(a=a, b=b)} / "
                 f"({nrm.format(a=a)} * {nrm.format(a=b)})")
 
+    default_cent = (f"cent AS (\n  SELECT vec_id AS centroid_id, "
+                    f"embedding AS ce FROM embeddings\n"
+                    f"  WHERE vec_id < {n_centroids})")
+    lead = ",\n".join([*(prefix_ctes or []), cent_cte or default_cent])
     return f"""
-WITH cent AS (
-  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
-  WHERE vec_id < {n_centroids}),
+WITH {lead},
 assigned AS (
   SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
