@@ -1398,6 +1398,48 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(emb, k=8, iters=2)
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus a training run would actually consume: near-dup pairs →
+    components → drop every clustered doc except its min-id representative
+    (operators/graph.keep_canonical)."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        connected_components, keep_canonical)
+    docs = read_table(spark, sf_dir, "documents")
+    cc = connected_components(minhash_lsh_pairs(docs))
+    return (keep_canonical(docs, cc)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+def q_vocab_topn(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
+    """Corpus vocabulary: top-N tokens by occurrence count (ties → token
+    asc) with document frequency — the tokenizer-training precursor. One
+    explode → one keyed agg (map-side partial + distinct expansion);
+    top-N is a TakeOrdered, never a full sort materialization."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input, tokens)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    return (docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_occ"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.col("n_occ").desc(), "token")
+            .limit(n))
+
+
+SQL_VOCAB_TOPN = """
+SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents)
+GROUP BY token
+ORDER BY n_occ DESC, token
+LIMIT 200
+"""
+
+
 def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ANN pipeline — k-means-trained centroids feeding the IVF
     probe — cross-checked end to end (train is integer-exact, probe is
@@ -1431,6 +1473,14 @@ def _register_round2_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         ivf_topk_oracle_sql)
     QUERIES["kmeans_centroids"] = (q_kmeans, kmeans_oracle_sql(k=8, iters=2))
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_lsh_pairs_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        keep_canonical_oracle_sql)
+    QUERIES["dedup_keep_canonical"] = (
+        q_dedup_keep_canonical,
+        keep_canonical_oracle_sql(minhash_lsh_pairs_oracle_sql()))
+    QUERIES["vocab_topn"] = (q_vocab_topn, SQL_VOCAB_TOPN)
     QUERIES["ivf_topk_trained"] = (
         q_ivf_topk_trained,
         ivf_topk_oracle_sql(

@@ -84,6 +84,42 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+def keep_canonical(corpus: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """The dedup pipeline's terminal step: drop every clustered document
+    except its canonical representative (``cluster_id`` — the component's
+    min id). One broadcast-able anti-join against the (tiny) non-canonical
+    id set; untouched documents pass through by construction."""
+    losers = components.filter(
+        F.col("id") != F.col("cluster_id")).select("id")
+    return corpus.join(F.broadcast(losers),
+                       corpus[id_col] == losers["id"], "left_anti")
+
+
+def keep_canonical_oracle_sql(pairs_sql: str, corpus: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """Oracle for ``keep_canonical`` over ``connected_components`` of the
+    pair graph produced by ``pairs_sql``."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS id, r.root AS root
+  FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+SELECT c.{id_col}, c.lang
+FROM {corpus} c
+WHERE c.{id_col} NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+ORDER BY c.{id_col}
+"""
+
+
 def connected_components_oracle_sql(pairs_sql: str,
                                     id_alias: str = "doc_id") -> str:
     """Recursive-CTE oracle: min reachable node id per node over the
