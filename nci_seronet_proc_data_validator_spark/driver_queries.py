@@ -1398,6 +1398,35 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(emb, k=8, iters=2)
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup (1 h window, 30 min slide) via ``F.window`` —
+    the batch twin of the streaming windowed agg. Each event lands in
+    exactly 2 windows (width/slide); bounds emit as epoch micros per the
+    engine timestamp contract."""
+    ev = read_events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_value"))
+            .select(F.unix_micros("w.start").alias("window_start"),
+                    F.unix_micros("w.end").alias("window_end"),
+                    "n_events", "sum_value")
+            .orderBy("window_start"))
+
+
+SQL_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000
+           AS flr, value
+  FROM events)
+SELECT ws AS window_start, ws + 3600000000 AS window_end,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM (SELECT unnest([flr, flr - 1800000000]) AS ws, value FROM e)
+GROUP BY ws ORDER BY ws
+"""
+
+
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus a training run would actually consume: near-dup pairs →
     components → drop every clustered doc except its min-id representative
@@ -1481,6 +1510,7 @@ def _register_round2_queries() -> None:
         q_dedup_keep_canonical,
         keep_canonical_oracle_sql(minhash_lsh_pairs_oracle_sql()))
     QUERIES["vocab_topn"] = (q_vocab_topn, SQL_VOCAB_TOPN)
+    QUERIES["events_sliding"] = (q_events_sliding, SQL_EVENTS_SLIDING)
     QUERIES["ivf_topk_trained"] = (
         q_ivf_topk_trained,
         ivf_topk_oracle_sql(

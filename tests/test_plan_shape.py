@@ -102,6 +102,25 @@ def test_stratified_sample_pushes_to_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_vocab_topn_is_take_ordered(spark, sf_dir):
+    """Top-N vocab must be a TakeOrderedAndProject (bounded per-partition
+    heaps), never a full global sort materialization."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        q_vocab_topn)
+    plan = _plan(q_vocab_topn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_keep_canonical_broadcasts_loser_set(spark, sf_dir):
+    """The corpus-side anti-join must broadcast the (tiny) non-canonical
+    id set — a shuffle of the full corpus here would dominate at scale."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        q_dedup_keep_canonical)
+    plan = _plan(q_dedup_keep_canonical(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
     """The tf explode must be filtered to query terms BEFORE the (doc,
     term) aggregation shuffle, and corpus stats / df must broadcast."""
