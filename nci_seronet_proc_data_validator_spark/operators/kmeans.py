@@ -5,16 +5,17 @@ needs; the reference has no vector pipeline at all.
 This is the engine's one genuinely *iterative* DataFrame algorithm, so
 its design doubles as the template for iterative work at 100 TB:
 
-- **Broadcast the model, shuffle nothing per iteration.** Centroids are
-  k·dim values — always driver/broadcast scale. Each Lloyd iteration is
-  one map-side assignment (crossJoin with the broadcast centroid table +
-  per-vector ranking window) and one keyed aggregation on
-  ``(cluster, dim)`` whose cardinality is k·dim — partial aggregation
-  absorbs the per-row work map-side, the shuffle is tiny.
-- **Bounded lineage.** Iterations chain plans; callers running many
-  iterations should ``localCheckpoint`` every few rounds (the 2-iteration
-  oracle setting doesn't need it — same convention as
-  ``operators/graph``).
+- **The model rides the plan, shuffle nothing per iteration.** Centroids
+  are k·dim values — always driver scale, exactly like MLlib's KMeans,
+  which collects centers between iterations. Each Lloyd iteration embeds
+  the current centroids as an array *literal*, so assignment is a pure
+  map (per-row argmin over the literal — no crossJoin row expansion, no
+  ranking window, no shuffle of vector data at all); the only exchange
+  is the keyed aggregation on ``(cluster, dim)`` whose cardinality is
+  k·dim — partial aggregation absorbs the per-row work map-side.
+- **Bounded lineage for free.** The per-iteration centroid collect (k·dim
+  scalars — model sync, not data collection) cuts the plan at every
+  round; no checkpointing needed regardless of iteration count.
 - **Exact cross-engine arithmetic via integer quantization.** Float
   means are order-dependent (double addition is non-associative, and
   Spark's partial aggregation order is nondeterministic), so the oracle
@@ -31,7 +32,7 @@ out (both engines share the semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.operators.dedup import (
@@ -64,28 +65,39 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     """
     v = spread_small_input(emb).select(
         F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
-    cent = (v.orderBy("vid").limit(k)
-            .withColumn("cid",
-                        F.row_number().over(Window.orderBy("vid")) - 1)
-            .select("cid", F.col("qv").alias("qc")))
+    # Initial model: the k lowest-id vectors, collected driver-side (k·dim
+    # scalars — model sync, not data collection).
+    centers = [r["qv"] for r in v.orderBy("vid").limit(k).collect()]
+    cids = list(range(len(centers)))
     sums = None
     for _ in range(iters):
-        wv = Window.partitionBy("vid").orderBy("dist", "cid")
-        assigned = (v.crossJoin(F.broadcast(cent))
-                    .withColumn("dist", _sqdist(F.col("qv"), F.col("qc")))
-                    .withColumn("rn", F.row_number().over(wv))
-                    .filter(F.col("rn") == 1)
-                    .select("vid", "qv", "cid"))
+        c_lit = F.array(*[F.array(*[F.lit(int(x)) for x in c])
+                          for c in centers])
+        cid_lit = F.array(*[F.lit(c) for c in cids])
+        # Map-only assignment: per-row argmin of exact integer distances
+        # over the centroid literal. array_position takes the FIRST
+        # minimum and the literal is in ascending-cid order, so ties go to
+        # the lowest cluster id — the documented rule. Empty clusters drop
+        # out of (centers, cids) together, preserving original cid values.
+        dists = F.transform(c_lit, lambda c: _sqdist(F.col("qv"), c))
+        assigned = (v.withColumn("_d", dists)
+                    .select("vid", "qv",
+                            F.element_at(
+                                cid_lit,
+                                F.array_position("_d", F.array_min("_d"))
+                                .cast("int")).alias("cid")))
         sums = (assigned
                 .select("cid", F.posexplode("qv").alias("pos", "val"))
                 .groupBy("cid", "pos")
                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
                 .withColumn("cq", F.round(F.col("s").cast("double")
                                           / F.col("n")).cast("long")))
-        cent = (sums.groupBy("cid")
-                .agg(F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cq"))),
-                    lambda st: st["cq"]).alias("qc")))
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums.collect():
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cq"]
+        cids = sorted(by_cid)
+        centers = [[by_cid[c][pos] for pos in sorted(by_cid[c])]
+                   for c in cids]
     return (sums.select(F.col("cid").alias("centroid_id"), "pos", "cq",
                         F.col("n").alias("n_assigned"))
             .orderBy("centroid_id", "pos"))

@@ -86,13 +86,14 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert b[0][0] == 10_000_000 and b[1][0] == 10_005_500
 
 
-def test_kmeans_broadcasts_centroids(spark):
+def test_kmeans_assignment_is_map_only(spark):
+    """The model rides the plan as a literal: no join, no window, no
+    shuffle of vector data — the only exchange is the k·dim-row
+    (cluster, dim) aggregation."""
     emb = spark.range(0, 64).select(
         F.col("id").alias("vec_id"),
         F.array(F.col("id").cast("double"),
                 (F.col("id") * 2).cast("double")).alias("embedding"))
     plan = _plan(kmeans_fit(emb, k=4, iters=1))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
-        or "CartesianProduct" not in plan
-    # the assignment crossJoin must be against a broadcast side
-    assert "Broadcast" in plan
+    for op in ("Join", "CartesianProduct", "Window", "BatchEvalPython"):
+        assert op not in plan, op
