@@ -87,6 +87,33 @@ def hourly_rollup_stream(events: DataFrame,
                     "total_value"))
 
 
+def interval_join_stream(anchors: DataFrame, points: DataFrame,
+                         window_minutes: int = 15,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: match each anchor event with every
+    same-user event inside ±``window_minutes`` of it — the streaming twin
+    of ``operators/interval.interval_join``.
+
+    Both sides carry watermarks and the join condition bounds event time
+    relative to anchor time, so Spark can size the join state to
+    (watermark horizon + window) and evict finalized rows — the invariant
+    that lets this run forever. Without the time-range condition the state
+    store would grow without bound.
+    """
+    a = anchors.select(F.col("event_id").alias("anchor_id"),
+                       F.col("user_id").alias("a_user"),
+                       F.col("ts").alias("a_ts")
+                       ).withWatermark("a_ts", watermark)
+    p = points.withWatermark("ts", watermark)
+    cond = (
+        (F.col("a_user") == F.col("user_id"))
+        & (F.col("ts") >= F.col("a_ts")
+           - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("ts") <= F.col("a_ts")
+           + F.expr(f"INTERVAL {window_minutes} MINUTES")))
+    return a.join(p, cond)
+
+
 def dedup_stream(docs: DataFrame, ts_col: str = "ts",
                  text_col: str = "text",
                  watermark: str = "30 minutes") -> DataFrame:

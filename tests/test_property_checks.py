@@ -71,3 +71,34 @@ def test_in_list_property(spark, values):
     for i, v in enumerate(values):
         should_flag = v != "" and v not in vocab
         assert ((i + 2) in flagged) == should_flag, (v, should_flag)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000),
+                       st.integers(0, 2000)),
+             min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 5000)),
+             min_size=1, max_size=40),
+    st.sampled_from([500, 1000, 2100]),
+)
+def test_interval_join_property(spark, ivs, pts, bin_width):
+    """interval_join == brute force for arbitrary keys/bounds/bin widths,
+    as long as bin_width >= the widest interval (the caller invariant)."""
+    from nci_seronet_proc_data_validator_spark.operators.interval import (
+        interval_join)
+    widest = max(w for _, _, w in ivs)
+    if bin_width < widest:
+        bin_width = widest
+    intervals = spark.createDataFrame(
+        [Row(interval_id=i, user_id=f"u{k}", lo=lo, hi=lo + w)
+         for i, (k, lo, w) in enumerate(ivs)])
+    points = spark.createDataFrame(
+        [Row(user_id=f"u{k}", tsu=t) for k, t in pts])
+    got = {(r["interval_id"], r["user_id"], r["tsu"])
+           for r in interval_join(intervals, points, "user_id",
+                                  bin_width=bin_width).collect()}
+    want = {(i, f"u{k}", t)
+            for i, (k, lo, w) in enumerate(ivs)
+            for k2, t in pts if k2 == k and lo <= t <= lo + w}
+    assert got == want

@@ -251,6 +251,38 @@ def test_streaming_dedup(spark, tmp_path):
     assert sorted(r["text"] for r in out) == ["alpha beta", "gamma delta"]
 
 
+def test_streaming_interval_join(spark, tmp_path):
+    """Stream-stream time-bounded join: anchors match same-user events
+    within ±15 min; inner-join matches emit without waiting for the
+    watermark to close."""
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        interval_join_stream)
+    src = str(tmp_path / "ev_src")
+    rows = [("2024-01-01 10:00:00", 1, "u1", 500.0),   # anchor
+            ("2024-01-01 10:10:00", 2, "u1", 10.0),    # in window
+            ("2024-01-01 10:20:00", 3, "u1", 10.0),    # outside (+20m)
+            ("2024-01-01 10:05:00", 4, "u2", 10.0)]    # other user
+    (spark.createDataFrame(
+        rows, "ts_s string, event_id long, user_id string, value double")
+     .selectExpr("cast(ts_s as timestamp) as ts", "event_id", "user_id",
+                 "value")
+     .write.parquet(src))
+
+    def mk():
+        return (spark.readStream
+                .schema("ts timestamp, event_id long, user_id string, "
+                        "value double").parquet(src))
+
+    anchors = mk().filter(F.col("value") > 300)
+    q = (interval_join_stream(anchors, mk())
+         .writeStream.outputMode("append").format("memory")
+         .queryName("ij_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT anchor_id, event_id FROM ij_out "
+                    "WHERE anchor_id <> event_id").collect()
+    assert {(r["anchor_id"], r["event_id"]) for r in out} == {(1, 2)}
+
+
 def test_multimodal_resize_and_audio(spark):
     from nci_seronet_proc_data_validator_spark.operators.multimodal import (
         MEDIA_SCHEMA, audio_features, resize_images)
