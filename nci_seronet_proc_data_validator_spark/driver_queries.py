@@ -1469,6 +1469,34 @@ LIMIT 200
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (500 chars, 100 overlap) — map-only
+    explode; chunks identified by length + portable hash."""
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        chunk_documents)
+    docs = read_table(spark, sf_dir, "documents")
+    return (chunk_documents(docs, chunk_chars=500, overlap=100)
+            .select("doc_id", "chunk_idx", "chunk_len", "chunk_hash")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split + shuffle key (pure map)."""
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        train_val_split)
+    docs = read_table(spark, sf_dir, "documents")
+    return train_val_split(docs, val_pct=10).orderBy("doc_id")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-cut sequence packing per language shard."""
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        pack_sequences)
+    docs = read_table(spark, sf_dir, "documents")
+    return (pack_sequences(docs, budget=2048)
+            .orderBy("shard", "seq_id"))
+
+
 def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ANN pipeline — k-means-trained centroids feeding the IVF
     probe — cross-checked end to end (train is integer-exact, probe is
@@ -1511,6 +1539,19 @@ def _register_round2_queries() -> None:
         keep_canonical_oracle_sql(minhash_lsh_pairs_oracle_sql()))
     QUERIES["vocab_topn"] = (q_vocab_topn, SQL_VOCAB_TOPN)
     QUERIES["events_sliding"] = (q_events_sliding, SQL_EVENTS_SLIDING)
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        chunk_documents_oracle_sql,
+        pack_sequences_oracle_sql,
+        train_val_split_oracle_sql,
+    )
+    QUERIES.update({
+        "chunk_documents": (q_chunk_documents,
+                            chunk_documents_oracle_sql(500, 100)),
+        "train_val_split": (q_train_val_split,
+                            train_val_split_oracle_sql(val_pct=10)),
+        "pack_sequences": (q_pack_sequences,
+                           pack_sequences_oracle_sql(budget=2048)),
+    })
     QUERIES["ivf_topk_trained"] = (
         q_ivf_topk_trained,
         ivf_topk_oracle_sql(

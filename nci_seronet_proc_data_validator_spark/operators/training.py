@@ -1,0 +1,147 @@
+"""Training-data preparation operators: chunking, deterministic
+split/shuffle, and token-budget sequence packing — the steps between "the
+corpus is clean" (dedup/quality/PII, elsewhere in ``operators/``) and "a
+training run can read it". The reference has none of this; the shapes are
+standard pretraining prep.
+
+Scale posture:
+
+- ``chunk_documents`` is a pure map (explode over computed offsets) — no
+  shuffle, parallel in the scan.
+- ``train_val_split`` is a pure map: the split decision and the shuffle
+  key are both content-free hashes of the id, so the assignment is stable
+  under repartitioning, re-runs, and engine choice (md5-prefix ints, the
+  engine-portable hash used by the dedup pipeline).
+- ``pack_sequences`` is the GPT-style concat-and-cut: documents are
+  concatenated in id order per shard and cut every ``budget`` tokens; a
+  document belongs to the sequence where it starts. One window cumsum
+  partitioned by the shard key — the shuffle moves each shard once, and
+  shards pack independently (the global-concat variant would be a single
+  global sort; sharded packing is what a 1000-executor run does anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_int(col: Column, prefix: str = "") -> Column:
+    """First 8 md5 hex digits as a bigint — portable across engines
+    (DuckDB: ``CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 8),
+                  16, 10).cast("long")
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = 500,
+                    overlap: int = 100, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap —
+    context-window prep. Chunk ``i`` starts at ``1 + i*(chunk-overlap)``
+    (1-based, matching both engines' substr); the final chunk may be
+    short; a document shorter than one stride yields exactly one chunk.
+    """
+    stride = chunk_chars - overlap
+    if stride <= 0:
+        raise ValueError("chunk_chars must exceed overlap")
+    n = F.length(F.col(text_col))
+    # number of chunks = 1 + ceil(max(0, n - chunk) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_chars, F.lit(0)) / F.lit(stride)).cast("int")
+    return (docs.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.substring(F.col(text_col),
+                                  (i * stride + 1).cast("int"),
+                                  chunk_chars))).alias("chunk_idx", "chunk"))
+        .withColumn("chunk_len", F.length("chunk"))
+        .withColumn("chunk_hash", _hash_int(F.col("chunk"))))
+
+
+def chunk_documents_oracle_sql(chunk_chars: int = 500, overlap: int = 100,
+                               table: str = "documents") -> str:
+    stride = chunk_chars - overlap
+    return f"""
+WITH d AS (
+  SELECT doc_id, text,
+         1 + CAST(ceil(greatest(length(text) - {chunk_chars}, 0)
+                       / {stride}.0) AS INT) AS n_chunks
+  FROM {table})
+SELECT doc_id, i AS chunk_idx,
+       length(substr(text, i * {stride} + 1, {chunk_chars})) AS chunk_len,
+       CAST('0x' || substr(md5(substr(text, i * {stride} + 1,
+                                      {chunk_chars})), 1, 8) AS BIGINT)
+         AS chunk_hash
+FROM d, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def train_val_split(docs: DataFrame, val_pct: int = 10,
+                    seed: str = "split-v1",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic split + shuffle key: ``val`` iff
+    ``hash(seed, id) % 100 < val_pct``; ``shuffle_key`` is an independent
+    hash for stable pseudorandom training order. Pure map — assignment
+    survives re-runs, repartitioning, and backfills (the property
+    random() splits lack)."""
+    h = _hash_int(F.col(id_col).cast("string"), f"{seed}:")
+    return docs.select(
+        id_col,
+        F.when(h % 100 < val_pct, F.lit("val"))
+         .otherwise(F.lit("train")).alias("split"),
+        _hash_int(F.col(id_col).cast("string"), f"{seed}:order:")
+        .alias("shuffle_key"))
+
+
+def train_val_split_oracle_sql(val_pct: int = 10, seed: str = "split-v1",
+                               table: str = "documents") -> str:
+    def h(prefix: str) -> str:
+        return (f"CAST('0x' || substr(md5('{prefix}' || "
+                f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)")
+    return f"""
+SELECT doc_id,
+       CASE WHEN {h(seed + ':')} % 100 < {val_pct}
+            THEN 'val' ELSE 'train' END AS split,
+       {h(seed + ':order:')} AS shuffle_key
+FROM {table}
+ORDER BY doc_id
+"""
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048,
+                   shard_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in id order
+    within each shard, cut every ``budget`` tokens; a document belongs to
+    the sequence in which its first token lands. Returns per-sequence
+    stats ``(shard, seq_id, n_docs, total_tokens)``."""
+    ntok = F.size(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    offset = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (docs.select(shard_col, id_col, ntok.alias("n_tok"))
+            .withColumn("seq_id", F.floor(offset / budget))
+            .groupBy(F.col(shard_col).alias("shard"), "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens")))
+
+
+def pack_sequences_oracle_sql(budget: int = 2048,
+                              table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+  FROM {table}),
+o AS (
+  SELECT lang, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t)
+SELECT lang AS shard, CAST(floor(off / {budget}.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, sum(n_tok) AS total_tokens
+FROM o GROUP BY 1, 2 ORDER BY shard, seq_id
+"""

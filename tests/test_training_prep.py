@@ -1,0 +1,75 @@
+"""Training-prep operators: chunking, split, packing — hand-checkable
+edges plus the determinism properties the pipeline depends on."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.operators.training import (
+    chunk_documents,
+    pack_sequences,
+    train_val_split,
+)
+
+
+def test_chunk_bounds_and_overlap(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a" * 500),     # exactly one chunk
+        Row(doc_id=2, text="b" * 501),     # 2 chunks; 2nd starts at 401
+        Row(doc_id=3, text="c" * 90),      # shorter than one stride
+        Row(doc_id=4, text=""),            # empty → one empty chunk
+    ])
+    out = {(r["doc_id"], r["chunk_idx"]): r["chunk_len"]
+           for r in chunk_documents(docs, 500, 100).collect()}
+    assert out == {(1, 0): 500, (2, 0): 500, (2, 1): 101,
+                   (3, 0): 90, (4, 0): 0}
+
+
+def test_chunk_text_reassembles(spark):
+    """Strides cover the document: stripping each chunk's 100-char overlap
+    prefix (after chunk 0) and concatenating restores the original."""
+    text = "".join(chr(97 + i % 26) for i in range(1234))
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    chunks = [r["chunk"] for r in chunk_documents(docs, 500, 100)
+              .orderBy("chunk_idx").collect()]
+    rebuilt = chunks[0] + "".join(c[100:] for c in chunks[1:])
+    assert rebuilt == text
+
+
+def test_chunk_rejects_bad_stride(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 100, 100)
+
+
+def test_split_deterministic_and_disjoint(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    a = {r["doc_id"]: (r["split"], r["shuffle_key"])
+         for r in train_val_split(docs, val_pct=20).collect()}
+    b = {r["doc_id"]: (r["split"], r["shuffle_key"])
+         for r in train_val_split(docs.repartition(7), val_pct=20).collect()}
+    assert a == b                       # stable under repartitioning
+    n_val = sum(1 for s, _ in a.values() if s == "val")
+    assert 0 < n_val < 200              # both sides populated
+    c = train_val_split(docs, val_pct=20, seed="split-v2").collect()
+    assert {r["doc_id"]: r["split"] for r in c} != \
+        {k: v[0] for k, v in a.items()}  # seed actually changes the split
+
+
+def test_pack_sequences_cuts_at_budget(spark):
+    # 5 docs of 3 tokens each in one shard, budget 6 → offsets 0,3,6,9,12
+    # → seqs {0: docs 1-2} {1: docs 3-4} {2: doc 5}
+    docs = spark.createDataFrame(
+        [Row(lang="en", doc_id=i, text="tok tok tok") for i in range(1, 6)])
+    out = {(r["shard"], r["seq_id"]): (r["n_docs"], r["total_tokens"])
+           for r in pack_sequences(docs, budget=6).collect()}
+    assert out == {("en", 0): (2, 6), ("en", 1): (2, 6), ("en", 2): (1, 3)}
+
+
+def test_pack_sequences_shards_independent(spark):
+    docs = spark.createDataFrame(
+        [Row(lang=l, doc_id=i, text="a b c")
+         for l in ("en", "fr") for i in range(4)])
+    out = pack_sequences(docs, budget=100)
+    rows = {(r["shard"], r["seq_id"]) for r in out.collect()}
+    assert rows == {("en", 0), ("fr", 0)}  # each shard packs from seq 0
