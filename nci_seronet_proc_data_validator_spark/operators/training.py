@@ -116,7 +116,13 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     """GPT-style sequence packing: concatenate documents in id order
     within each shard, cut every ``budget`` tokens; a document belongs to
     the sequence in which its first token lands. Returns per-sequence
-    stats ``(shard, seq_id, n_docs, total_tokens)``."""
+    stats ``(shard, seq_id, n_docs, total_tokens)``.
+
+    ``shard_col`` bounds the window's parallelism: all of a shard's rows
+    sort on one task. At cluster scale pick a key with ≥ executor-count
+    cardinality (input file/block id is the natural one — packing per
+    input split); a low-cardinality key like ``lang`` is only for
+    demo/oracle runs at test scale."""
     ntok = F.size(F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
     w = (Window.partitionBy(shard_col).orderBy(id_col)

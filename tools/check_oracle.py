@@ -51,9 +51,11 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -89,7 +91,7 @@ def main() -> int:
             failures.append(name)
         print(f"{status} {name}: rows={len(a)} ({time.time()-t0:.1f}s) {detail}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match the oracle")
+    print(f"\n{n_run - len(failures)}/{n_run} queries match the oracle")
     return 1 if failures else 0
 
 
