@@ -1497,6 +1497,80 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard", "seq_id"))
 
 
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel in ONE aggregation pass: how many
+    documents survive each cumulative stage — length floor, Gopher-style
+    quality gate, near-dup canonical filter. Composes quality_features +
+    minhash LSH + connected components; flags are computed per doc and
+    summed, so adding a stage costs a column, not a pass."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        connected_components)
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        quality_features)
+    docs = read_table(spark, sf_dir, "documents")
+    qf = quality_features(docs).select("doc_id", "n_words", "is_quality")
+    losers = (connected_components(minhash_lsh_pairs(docs))
+              .filter(F.col("id") != F.col("cluster_id"))
+              .select(F.col("id").alias("doc_id"),
+                      F.lit(True).alias("is_dup")))
+    d = (docs.select("doc_id")
+         .join(qf, "doc_id", "left")
+         .join(F.broadcast(losers), "doc_id", "left"))
+    f1 = F.coalesce(F.col("n_words") >= 5, F.lit(False))
+    f2 = f1 & F.coalesce(F.col("is_quality"), F.lit(False))
+    f3 = f2 & ~F.coalesce(F.col("is_dup"), F.lit(False))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(f1.cast("long")).alias("n_len_ok"),
+        F.sum(f2.cast("long")).alias("n_quality"),
+        F.sum(f3.cast("long")).alias("n_kept"))
+
+
+def corpus_funnel_oracle_sql(pairs_sql: str) -> str:
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        STOPWORDS)
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS id, r.root AS root
+  FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         (len(list_filter(ws, x -> list_contains([{stops}], x))) * 20
+            >= len(ws)
+          AND len(list_distinct(ws)) * 5 >= len(ws)) AS is_quality
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, ' +'), x -> x <> '')
+                 AS ws
+        FROM documents)
+  WHERE len(ws) > 0),
+d AS (
+  SELECT doc.doc_id,
+         COALESCE(q.n_words >= 5, FALSE) AS f1,
+         COALESCE(q.n_words >= 5, FALSE)
+           AND COALESCE(q.is_quality, FALSE) AS f2,
+         doc.doc_id IN (SELECT id FROM cc WHERE id <> cluster_id) AS dup
+  FROM documents doc LEFT JOIN q ON doc.doc_id = q.doc_id)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n_len_ok,
+       sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN f2 AND NOT dup THEN 1 ELSE 0 END) AS n_kept
+FROM d
+"""
+
+
 def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ANN pipeline — k-means-trained centroids feeding the IVF
     probe — cross-checked end to end (train is integer-exact, probe is
@@ -1551,6 +1625,9 @@ def _register_round2_queries() -> None:
                             train_val_split_oracle_sql(val_pct=10)),
         "pack_sequences": (q_pack_sequences,
                            pack_sequences_oracle_sql(budget=2048)),
+        "corpus_funnel": (q_corpus_funnel,
+                          corpus_funnel_oracle_sql(
+                              minhash_lsh_pairs_oracle_sql())),
     })
     QUERIES["ivf_topk_trained"] = (
         q_ivf_topk_trained,

@@ -121,6 +121,21 @@ def test_keep_canonical_broadcasts_loser_set(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_training_prep_plan_shapes(spark, sf_dir):
+    """chunk/split are pure maps (no exchange, no Python); packing's only
+    exchanges are the shard-key window + the tiny (shard, seq) agg."""
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        chunk_documents, pack_sequences, train_val_split)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (chunk_documents(docs), train_val_split(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+    plan = _plan(pack_sequences(docs))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
 def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
     """The tf explode must be filtered to query terms BEFORE the (doc,
     term) aggregation shuffle, and corpus stats / df must broadcast."""
