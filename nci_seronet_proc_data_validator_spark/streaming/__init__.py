@@ -1,9 +1,10 @@
 from nci_seronet_proc_data_validator_spark.streaming.watcher import (
     dedup_stream,
+    enrich_stream,
     hourly_rollup_stream,
     interval_join_stream,
     validate_stream,
 )
 
 __all__ = ["validate_stream", "hourly_rollup_stream", "dedup_stream",
-           "interval_join_stream"]
+           "interval_join_stream", "enrich_stream"]

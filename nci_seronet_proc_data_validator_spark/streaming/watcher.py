@@ -87,6 +87,19 @@ def hourly_rollup_stream(events: DataFrame,
                     "total_value"))
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment: left-join the (unbounded) event stream
+    against a bounded dimension table, broadcast side pinned.
+
+    No watermark and no state store involved — the static side is
+    re-broadcast per micro-batch (picking up dim-table updates between
+    batches), and the stream side never shuffles. This is the streaming
+    twin of the batch enrichment joins in ``operators/joins``.
+    """
+    return events.join(F.broadcast(dim), key, "left")
+
+
 def interval_join_stream(anchors: DataFrame, points: DataFrame,
                          window_minutes: int = 15,
                          watermark: str = "1 hour") -> DataFrame:

@@ -86,6 +86,30 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert b[0][0] == 10_000_000 and b[1][0] == 10_005_500
 
 
+def test_kmeans_empty_cluster_drops_but_keeps_cids(spark):
+    """k=3 with identical init vectors: every point ties to all three
+    centroids and goes to the lowest cid, so clusters 1 and 2 empty out
+    after round one — and the DuckDB oracle agrees row for row."""
+    import duckdb
+    import pandas as pd
+
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_oracle_sql)
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + \
+           [(i, [10.0, 10.0]) for i in range(3, 6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit(emb, k=3, iters=2).orderBy("centroid_id", "pos")
+    got = [tuple(r) for r in out.collect()]
+    assert {r[0] for r in got} == {0}          # only cluster 0 survives
+    assert all(r[3] == 6 for r in got)         # all six docs in it
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]}))
+    want = [tuple(r) for r in
+            con.execute(kmeans_oracle_sql(k=3, iters=2)).fetchall()]
+    assert got == want
+
+
 def test_kmeans_assignment_is_map_only(spark):
     """The model rides the plan as a literal: no join, no window, no
     shuffle of vector data — the only exchange is the k·dim-row

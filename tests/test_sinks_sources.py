@@ -303,3 +303,24 @@ def test_multimodal_resize_and_audio(spark):
     assert len(au) == 1 and au[0]["media_id"] == 3
     assert au[0]["est_samples"] == 32000             # 2s @ 16kHz
     assert au[0]["n_bytes"] == 64 and 0.0 < au[0]["rms"] < 1.0
+
+
+def test_streaming_static_enrichment(spark, tmp_path):
+    """Stream-static left join: stream rows enriched from the broadcast
+    dim table; unmatched keys survive with nulls."""
+    from nci_seronet_proc_data_validator_spark.streaming import enrich_stream
+    src = str(tmp_path / "ev_src2")
+    (spark.createDataFrame(
+        [("u1", 1.0), ("u2", 2.0), ("u3", 3.0)], "user_id string, value double")
+     .write.parquet(src))
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], "user_id string, tier string")
+    stream = (spark.readStream
+              .schema("user_id string, value double").parquet(src))
+    q = (enrich_stream(stream, dim).writeStream.outputMode("append")
+         .format("memory").queryName("enrich_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r["user_id"]: r["tier"]
+           for r in spark.sql("SELECT * FROM enrich_out").collect()}
+    assert out == {"u1": "gold", "u2": "silver", "u3": None}
