@@ -1497,6 +1497,114 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard", "seq_id"))
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): filters push to all three
+    scans, the customer side broadcasts, top-10 is a TakeOrdered with a
+    fully deterministic key (revenue is an exact DECIMAL sum, ties broken
+    on the unique orderkey)."""
+    cutoff = F.lit("1996-07-01").cast("timestamp")
+    cust = (read_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (read_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey",
+                     F.to_date("o_orderdate").cast("string")
+                     .alias("o_orderdate"),
+                     "o_orderpriority")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_shipdate > TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): a 6-table join where the
+    two dimension tables broadcast, the supplier join carries the
+    cross-side ``c_nationkey = s_nationkey`` locality condition, and AQE
+    picks shuffle strategies for the big sides."""
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = (read_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= y0)
+                      & (F.col("o_orderdate") < y1))
+              .select("o_orderkey", "o_custkey"))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = (read_table(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), "n_name"))
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel in ONE aggregation pass: how many
     documents survive each cumulative stage — length floor, Gopher-style
@@ -1628,6 +1736,8 @@ def _register_round2_queries() -> None:
         "corpus_funnel": (q_corpus_funnel,
                           corpus_funnel_oracle_sql(
                               minhash_lsh_pairs_oracle_sql())),
+        "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+        "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     })
     QUERIES["ivf_topk_trained"] = (
         q_ivf_topk_trained,

@@ -121,6 +121,23 @@ def test_keep_canonical_broadcasts_loser_set(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_tpch_shapes_push_and_broadcast(spark, sf_dir):
+    """Q3: the segment/date filters reach the scans and the filtered
+    customer side broadcasts; Q5: both dimension joins broadcast and
+    nothing degenerates to a nested-loop join."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        q_tpch_q3, q_tpch_q5)
+    p3 = _plan(q_tpch_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in p3
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" \
+        in p3
+    assert "TakeOrderedAndProject" in p3
+    p5 = _plan(q_tpch_q5(spark, sf_dir))
+    assert p5.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in p5
+    assert "CartesianProduct" not in p5
+
+
 def test_training_prep_plan_shapes(spark, sf_dir):
     """chunk/split are pure maps (no exchange, no Python); packing's only
     exchanges are the shard-key window + the tiny (shard, seq) agg."""
