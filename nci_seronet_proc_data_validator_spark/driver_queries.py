@@ -1497,6 +1497,56 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard", "seq_id"))
 
 
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary): one scan, one keyed agg with
+    map-side partials; every sum routes through DECIMAL so the results
+    are order-independent and engine-exact; averages derive from exact
+    sums at the end (never a float mean over a nondeterministic order)."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") <= F.lit("1998-09-02")
+                  .cast("timestamp")))
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc = F.lit(1).cast("decimal(18,4)") - dec("l_discount")
+    charge = dec("l_extendedprice") * disc \
+        * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double")
+                 .alias("sum_base_price"),
+                 F.sum(dec("l_extendedprice") * disc).cast("double")
+                 .alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 (F.sum(dec("l_quantity")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * (CAST(1 AS DECIMAL(18,4))
+                   - CAST(l_discount AS DECIMAL(18,4)))
+                * (CAST(1 AS DECIMAL(18,4))
+                   + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+         AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping-priority): filters push to all three
     scans, the customer side broadcasts, top-10 is a TakeOrdered with a
@@ -1602,6 +1652,38 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
+"""
+
+
+def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen epoch-week, counted
+    in every later week they were active. Three keyed shuffles (first-seen
+    agg, activity distinct, cohort join) — all on user_id or the tiny
+    (cohort, week) pair; weeks are integer micros arithmetic, exact on
+    both engines."""
+    wk = 7 * 86_400 * 1_000_000
+    ev = (read_events(spark, sf_dir)
+          .select("user_id",
+                  F.floor(F.unix_micros("ts") / wk).alias("week")))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (active.join(first, "user_id")
+            .groupBy("cohort_week", "week")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort_week", "week"))
+
+
+SQL_USER_RETENTION = """
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 604800000000.0)
+              AS BIGINT) AS week
+  FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, week FROM e)
+SELECT cohort_week, week, count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -1736,6 +1818,8 @@ def _register_round2_queries() -> None:
         "corpus_funnel": (q_corpus_funnel,
                           corpus_funnel_oracle_sql(
                               minhash_lsh_pairs_oracle_sql())),
+        "user_retention": (q_user_retention, SQL_USER_RETENTION),
+        "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
         "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
         "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     })
