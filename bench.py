@@ -103,6 +103,7 @@ BENCH_QUERIES = {
     "kmeans_centroids": QUERIES["kmeans_centroids"][0],
     "vocab_topn": QUERIES["vocab_topn"][0],
     "events_sliding": QUERIES["events_sliding"][0],
+    "tpch_q1": QUERIES["tpch_q1"][0],
     "tpch_q3": QUERIES["tpch_q3"][0],
     "tpch_q5": QUERIES["tpch_q5"][0],
 }
