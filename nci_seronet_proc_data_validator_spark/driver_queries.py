@@ -1499,49 +1499,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape (pricing summary): one scan, one keyed agg with
-    map-side partials; every sum routes through DECIMAL so the results
-    are order-independent and engine-exact; averages derive from exact
-    sums at the end (never a float mean over a nondeterministic order)."""
+    map-side partials. All money math is integer fixed-point (prices in
+    cents, discount/tax in percent points), summed through DECIMAL(38,0)
+    and emitted as BIGINT — exact, order-independent, and immune to the
+    cross-engine wide-decimal divergence (a 3-factor DECIMAL product
+    exceeds DuckDB's 38-digit width and silently degrades to double;
+    integer units never do). ``sum_disc_price_e4``/``sum_charge_e6``
+    carry scale 1e4 / 1e6 respectively."""
     li = (read_table(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") <= F.lit("1998-09-02")
                   .cast("timestamp")))
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    disc = F.lit(1).cast("decimal(18,4)") - dec("l_discount")
-    charge = dec("l_extendedprice") * disc \
-        * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.lit(100) + F.round(F.col("l_tax") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+
+    def exact_sum(col):
+        return F.sum(col.cast("decimal(38,0)")).cast("long")
+
     return (li.groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("double")
-                 .alias("sum_base_price"),
-                 F.sum(dec("l_extendedprice") * disc).cast("double")
-                 .alias("sum_disc_price"),
-                 F.sum(charge).cast("double").alias("sum_charge"),
-                 (F.sum(dec("l_quantity")).cast("double")
+            .agg(exact_sum(qty).alias("sum_qty"),
+                 exact_sum(cents).alias("sum_base_price_cents"),
+                 exact_sum(cents * d100).alias("sum_disc_price_e4"),
+                 exact_sum(cents * d100 * t100).alias("sum_charge_e6"),
+                 (exact_sum(qty).cast("double")
                   / F.count(F.lit(1))).alias("avg_qty"),
                  F.count(F.lit(1)).alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
 SQL_TPCH_Q1 = """
+WITH t AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         100 - CAST(round(l_discount * 100) AS BIGINT) AS d100,
+         100 + CAST(round(l_tax * 100) AS BIGINT) AS t100
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02')
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-         AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4))
-                   - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-         AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                * (CAST(1 AS DECIMAL(18,4))
-                   - CAST(l_discount AS DECIMAL(18,4)))
-                * (CAST(1 AS DECIMAL(18,4))
-                   + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE)
-         AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)
-         AS avg_qty,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(cents) AS BIGINT) AS sum_base_price_cents,
+       CAST(SUM(cents * d100) AS BIGINT) AS sum_disc_price_e4,
+       CAST(SUM(cents * d100 * t100) AS BIGINT) AS sum_charge_e6,
+       CAST(CAST(SUM(qty) AS BIGINT) AS DOUBLE) / count(*) AS avg_qty,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM t
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
