@@ -1658,6 +1658,31 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the customer↔supplier purchase graph
+    (edges: distinct (custkey, suppkey) pairs from orders⋈lineitem, id
+    spaces disjoint via 2k / 2k+1). Exact integer ranks — see
+    operators/graph.pagerank."""
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        pagerank)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    return (pagerank(edges, iters=3)
+            .orderBy(F.col("rank").desc(), "node_id"))
+
+
+_PR_EDGES_SQL = """
+SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 def q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen epoch-week, counted
     in every later week they were active. Three keyed shuffles (first-seen
@@ -1800,7 +1825,9 @@ def _register_round2_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         minhash_lsh_pairs_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.graph import (
-        keep_canonical_oracle_sql)
+        keep_canonical_oracle_sql, pagerank_oracle_sql)
+    QUERIES["pagerank"] = (
+        q_pagerank, pagerank_oracle_sql(_PR_EDGES_SQL, iters=3))
     QUERIES["dedup_keep_canonical"] = (
         q_dedup_keep_canonical,
         keep_canonical_oracle_sql(minhash_lsh_pairs_oracle_sql()))

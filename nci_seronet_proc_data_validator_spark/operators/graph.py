@@ -84,6 +84,77 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
+_PR_SCALE = 1_000_000_000
+
+
+def pagerank(edges: DataFrame, iters: int = 3,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-point PageRank (damping 0.85) over the symmetrized edge set —
+    every quantity is an integer multiple of 1e-9, every step is integer
+    floor arithmetic, so ranks are bit-identical on any engine and any
+    partitioning (float PageRank sums are order-dependent; this isn't).
+
+    Per iteration: one equi-join (contributions to neighbors) + one keyed
+    aggregation — the same two-shuffle round as ``connected_components``,
+    with the edge set checkpointed once up front so the per-round plan
+    stays constant-size. Fixed iteration count → no driver actions in the
+    loop at all. Dangling mass is dropped (simplified variant, mirrored
+    exactly by the oracle). Returns ``(node_id, rank)`` with rank scaled
+    by 1e9."""
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d"))
+    e = (e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+         .distinct().localCheckpoint())
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("s").alias("node_id"), "deg")
+    n = nodes.count()
+    base = (15 * (_PR_SCALE // n)) // 100
+    r = nodes.withColumn("rank", F.lit(_PR_SCALE // n))
+    for _ in range(iters):
+        contrib = (e.join(r.withColumnRenamed("node_id", "s"), "s")
+                   .select(F.col("d").alias("node_id"),
+                           F.expr("rank div deg").alias("c")))
+        r = (nodes.join(contrib.groupBy("node_id")
+                        .agg(F.sum("c").alias("sc")), "node_id", "left")
+             .select("node_id", "deg",
+                     (F.lit(base)
+                      + F.expr(f"(85 * coalesce(sc, 0L)) div 100"))
+                     .alias("rank")))
+    return r.select("node_id", "rank")
+
+
+def pagerank_oracle_sql(edges_sql: str, iters: int = 3,
+                        limit: int | None = None) -> str:
+    """Unrolled-iteration oracle (same integer fixed-point contract).
+    ``edges_sql`` must emit ``src``/``dst``."""
+    ctes = [f"raw AS ({edges_sql})", """e AS (
+  SELECT src AS s, dst AS d FROM raw
+  UNION
+  SELECT dst AS s, src AS d FROM raw)""", """deg AS (
+  SELECT s, count(*) AS deg FROM e GROUP BY s)""", f"""r0 AS (
+  SELECT s AS node_id, deg,
+         CAST({_PR_SCALE} AS BIGINT)
+           // (SELECT count(*) FROM deg) AS rank
+  FROM deg)"""]
+    base = (f"(15 * (CAST({_PR_SCALE} AS BIGINT) "
+            f"// (SELECT count(*) FROM deg))) // 100")
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+  SELECT n.node_id, n.deg,
+         {base} + (85 * COALESCE(c.sc, 0)) // 100 AS rank
+  FROM r0 n
+  LEFT JOIN (
+    SELECT e.d AS node_id, SUM(p.rank // p.deg) AS sc
+    FROM e JOIN r{i - 1} p ON e.s = p.node_id
+    GROUP BY e.d) c ON c.node_id = n.node_id)""")
+    tail = f"LIMIT {limit}" if limit else ""
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT node_id, rank FROM r{iters} ORDER BY rank DESC, node_id {tail}
+"""
+
+
 def keep_canonical(corpus: DataFrame, components: DataFrame,
                    id_col: str = "doc_id") -> DataFrame:
     """The dedup pipeline's terminal step: drop every clustered document

@@ -29,3 +29,33 @@ def test_cc_long_chain_converges(spark):
            for r in connected_components(pairs).collect()}
     assert set(out.values()) == {1}
     assert len(out) == 10
+
+
+def test_pagerank_star_graph_exact(spark):
+    """Star: hub 0 ↔ leaves 1..4. After symmetrization deg(hub)=4,
+    deg(leaf)=1. Exact fixed-point hand-check (N=5, scale 1e9):
+    r0 = 200_000_000 for all; every iteration keeps leaves equal by
+    symmetry and hub = base + 85% of the sum of 4 equal leaf
+    contributions. DuckDB oracle must agree bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        pagerank, pagerank_oracle_sql)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long")
+    from pyspark.sql import functions as F
+    got = [(r["node_id"], r["rank"])
+           for r in pagerank(edges, iters=3)
+           .orderBy(F.col("rank").desc(), "node_id").collect()]
+    # leaves all equal, hub strictly higher
+    leaf_ranks = {rk for n, rk in got if n != 0}
+    hub_rank = dict(got)[0]
+    assert len(leaf_ranks) == 1 and hub_rank > leaf_ranks.pop()
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(
+        {"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]}))
+    want = [tuple(r) for r in con.execute(
+        pagerank_oracle_sql("SELECT src, dst FROM edges_t",
+                            iters=3)).fetchall()]
+    assert got == want
