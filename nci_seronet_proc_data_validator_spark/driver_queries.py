@@ -803,6 +803,15 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(docs).orderBy("doc_id")
 
 
+def q_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram familiarity score — the integer-exact LM-perplexity
+    stand-in (see operators/text_quality.familiarity_features)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        familiarity_features)
+    docs = read_table(spark, sf_dir, "documents")
+    return familiarity_features(docs).orderBy("doc_id")
+
+
 # ------------------------------------------------ MinHash / SimHash dedup
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
@@ -1251,6 +1260,11 @@ def _register_dedup_queries() -> None:
     QUERIES.update({
         "quality_score": (q_quality_score, quality_oracle_sql()),
         "repetition_bigrams": (q_repetition, repetition_oracle_sql()),
+    })
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        familiarity_oracle_sql)
+    QUERIES.update({
+        "familiarity": (q_familiarity, familiarity_oracle_sql()),
     })
     from nci_seronet_proc_data_validator_spark.operators.graph import (
         connected_components_oracle_sql)

@@ -157,6 +157,63 @@ def repetition_features(df: DataFrame, text_col: str = "text",
         .alias("is_repetitive"))
 
 
+def familiarity_features(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus-statistics quality signal (the integer-exact stand-in for an
+    n-gram LM perplexity): how "familiar" each document's bigrams are,
+    measured as the summed corpus-wide frequency of its bigrams over its
+    bigram count. Gibberish/outlier text scores near 1 (its bigrams occur
+    nowhere else); boilerplate scores high.
+
+    Shape at scale: one explode → corpus bigram counts (keyed agg,
+    map-side partials), one shuffle join of doc-bigrams against those
+    counts on the high-cardinality bigram key, one keyed agg back to
+    docs. All counts are exact integers; the single ratio is one
+    long/long → double divide (IEEE-identical cross-engine). Avoiding
+    log() is deliberate — libm ulps differ across engines, integer
+    ratios don't."""
+    ws = _words(text_col)
+    base = (df.select(F.col(id_col), ws.alias("ws"))
+            .filter(F.size("ws") >= 2))
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    doc_bg = (base.select(id_col, F.explode(bigrams).alias("bg"))
+              .groupBy(id_col, "bg")
+              .agg(F.count(F.lit(1)).alias("n")))
+    corpus = doc_bg.groupBy("bg").agg(F.sum("n").alias("cn"))
+    return (doc_bg.join(corpus, "bg")
+            .groupBy(id_col)
+            .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                 F.sum(F.col("n") * F.col("cn")).cast("long")
+                 .alias("sum_corpus_freq"))
+            .select(id_col, "n_bigrams", "sum_corpus_freq",
+                    (F.col("sum_corpus_freq").cast("double")
+                     / F.col("n_bigrams")).alias("familiarity")))
+
+
+def familiarity_oracle_sql(table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+  FROM {table}),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+db AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+c AS (SELECT bg, sum(n) AS cn FROM db GROUP BY bg)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       CAST(SUM(n * cn) AS BIGINT) AS sum_corpus_freq,
+       CAST(CAST(SUM(n * cn) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(n) AS BIGINT) AS familiarity
+FROM db JOIN c USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def repetition_oracle_sql(table: str = "documents") -> str:
     return f"""
 WITH w AS (
