@@ -121,6 +121,30 @@ def test_keep_canonical_broadcasts_loser_set(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_familiarity_shuffles_on_bigram_key(spark, sf_dir):
+    """The corpus-count join must be a shuffle join on the bigram key with
+    no Python eval and no nested-loop fallback."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        familiarity_features)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(familiarity_features(docs))
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_rounds_are_two_shuffle(spark):
+    """A PageRank round is contribution-join + keyed agg — no window, no
+    Python, no nested loop; the checkpointed edge set keeps plans flat."""
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        pagerank)
+    edges = spark.range(0, 200).selectExpr("id AS src", "(id % 40) AS dst")
+    plan = _plan(pagerank(edges, iters=2))
+    for op in ("BatchEvalPython", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "Window"):
+        assert op not in plan, op
+
+
 def test_tpch_shapes_push_and_broadcast(spark, sf_dir):
     """Q3: the segment/date filters reach the scans and the filtered
     customer side broadcasts; Q5: both dimension joins broadcast and
