@@ -63,8 +63,12 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     ``cq`` is the quantized component after the last mean update and
     ``n_assigned`` the size of the cluster in the final assignment.
     """
+    # Quantized vectors feed the init scan plus every iteration's
+    # assignment — persist once (the same input caching MLlib's KMeans
+    # does; at cluster scale this is the one intermediate worth memory).
     v = spread_small_input(emb).select(
-        F.col(id_col).alias("vid"), quantize(F.col(vec_col)).alias("qv"))
+        F.col(id_col).alias("vid"),
+        quantize(F.col(vec_col)).alias("qv")).persist()
     # Initial model: the k lowest-id vectors, collected driver-side (k·dim
     # scalars — model sync, not data collection).
     centers = [r["qv"] for r in v.orderBy("vid").limit(k).collect()]
