@@ -1729,6 +1729,50 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a HAVING-filtered aggregate
+    over the fact table joined back to its parents. The qualifying-key
+    set is tiny after the HAVING cut, so the join back to orders is
+    effectively a semi-join Spark can broadcast; quantities sum in exact
+    integer units."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round(F.col("l_quantity")).cast("long").alias("q"))
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("q").cast("decimal(38,0)")).cast("long")
+                .alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name")
+    return (F.broadcast(big)
+            .join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("c_name", "o_orderkey",
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("totalprice_cents"),
+                    "sum_qty")
+            .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+            .limit(20))
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) > 250)
+SELECT c_name, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel in ONE aggregation pass: how many
     documents survive each cumulative stage — length floor, Gopher-style
@@ -1866,6 +1910,7 @@ def _register_round2_queries() -> None:
         "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
         "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
         "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+        "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     })
     QUERIES["ivf_topk_trained"] = (
         q_ivf_topk_trained,
