@@ -396,6 +396,7 @@ def ngram_jaccard_oracle_sql(n: int = 3, min_jaccard: float = 0.05) -> str:
     """Brute-force all-pairs Jaccard in DuckDB — feasible at oracle scale,
     and exactly what the prefix-filtered join must reproduce (losslessness
     is the operator's contract, so the oracle needs no prefix logic)."""
+    gram = ", ".join("t[i]" if j == 0 else f"t[i+{j}]" for j in range(n))
     return f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -405,7 +406,7 @@ sh AS (
          list_distinct(CASE WHEN len(t) >= {n}
            THEN list_transform(generate_series(1, len(t) - {n - 1}),
                 i -> CAST(concat('0x', substr(md5(
-                       concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8))
+                       concat_ws(' ', {gram})), 1, 8))
                      AS BIGINT))
            ELSE [] END) AS sh
   FROM toks)

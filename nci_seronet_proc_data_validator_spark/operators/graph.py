@@ -81,7 +81,13 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
             break
         prev_sum = new_sum
     e.unpersist()
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    # Materialize the result OFF the persisted frontier so repeat callers
+    # (dedup_clusters, keep_canonical, corpus_funnel) don't accumulate
+    # cached frontiers in executor memory across invocations.
+    out = (labels.select("id", F.col("label").alias("cluster_id"))
+           .localCheckpoint())
+    labels.unpersist()
+    return out
 
 
 _PR_SCALE = 1_000_000_000

@@ -63,6 +63,9 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     ``cq`` is the quantized component after the last mean update and
     ``n_assigned`` the size of the cluster in the final assignment.
     """
+    if k < 1 or iters < 1:
+        raise ValueError(f"kmeans_fit requires k >= 1 and iters >= 1 "
+                         f"(got k={k}, iters={iters})")
     # Quantized vectors feed the init scan plus every iteration's
     # assignment — persist once (the same input caching MLlib's KMeans
     # does; at cluster scale this is the one intermediate worth memory).

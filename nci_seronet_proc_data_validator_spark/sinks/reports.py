@@ -158,6 +158,17 @@ def upsert_job_status(status: DataFrame, connection_factory,
     cols = list(status.columns)
     if key not in cols:
         raise ValueError(f"key column {key!r} not in status columns {cols}")
+    import re
+    for ident in [table, *cols]:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
+            raise ValueError(f"unsafe SQL identifier: {ident!r}")
+    # Co-locate every occurrence of a key in ONE partition: the probe →
+    # INSERT/UPDATE pair is not atomic, so two partitions carrying the
+    # same key could both miss the probe and double-insert. Hash
+    # repartitioning on the key serializes same-key rows through a single
+    # connection (concurrent *re-runs* still need a DB-side unique key or
+    # native upsert — documented above).
+    status = status.repartition(F.col(key))
     ph = "?" if paramstyle == "qmark" else "%s"
     non_key = [c for c in cols if c != key]
     probe_sql = f"SELECT 1 FROM {table} WHERE {key} = {ph}"

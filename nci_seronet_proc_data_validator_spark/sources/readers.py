@@ -153,10 +153,12 @@ def read_xlsx(spark: SparkSession, paths: list[str]) -> DataFrame | None:
         return None
     import pandas as pd
 
-    frames = [pd.read_excel(p, dtype=str).fillna("") for p in paths]
+    frames = [pd.read_excel(p, dtype=str) for p in paths]
     pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
         else frames[0]
-    return spark.createDataFrame(pdf.astype(str))
+    # fillna AFTER concat: concat over mismatched columns reintroduces
+    # NaN in missing cells, which astype(str) would render as 'nan'.
+    return spark.createDataFrame(pdf.fillna("").astype(str))
 
 
 def read_any(spark: SparkSession, paths: str | list[str],
