@@ -14,8 +14,14 @@ Scale shape (100 TB posture):
 - Corpus statistics (N, avgdl) are a single aggregate broadcast back into
   the plan (no driver-side ``count()``; the whole query is one lazy plan).
 - Document frequencies ride the already-tiny filtered tf relation.
-- Ranking ties: ``row_number`` over ``(round(score, 12) DESC, doc_id)`` —
-  the same float-stable tiebreak contract the similarity oracles use.
+- Ranking ties: ``(round(score, 12) DESC, doc_id)`` — the same
+  float-stable tiebreak contract the similarity oracles use.
+- Top-N is a ``TakeOrdered`` (``orderBy(...).limit(n)``), never a global
+  window: at 100 TB the scored set is O(docs matching any query term), and
+  an unpartitioned ``row_number`` would move all of it to ONE task. Ranks
+  are assigned *after* the take, over the ≤``top_n`` survivors, via a
+  broadcast rank-count join — no ``WindowExec`` anywhere in the plan
+  (guarded by ``tests/test_plan_shape.py``).
 
 The IEEE contract with the DuckDB oracle: every arithmetic expression is
 written with the identical tree shape on both engines; integer-valued
@@ -64,9 +70,23 @@ def bm25_topk(docs: DataFrame, terms: list[str], top_n: int = 10,
               .crossJoin(F.broadcast(stats))
               .select(F.col(id_col), contrib.alias("contrib")))
     agg = scored.groupBy(id_col).agg(F.sum("contrib").alias("score"))
-    w = Window.orderBy(F.round(F.col("score"), 12).desc(), F.col(id_col))
-    return (agg.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_n)
+    # TakeOrdered top-N (per-partition heaps + driver merge of N rows) —
+    # the global sort never materializes, unlike a partition-less window.
+    topn = (agg.orderBy(F.round(F.col("score"), 12).desc(), F.col(id_col))
+            .limit(top_n)
+            .select(F.col(id_col), "score",
+                    F.round(F.col("score"), 12).alias("s12")))
+    # rank(d) = 1 + |{peer : peer sorts strictly before d}| over the
+    # <= top_n survivors: a broadcast self-join on the tiny take result,
+    # identical tie-break, zero WindowExec.
+    peers = topn.select(F.col("s12").alias("peer_s12"),
+                        F.col(id_col).alias("peer_id"))
+    before = ((F.col("peer_s12") > F.col("s12"))
+              | ((F.col("peer_s12") == F.col("s12"))
+                 & (F.col("peer_id") < F.col(id_col))))
+    return (topn.join(F.broadcast(peers), before, "left")
+            .groupBy(id_col, "score")
+            .agg((F.count("peer_id") + 1).cast("int").alias("rank"))
             .select(id_col, F.round("score", 6).alias("score6"), "rank")
             .orderBy("rank"))
 

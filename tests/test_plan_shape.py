@@ -189,3 +189,34 @@ def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
     first_agg = plan.find("HashAggregate")
     assert first_agg != -1
     assert "spark" in plan  # term literals present in a Filter
+    # top-N is a TakeOrdered over the scored set, rank assigned after the
+    # take via broadcast rank-count join — NO window anywhere.
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def _global_window_lines(plan: str) -> list[str]:
+    """Lines for partition-less WindowExec nodes: ``Window [funcs],
+    [ordering]`` (2 bracket groups) vs partitioned ``Window [funcs],
+    [partition], [ordering]`` (3). A global window moves every row to ONE
+    task — the single worst scale hazard a plan can silently grow."""
+    out = []
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-: ").lstrip()
+        if stripped.startswith("Window ") and stripped.count("], [") < 2:
+            out.append(line)
+    return out
+
+
+def test_no_driver_query_has_global_window(spark, sf_dir):
+    """Every registered driver query must plan without a partition-less
+    WindowExec (the r2 BM25 regression class). Also a smoke guard that
+    every query's physical plan still builds."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
+    bad = {}
+    for name, (fn, _sql) in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        lines = _global_window_lines(plan)
+        if lines:
+            bad[name] = lines
+    assert not bad, f"global windows found: {bad}"
