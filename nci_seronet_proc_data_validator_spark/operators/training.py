@@ -110,8 +110,23 @@ ORDER BY doc_id
 """
 
 
+PACK_SHARD_SEED = "pack-shard:"
+
+
+def pack_shard_key(id_col: str = "doc_id", n_shards: int = 256) -> Column:
+    """Scale-safe default shard key: an id-hash bucket. Deterministic,
+    engine-portable (same md5-prefix hash as the split/dedup operators),
+    and high-cardinality by construction — raise ``n_shards`` with the
+    cluster, each window task sorts ~1/n_shards of the corpus. The
+    distributed equivalent of packing per input split, without depending
+    on file layout."""
+    return (_hash_int(F.col(id_col).cast("string"), PACK_SHARD_SEED)
+            % n_shards).cast("long")
+
+
 def pack_sequences(docs: DataFrame, budget: int = 2048,
-                   shard_col: str = "lang", id_col: str = "doc_id",
+                   shard_col: str | None = None, n_shards: int = 256,
+                   id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """GPT-style sequence packing: concatenate documents in id order
     within each shard, cut every ``budget`` tokens; a document belongs to
@@ -119,12 +134,16 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     stats ``(shard, seq_id, n_docs, total_tokens)``.
 
     ``shard_col`` bounds the window's parallelism: all of a shard's rows
-    sort on one task. At cluster scale pick a key with ≥ executor-count
-    cardinality (input file/block id is the natural one — packing per
-    input split); a low-cardinality key like ``lang`` is only for
-    demo/oracle runs at test scale."""
+    sort on one task. The default (``shard_col=None``) derives a
+    ``n_shards``-way id-hash shard (``pack_shard_key``), so parallelism
+    scales with ``n_shards`` regardless of input layout; pass an explicit
+    column (e.g. ``lang``) only when shard membership must be semantic."""
     ntok = F.size(F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)))
+    if shard_col is None:
+        docs = docs.withColumn("_pack_shard",
+                               pack_shard_key(id_col, n_shards))
+        shard_col = "_pack_shard"
     w = (Window.partitionBy(shard_col).orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     offset = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
@@ -136,18 +155,25 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
 
 
 def pack_sequences_oracle_sql(budget: int = 2048,
-                              table: str = "documents") -> str:
+                              table: str = "documents",
+                              shard_col: str | None = None,
+                              n_shards: int = 256) -> str:
+    if shard_col is None:
+        shard = (f"CAST('0x' || substr(md5('{PACK_SHARD_SEED}' || "
+                 f"CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {n_shards}")
+    else:
+        shard = shard_col
     return f"""
 WITH t AS (
-  SELECT lang, doc_id,
+  SELECT {shard} AS shard, doc_id,
          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
   FROM {table}),
 o AS (
-  SELECT lang, doc_id, n_tok,
-         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT shard, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM t)
-SELECT lang AS shard, CAST(floor(off / {budget}.0) AS BIGINT) AS seq_id,
+SELECT shard, CAST(floor(off / {budget}.0) AS BIGINT) AS seq_id,
        count(*) AS n_docs, sum(n_tok) AS total_tokens
 FROM o GROUP BY 1, 2 ORDER BY shard, seq_id
 """

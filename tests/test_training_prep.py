@@ -62,7 +62,8 @@ def test_pack_sequences_cuts_at_budget(spark):
     docs = spark.createDataFrame(
         [Row(lang="en", doc_id=i, text="tok tok tok") for i in range(1, 6)])
     out = {(r["shard"], r["seq_id"]): (r["n_docs"], r["total_tokens"])
-           for r in pack_sequences(docs, budget=6).collect()}
+           for r in pack_sequences(docs, budget=6, shard_col="lang")
+           .collect()}
     assert out == {("en", 0): (2, 6), ("en", 1): (2, 6), ("en", 2): (1, 3)}
 
 
@@ -70,6 +71,27 @@ def test_pack_sequences_shards_independent(spark):
     docs = spark.createDataFrame(
         [Row(lang=l, doc_id=i, text="a b c")
          for l in ("en", "fr") for i in range(4)])
-    out = pack_sequences(docs, budget=100)
+    out = pack_sequences(docs, budget=100, shard_col="lang")
     rows = {(r["shard"], r["seq_id"]) for r in out.collect()}
     assert rows == {("en", 0), ("fr", 0)}  # each shard packs from seq 0
+
+
+def test_pack_sequences_hash_shards_scale(spark):
+    """Default shard key spreads the window across ≥32 hash shards:
+    parallelism is n_shards-bounded, not data-layout-bounded, and the
+    packing is deterministic under repartitioning."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="tok " * (1 + i % 7)) for i in range(400)])
+    out = pack_sequences(docs, budget=16, n_shards=64)
+    rows = out.collect()
+    shards = {r["shard"] for r in rows}
+    assert len(shards) >= 32            # hash spread actually happened
+    assert all(0 <= s < 64 for s in shards)
+    # every token lands in exactly one sequence
+    total = sum(r["total_tokens"] for r in rows)
+    assert total == sum(1 + i % 7 for i in range(400))
+    again = {(r["shard"], r["seq_id"]): (r["n_docs"], r["total_tokens"])
+             for r in pack_sequences(docs.repartition(13), budget=16,
+                                     n_shards=64).collect()}
+    assert again == {(r["shard"], r["seq_id"]):
+                     (r["n_docs"], r["total_tokens"]) for r in rows}
