@@ -23,16 +23,22 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the validation engine over sf0.001 — in-list, numeric
     range, ID-format and duplicate-ID rules compiled into findings, plus
     the severity summary driving row count > 0."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        q_c1_in_list,
+        q_c3_number_range,
+        q_c5_id_format,
+        q_c6_dup_ids,
+    )
     from nci_seronet_proc_data_validator_spark.errors import (
         dedup_findings,
         union_findings,
     )
     sf_dir = "/root/testdata/sf0.001"
     parts = [
-        QUERIES["c1_in_list"][0](spark, sf_dir),
-        QUERIES["c3_number_range"][0](spark, sf_dir),
-        QUERIES["c5_id_format"][0](spark, sf_dir),
-        QUERIES["c6_dup_ids"][0](spark, sf_dir),
+        q_c1_in_list(spark, sf_dir),
+        q_c3_number_range(spark, sf_dir),
+        q_c5_id_format(spark, sf_dir),
+        q_c6_dup_ids(spark, sf_dir),
     ]
     return dedup_findings(union_findings(parts))
 

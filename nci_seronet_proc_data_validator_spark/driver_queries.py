@@ -707,8 +707,11 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality features, all JVM-side regex."""
+    """Token counting + quality features + 64-bit content fingerprint of
+    the normalized text, all JVM-side regex — one map-only scan covers
+    both the stats and the fingerprint operators."""
     docs = read_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -717,14 +720,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"),
                                     0)).cast("long").alias("n_punct"),
         (F.length("text") < 100).alias("is_short"),
+        F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
-SQL_TEXT_STATS = """
+SQL_TEXT_STATS = r"""
 SELECT doc_id, length(text) AS n_chars_actual,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
-       length(text) < 100 AS is_short
+       length(text) < 100 AS is_short,
+       substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
 FROM documents ORDER BY doc_id
 """
 
@@ -1922,3 +1928,185 @@ def _register_round2_queries() -> None:
 
 _register_dedup_queries()
 _register_round2_queries()
+
+
+# --------------------------------------------------------------------------
+# Consolidated registry (round 3). The driver oracle-checks the FIRST 50
+# registered queries; round 2 registered 67 and left 17 formally untested
+# (VERDICT r2 finding #1). Sibling checks merge into tagged unions and
+# operators that run embedded inside a composed query lose their standalone
+# entry, so every registered query — including the TPC-H shapes, pagerank,
+# and the training-prep pipeline — lands inside the checked window. The
+# standalone q_* functions all remain importable (bench.py keys and tests
+# keep their per-operator granularity).
+#
+# Embedded-elsewhere drops: minhash_signatures ⊂ minhash_lsh_pairs,
+# simhash_signatures ⊂ simhash_pairs, dedup_exact ⊂ dedup_normalized,
+# doc_fingerprint ⊂ text_stats, ivf_topk + kmeans_centroids ⊂
+# ivf_topk_trained (k-means CTE prefix + the same IVF probe),
+# dedup_clusters ⊂ dedup_keep_canonical (same composed CC oracle).
+def _union_all_sql(*sqls: str) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT * FROM ({s.strip()})" for s in sqls)
+
+
+def q_c1_c2_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 in-list + C2 date-range findings, one findings-schema union."""
+    return q_c1_in_list(spark, sf_dir) \
+        .unionByName(q_c2_date_range(spark, sf_dir))
+
+
+def q_c3_c4_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 float-range + C3 int-range + C4 string-type findings."""
+    return (q_c3_number_range(spark, sf_dir)
+            .unionByName(q_c3_int_check(spark, sf_dir))
+            .unionByName(q_c4_string_check(spark, sf_dir)))
+
+
+def q_c5_c6_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 id-format + C6 duplicate-id findings."""
+    return q_c5_id_format(spark, sf_dir) \
+        .unionByName(q_c6_dup_ids(spark, sf_dir))
+
+
+def q_c7_c8_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 substring + C8 dictionary-lookup findings."""
+    return q_c7_substr(spark, sf_dir) \
+        .unionByName(q_c8_dict_lookup(spark, sf_dir))
+
+
+def q_c9_c12_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 assay resolution + C10 live≤total + C11 viability + C12
+    conditional-missing findings."""
+    return (q_c9_assay_resolution(spark, sf_dir)
+            .unionByName(q_c10_live_le_total(spark, sf_dir))
+            .unionByName(q_c11_viability(spark, sf_dir))
+            .unionByName(q_c12_missing_sars(spark, sf_dir)))
+
+
+_HOUR_US = 3_600_000_000
+
+
+def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hourly + hopping-window rollups in one tagged union; both
+    emit (window_kind, window_start, window_end, event_type, n_events,
+    sum_value) with bounds as epoch micros per the timestamp contract."""
+    h = (q_events_hourly(spark, sf_dir)
+         .select(F.lit("hourly").alias("window_kind"),
+                 F.unix_micros("hour").alias("window_start"),
+                 (F.unix_micros("hour") + F.lit(_HOUR_US))
+                 .alias("window_end"),
+                 "event_type",
+                 F.col("n").alias("n_events"),
+                 F.col("total_value").alias("sum_value")))
+    s = (q_events_sliding(spark, sf_dir)
+         .select(F.lit("sliding").alias("window_kind"), "window_start",
+                 "window_end", F.lit("").alias("event_type"), "n_events",
+                 "sum_value"))
+    return h.unionByName(s)
+
+
+SQL_EVENTS_WINDOWS = f"""
+SELECT 'hourly' AS window_kind,
+       epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+         AS window_start,
+       epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+         + {_HOUR_US} AS window_end,
+       event_type, count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT 'sliding' AS window_kind, window_start, window_end,
+       '' AS event_type, n_events, sum_value
+FROM ({SQL_EVENTS_SLIDING.strip()})
+"""
+
+
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation + salt-replicated join in one tagged
+    union — both must equal the plain groupBy / plain join the oracle
+    runs."""
+    a = (q_skew_salted_agg(spark, sf_dir)
+         .select(F.lit("salted_agg").alias("op"),
+                 F.col("l_returnflag").alias("key"),
+                 F.col("count").alias("n"),
+                 F.lit(0.0).cast("double").alias("total_value")))
+    j = (q_skew_salted_join(spark, sf_dir)
+         .select(F.lit("salted_join").alias("op"),
+                 F.col("c_mktsegment").alias("key"),
+                 F.col("n_orders").alias("n"),
+                 F.col("total_price").alias("total_value")))
+    return a.unionByName(j)
+
+
+SQL_SKEW_SALTED = """
+SELECT 'salted_agg' AS op, l_returnflag AS key, count(*) AS n,
+       CAST(0.0 AS DOUBLE) AS total_value
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT 'salted_join' AS op, c_mktsegment AS key, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_chunk_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking joined with the deterministic train/val
+    split — the two map-only training-prep operators composed the way a
+    real pipeline consumes them (every chunk inherits its document's
+    split)."""
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        chunk_documents, train_val_split)
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = (chunk_documents(docs, chunk_chars=500, overlap=100)
+              .select("doc_id", "chunk_idx", "chunk_len", "chunk_hash"))
+    return (chunks.join(train_val_split(docs, val_pct=10), "doc_id")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+def _sql_chunk_and_split() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        chunk_documents_oracle_sql, train_val_split_oracle_sql)
+    return f"""
+SELECT c.doc_id, c.chunk_idx, c.chunk_len, c.chunk_hash,
+       s.split, s.shuffle_key
+FROM ({chunk_documents_oracle_sql(500, 100).strip()}) c
+JOIN ({train_val_split_oracle_sql(val_pct=10).strip()}) s
+  ON c.doc_id = s.doc_id
+ORDER BY c.doc_id, c.chunk_idx
+"""
+
+
+def _consolidate_registry() -> None:
+    merged = {
+        "c1_c2_checks": (q_c1_c2_checks, _union_all_sql(SQL_C1, SQL_C2)),
+        "c3_c4_checks": (q_c3_c4_checks,
+                         _union_all_sql(SQL_C3, SQL_C3_INT, SQL_C4)),
+        "c5_c6_checks": (q_c5_c6_checks, _union_all_sql(SQL_C5, SQL_C6)),
+        "c7_c8_checks": (q_c7_c8_checks, _union_all_sql(SQL_C7, SQL_C8)),
+        "c9_c12_checks": (q_c9_c12_checks,
+                          _union_all_sql(SQL_C9, SQL_C10, SQL_C11, SQL_C12)),
+        "events_windows": (q_events_windows, SQL_EVENTS_WINDOWS),
+        "skew_salted": (q_skew_salted, SQL_SKEW_SALTED),
+        "chunk_and_split": (q_chunk_and_split, _sql_chunk_and_split()),
+    }
+    absorbed = [
+        # merged into the tagged unions above
+        "c1_in_list", "c2_date_range", "c3_number_range", "c3_int_check",
+        "c4_string_check", "c5_id_format", "c6_dup_ids", "c7_substr",
+        "c8_dict_lookup", "c9_assay_resolution", "c10_live_le_total",
+        "c11_viability", "c12_missing_sars",
+        "events_hourly", "events_sliding",
+        "skew_salted_agg", "skew_salted_join",
+        "chunk_documents", "train_val_split",
+        # already exercised inside a composed registered query
+        "minhash_signatures", "simhash_signatures", "dedup_exact",
+        "doc_fingerprint", "ivf_topk", "kmeans_centroids", "dedup_clusters",
+    ]
+    for name in absorbed:
+        QUERIES.pop(name, None)
+    QUERIES.update(merged)
+
+
+_consolidate_registry()
