@@ -1041,11 +1041,18 @@ ORDER BY query_id, rank
 
 # ----------------------------------------------------------- events rollup
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS); with nanosAsLong the column
-    arrives as long — convert to microsecond timestamps."""
+    """events.parquet has varied its ``ts`` physical type across driver
+    rounds — TIMESTAMP(NANOS) (arrives as long under nanosAsLong),
+    TIMESTAMP, and TIMESTAMP_NTZ. Normalize all three to a session-tz
+    TIMESTAMP: the session zone is pinned to UTC (session.py), so the
+    NTZ→TZ cast is wall-clock-identical and hashes match the DuckDB
+    oracle's naive timestamps."""
     ev = read_table(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    t = dict(ev.dtypes).get("ts")
+    if t == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif t == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
