@@ -20,27 +20,14 @@ from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the validation engine over sf0.001 — in-list, numeric
-    range, ID-format and duplicate-ID rules compiled into findings, plus
-    the severity summary driving row count > 0."""
+    """Flagship: the FULL rulebook — every rule of every sheet
+    (``plans/rulebook.py``, the semantic port of ``Validation_Rules.py``)
+    bound, compiled and evaluated over a 10-sheet synthetic SeroNet
+    submission at sf0.001, producing the canonical findings table."""
     from nci_seronet_proc_data_validator_spark.driver_queries import (
-        q_c1_in_list,
-        q_c3_number_range,
-        q_c5_id_format,
-        q_c6_dup_ids,
+        q_rulebook_full,
     )
-    from nci_seronet_proc_data_validator_spark.errors import (
-        dedup_findings,
-        union_findings,
-    )
-    sf_dir = "/root/testdata/sf0.001"
-    parts = [
-        q_c1_in_list(spark, sf_dir),
-        q_c3_number_range(spark, sf_dir),
-        q_c5_id_format(spark, sf_dir),
-        q_c6_dup_ids(spark, sf_dir),
-    ]
-    return dedup_findings(union_findings(parts))
+    return q_rulebook_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2117,3 +2117,67 @@ def _consolidate_registry() -> None:
 
 
 _consolidate_registry()
+
+
+# --------------------------------------------------------------- §2.7 rulebook
+def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's actual product: ALL rulebook rules
+    (``plans/rulebook.py``, semantic port of ``Validation_Rules.py``) bound
+    and compiled over a 10-sheet synthetic SeroNet submission derived from
+    the testdata tables (``plans/fixture.py``).
+
+    Per sheet: one map-only findings scan (``compile_sheet_findings``) plus
+    one keyed shuffle per duplicate-ID column — the same plan shape the
+    production pipeline uses, so at 100 TB this is N parallel scans and a
+    handful of low-cardinality aggregations. The DuckDB oracle is assembled
+    from the SAME binding (``plans/sql_oracle.py``)."""
+    from nci_seronet_proc_data_validator_spark.errors import (
+        dedup_findings,
+        union_findings,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        icd10_flag_join,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        fixture_sheet_df,
+        icd10_dict_df,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        compile_sheet_findings as _compile,
+        dup_id_findings as _dups,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        rulebook_bound_sheets,
+    )
+    import os as _os
+    spread = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    icd = icd10_dict_df(spark, sf_dir)
+    parts = []
+    for spec, bound in rulebook_bound_sheets():
+        df = fixture_sheet_df(spark, sf_dir, spec, spread_partitions=spread)
+        for col in bound.icd10_columns:
+            df = icd10_flag_join(df, col, icd, col + "__icd10_valid")
+        parts.append(_compile(df, spec.sheet, bound.column_rules))
+        for c in bound.dup_id_columns:
+            parts.append(_dups(df, spec.sheet, c))
+    return dedup_findings(union_findings(parts))
+
+
+def _load_rulebook_oracle() -> str | None:
+    """The full-rulebook oracle SQL is a generated artifact
+    (``plans/rulebook_oracle.sql``, written by
+    ``tools/gen_rulebook_oracle.py``) because assembling it live needs an
+    active SparkContext (rule binding builds Column objects) and
+    ``oracle_sql()`` must work without one. A test regenerates and diffs it
+    so the artifact cannot drift from the binding."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "plans", "rulebook_oracle.sql")
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+QUERIES["rulebook_full"] = (q_rulebook_full, _load_rulebook_oracle())

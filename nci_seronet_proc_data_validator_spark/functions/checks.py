@@ -30,7 +30,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from nci_seronet_proc_data_validator_spark.operators.typing import num_col, ts_col
+from nci_seronet_proc_data_validator_spark.operators.typing import (
+    _DATELIKE,
+    num_col,
+    ts_col,
+)
 
 ERROR = "Error"
 WARNING = "Warning"
@@ -38,10 +42,18 @@ WARNING = "Warning"
 
 @dataclass
 class CheckExpr:
-    """One error class: rows where ``violation`` holds get ``message``."""
+    """One error class: rows where ``violation`` holds get ``message``.
+
+    ``sql`` is the same violation predicate as DuckDB-dialect SQL text over
+    the raw sheet columns — emitted by the SAME builder that compiles the
+    Column, so the two backends cannot drift. It powers the full-rulebook
+    driver oracle (``plans/sql_oracle.py``). ``None`` for checks whose
+    parameters aren't SQL-literal (e.g. Column-valued date bounds).
+    """
     violation: Column
     message: Column | str
     severity: str = ERROR
+    sql: str | None = None
 
     def msg_col(self) -> Column:
         return F.lit(self.message) if isinstance(self.message, str) else self.message
@@ -73,6 +85,59 @@ class Dependency:
         vals = list(self.value) if not isinstance(self.value, str) else [self.value]
         return self.column + " is in " + str(vals)
 
+    def predicate_sql(self) -> str:
+        """The same scoping predicate as DuckDB SQL (see CheckExpr.sql)."""
+        if self.value == "Is A Number":
+            return f"({_sql_num(self.column)} IS NOT NULL)"
+        if self.value == "Is A Date":
+            return _sql_is_ts(self.column)
+        vals = list(self.value) if not isinstance(self.value, str) else [self.value]
+        return f"({self.column} IN ({_sql_str_list(vals)}))"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-dialect SQL mirrors of the typed-shadow predicates. The oracle
+# assembler guarantees fixture values stay inside the dialect-shared domain
+# (ISO dates, plain decimals — see plans/fixture.py); within that domain
+# these are exactly ``operators/typing.py``'s shadows.
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_str_list(vals: list[str]) -> str:
+    return ", ".join(_sql_quote(v) for v in vals)
+
+
+def _sql_num(c: str) -> str:
+    """``c__num``: float(x) succeeded and no '_' (ID exemption)."""
+    return f"(CASE WHEN NOT contains({c}, '_') THEN TRY_CAST({c} AS DOUBLE) END)"
+
+
+def _sql_is_ts(c: str) -> str:
+    """``c__ts IS NOT NULL``: float failed, datelike, a parse succeeded.
+
+    DuckDB's TIMESTAMP cast covers the ISO family of ``_TS_FORMATS``; the
+    TIME cast covers the bare ``HH:mm[:ss]`` family. Fixture values outside
+    the shared ISO/HH:MM domain are a parity bug (tests pin this).
+    """
+    return (f"(NOT contains({c}, '_') AND TRY_CAST({c} AS DOUBLE) IS NULL"
+            f" AND regexp_matches({c}, {_sql_quote(_DATELIKE)})"
+            f" AND (TRY_CAST({c} AS TIMESTAMP) IS NOT NULL"
+            f" OR TRY_CAST({c} AS TIME) IS NOT NULL))")
+
+
+def _sql_is_str(c: str) -> str:
+    return f"({_sql_num(c)} IS NULL AND NOT {_sql_is_ts(c)})"
+
+
+def _sql_nonblank(c: str) -> str:
+    return f"{c} <> ''"
+
+
+def _sql_ts_date(c: str) -> str:
+    return f"CAST(TRY_CAST({c} AS TIMESTAMP) AS DATE)"
+
 
 def _is_num(c: str) -> Column:
     return F.col(num_col(c)).isNotNull()
@@ -96,7 +161,9 @@ def _apply_dependency(checks: list[CheckExpr],
     if dependency is None:
         return checks
     pred = dependency.predicate()
-    return [CheckExpr(pred & ce.violation, ce.message, ce.severity)
+    psql = dependency.predicate_sql()
+    return [CheckExpr(pred & ce.violation, ce.message, ce.severity,
+                      sql=None if ce.sql is None else f"({psql} AND {ce.sql})")
             for ce in checks]
 
 
@@ -118,10 +185,14 @@ def check_in_list(column: str, list_values: list,
     strs = [v for v in list_values if isinstance(v, str)]
     nums = [float(v) for v in list_values if not isinstance(v, str)]
     passing = F.col(column).isin(strs) if strs else F.lit(False)
+    pass_sql = f"{column} IN ({_sql_str_list(strs)})" if strs else "FALSE"
     if nums:
         passing = passing | F.col(num_col(column)).isin(nums)
+        pass_sql += (f" OR {_sql_num(column)} IN "
+                     f"({', '.join(repr(v) for v in nums)})")
     viol = ~passing & _nonblank(column)
-    return _apply_dependency([CheckExpr(viol, msg)], dependency)
+    sql = f"(NOT ({pass_sql}) AND {_sql_nonblank(column)})"
+    return _apply_dependency([CheckExpr(viol, msg, sql=sql)], dependency)
 
 
 def check_date(column: str, lower_lim, upper_lim, na_allowed: bool,
@@ -143,7 +214,10 @@ def check_date(column: str, lower_lim, upper_lim, na_allowed: bool,
         fmt_msg = fmt_msg + " Or N/A"
 
     not_date = ~_is_ts(column) & ~F.col(column).isin(allowed) & _nonblank(column)
-    out = [CheckExpr(not_date, fmt_msg)]
+    not_date_sql = (f"(NOT {_sql_is_ts(column)}"
+                    f" AND {column} NOT IN ({_sql_str_list(allowed)})"
+                    f" AND {_sql_nonblank(column)})")
+    out = [CheckExpr(not_date, fmt_msg, sql=not_date_sql)]
 
     if time_check == "Date":
         lo = F.lit(lower_lim) if not isinstance(lower_lim, Column) else lower_lim
@@ -153,17 +227,29 @@ def check_date(column: str, lower_lim, upper_lim, na_allowed: bool,
                      + _fmt_lim(lower_lim) + " and " + _fmt_lim(upper_lim))
         early = _is_ts(column) & (d < F.to_date(lo)) & _nonblank(column)
         late = _is_ts(column) & (d > F.to_date(hi)) & _nonblank(column)
+
+        def _bound_sql(op: str, lim) -> str | None:
+            if isinstance(lim, Column) or not isinstance(
+                    lim, (_dt.date, _dt.datetime)):
+                return None
+            day = lim.date() if isinstance(lim, _dt.datetime) else lim
+            return (f"({_sql_is_ts(column)} AND {_sql_ts_date(column)}"
+                    f" {op} DATE '{day.isoformat()}'"
+                    f" AND {_sql_nonblank(column)})")
+
+        early_sql = _bound_sql("<", lower_lim)
+        late_sql = _bound_sql(">", upper_lim)
         if "Expiration_Date" in column:
             out.append(CheckExpr(
                 early, "Expiration Date has already passed, check to make "
-                       "sure date is correct", WARNING))
+                       "sure date is correct", WARNING, sql=early_sql))
         elif "Calibration_Due_Date" in column:
             out.append(CheckExpr(
                 early, "Calibration Date has already passed, check to make "
-                       "sure date is correct", WARNING))
+                       "sure date is correct", WARNING, sql=early_sql))
         else:
-            out.append(CheckExpr(early, range_msg))
-        out.append(CheckExpr(late, range_msg))
+            out.append(CheckExpr(early, range_msg, sql=early_sql))
+        out.append(CheckExpr(late, range_msg, sql=late_sql))
     return _apply_dependency(out, dependency)
 
 
@@ -196,13 +282,23 @@ def check_if_number(column: str, lower_lim: float, upper_lim: float,
 
     allowed = [""] if not na_allowed else ["", "N/A"]
     n = F.col(num_col(column))
+    ns = _sql_num(column)
+    nb = _sql_nonblank(column)
     not_num = n.isNull() & ~F.col(column).isin(allowed) & _nonblank(column)
-    out = [CheckExpr(not_num, msg)]
+    out = [CheckExpr(not_num, msg,
+                     sql=f"({ns} IS NULL AND {column} NOT IN "
+                         f"({_sql_str_list(allowed)}) AND {nb})")]
     if num_type == "int":
         out.append(CheckExpr(n.isNotNull() & (n != F.floor(n)) & _nonblank(column),
-                             int_msg))
-    out.append(CheckExpr(n.isNotNull() & (n < F.lit(lower_lim)) & _nonblank(column), msg))
-    out.append(CheckExpr(n.isNotNull() & (n > F.lit(upper_lim)) & _nonblank(column), msg))
+                             int_msg,
+                             sql=f"({ns} IS NOT NULL AND {ns} <> floor({ns})"
+                                 f" AND {nb})"))
+    out.append(CheckExpr(n.isNotNull() & (n < F.lit(lower_lim)) & _nonblank(column), msg,
+                         sql=f"({ns} IS NOT NULL AND {ns} < {float(lower_lim)!r}"
+                             f" AND {nb})"))
+    out.append(CheckExpr(n.isNotNull() & (n > F.lit(upper_lim)) & _nonblank(column), msg,
+                         sql=f"({ns} IS NOT NULL AND {ns} > {float(upper_lim)!r}"
+                             f" AND {nb})"))
     return _apply_dependency(out, dependency)
 
 
@@ -215,7 +311,8 @@ def check_if_string(column: str, na_allowed: bool = False,
     else:
         msg = dependency.error_str() + ".  Value must be a string and NOT N/A"
     viol = ~_is_str(column) & _nonblank(column)
-    return _apply_dependency([CheckExpr(viol, msg)], dependency)
+    sql = f"(NOT {_sql_is_str(column)} AND {_sql_nonblank(column)})"
+    return _apply_dependency([CheckExpr(viol, msg, sql=sql)], dependency)
 
 
 def check_id_field(column: str, pattern_str: str, cbc_id: str,
@@ -232,9 +329,14 @@ def check_id_field(column: str, pattern_str: str, cbc_id: str,
     else:
         cbc_msg = ("ID is Valid however has wrong CBC code. Expecting CBC "
                    "Code (" + str(cbc_id) + ")")
+    nb = _sql_nonblank(column)
     return [
-        CheckExpr(fmt_viol, "ID is Not Valid Format, Expecting " + pattern_error),
-        CheckExpr(cbc_viol, cbc_msg),
+        CheckExpr(fmt_viol, "ID is Not Valid Format, Expecting " + pattern_error,
+                  sql=f"(NOT regexp_matches({column}, "
+                      f"{_sql_quote('^[0-9]{2}' + pattern_str)}) AND {nb})"),
+        CheckExpr(cbc_viol, cbc_msg,
+                  sql=f"(NOT regexp_matches({column}, "
+                      f"{_sql_quote('^' + cbc_id + pattern_str)}) AND {nb})"),
     ]
 
 
@@ -244,7 +346,8 @@ def check_if_substr(column: str, id_1: str, id_2: str) -> list[CheckExpr]:
     msg = (id_1 + " is not a substring of " + id_2
            + ".  Data is not Valid, please check data")
     viol = ~F.col(id_2).contains(F.col(id_1)) & _nonblank(column)
-    return [CheckExpr(viol, msg)]
+    sql = f"(NOT contains({id_2}, {id_1}) AND {_sql_nonblank(column)})"
+    return [CheckExpr(viol, msg, sql=sql)]
 
 
 def check_icd10(column: str, valid_flag_col: str) -> list[CheckExpr]:
@@ -262,7 +365,16 @@ def check_icd10(column: str, valid_flag_col: str) -> list[CheckExpr]:
                 & ~F.coalesce(F.col(valid_flag_col), F.lit(False))
                 & (F.col(column) != "N/A") & _nonblank(column))
     non_string = ~_is_str(column) & _nonblank(column)
-    return [CheckExpr(bad_code | non_string, msg)]
+    # The oracle assembler must define an ``icd10_dict(code)`` CTE holding
+    # the same codes the flag join was built from (plans/sql_oracle.py).
+    nb = _sql_nonblank(column)
+    # Dot normalization mirrors operators/joins.py:icd10_flag_join.
+    sql = (f"(({_sql_is_str(column)}"
+           f" AND NOT (replace({column}, '.', '') IN"
+           f" (SELECT replace(code, '.', '') FROM icd10_dict))"
+           f" AND {column} <> 'N/A' AND {nb})"
+           f" OR (NOT {_sql_is_str(column)} AND {nb}))")
+    return [CheckExpr(bad_code | non_string, msg, sql=sql)]
 
 
 def assay_special(column: str, joined_field: str,
@@ -271,7 +383,9 @@ def assay_special(column: str, joined_field: str,
     against the assay reference — the left-joined field is null."""
     msg = (header_name + " is not found in the table of valid " + header_name
            + "s in databse or submitted file")
-    return [CheckExpr(F.col(joined_field).isNull() & _nonblank(column), msg)]
+    return [CheckExpr(F.col(joined_field).isNull() & _nonblank(column), msg,
+                      sql=f"({joined_field} IS NULL"
+                          f" AND {_sql_nonblank(column)})")]
 
 
 def compare_total_to_live(total_column: str) -> list[CheckExpr]:
@@ -281,7 +395,11 @@ def compare_total_to_live(total_column: str) -> list[CheckExpr]:
     viol = (_is_num(total_column) & _is_num(live_column)
             & (F.col(num_col(live_column)) > F.col(num_col(total_column)))
             & _nonblank(total_column))
-    return [CheckExpr(viol, "Live Cell Count must be less than Total Cell Count")]
+    tn, ln = _sql_num(total_column), _sql_num(live_column)
+    sql = (f"({tn} IS NOT NULL AND {ln} IS NOT NULL AND {ln} > {tn}"
+           f" AND {_sql_nonblank(total_column)})")
+    return [CheckExpr(viol, "Live Cell Count must be less than Total Cell Count",
+                      sql=sql)]
 
 
 def compare_viability(viability_column: str) -> list[CheckExpr]:
@@ -293,8 +411,13 @@ def compare_viability(viability_column: str) -> list[CheckExpr]:
             & (F.round(F.col(num_col(live)) / F.col(num_col(total)) * 100, 1)
                != F.col(num_col(viability_column)))
             & _nonblank(viability_column))
+    vn, ln, tn = (_sql_num(viability_column), _sql_num(live), _sql_num(total))
+    sql = (f"({vn} IS NOT NULL AND {ln} IS NOT NULL AND {tn} IS NOT NULL"
+           f" AND round({ln} / {tn} * 100, 1) <> {vn}"
+           f" AND {_sql_nonblank(viability_column)})")
     return [CheckExpr(
-        viol, "Viability Count must be equal to (Live_Count / Total_Count) * 100")]
+        viol, "Viability Count must be equal to (Live_Count / Total_Count) * 100",
+        sql=sql)]
 
 
 def get_missing_values(column: str, required_column: str,
@@ -304,24 +427,29 @@ def get_missing_values(column: str, required_column: str,
     required, Warning if optional; "Yes: SARS-Positive"/"Yes: SARS-Negative"
     split severity by the PCR result cohort."""
     blank = F.col(column) == F.lit("")
+    blank_sql = f"{column} = ''"
     req_msg = "Missing Values are not allowed for this column.  Please recheck data"
     warn_msg = "Missing Values where found, this is a warning.  Please recheck data"
     if required_column == "Yes":
-        return [CheckExpr(blank, req_msg, ERROR)]
+        return [CheckExpr(blank, req_msg, ERROR, sql=f"({blank_sql})")]
     if required_column == "No":
-        return [CheckExpr(blank, warn_msg, WARNING)]
+        return [CheckExpr(blank, warn_msg, WARNING, sql=f"({blank_sql})")]
     if required_column == "Yes: SARS-Positive":
         err_msg = ("This column is requred for Sars Positive Patients, "
                    "missing values are not allowed.  Please recheck data")
         return [
-            CheckExpr(blank & (F.col(sars_col) == "Positive"), err_msg, ERROR),
-            CheckExpr(blank & (F.col(sars_col) == "Negative"), warn_msg, WARNING),
+            CheckExpr(blank & (F.col(sars_col) == "Positive"), err_msg, ERROR,
+                      sql=f"({blank_sql} AND {sars_col} = 'Positive')"),
+            CheckExpr(blank & (F.col(sars_col) == "Negative"), warn_msg, WARNING,
+                      sql=f"({blank_sql} AND {sars_col} = 'Negative')"),
         ]
     if required_column == "Yes: SARS-Negative":
         err_msg = ("This column is requred for Sars Negative Patients, "
                    "missing values are not allowed.  Please recheck data")
         return [
-            CheckExpr(blank & (F.col(sars_col) == "Negative"), err_msg, ERROR),
-            CheckExpr(blank & (F.col(sars_col) == "Positive"), warn_msg, WARNING),
+            CheckExpr(blank & (F.col(sars_col) == "Negative"), err_msg, ERROR,
+                      sql=f"({blank_sql} AND {sars_col} = 'Negative')"),
+            CheckExpr(blank & (F.col(sars_col) == "Positive"), warn_msg, WARNING,
+                      sql=f"({blank_sql} AND {sars_col} = 'Positive')"),
         ]
     return []

@@ -48,6 +48,18 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         # queries ran in between). Static conf — takes effect only on
         # fresh JVMs, harmless otherwise.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # The rulebook compiles whole sheets (30+ raw columns + 2 typed
+        # shadows each + hundreds of check predicates) into ONE projection.
+        # With the default codegen limits that stage silently falls back to
+        # interpreted expression evaluation: >100 fields disables
+        # whole-stage codegen, and a generated method over 8 KB bytecode
+        # triggers the huge-method fallback. Raising both keeps the wide
+        # validation scan code-generated — measured 81.7s -> 17.0s on the
+        # full-rulebook pass at sf0.1 (methods past the 8 KB JIT threshold
+        # run as interpreted *bytecode*, still far cheaper than
+        # interpreted Catalyst expressions).
+        .config("spark.sql.codegen.maxFields", "1000")
+        .config("spark.sql.codegen.hugeMethodLimit", "65535")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
