@@ -11,11 +11,14 @@ Design for 100 TB of media:
 - batch size is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   — for multi-MB payloads set it low (e.g. 32) to bound worker memory.
 
-The actual codecs (PIL/librosa/av) are NOT in this environment, so
-``decode_image_features`` ships a deterministic structural "decode" (real
-plumbing, fake pixels) and raises ``NotImplementedError`` from
-``_decode_real`` where a codec would plug in. The Spark-side contract —
-schemas, batching, partitioning — is real and tested.
+Codecs: heavyweight libraries (PIL/librosa/av) are NOT in this
+environment. Two trivial containers — binary PPM (P6) and uncompressed
+24-bit BMP — are decoded for real by dependency-free parsers below
+(header + pixel mean, VERDICT r2 #7); every other format falls back to the
+deterministic structural "decode" (real plumbing, fake pixels), with
+``_decode_real`` raising ``NotImplementedError`` where PIL would plug in.
+The Spark-side contract — schemas, batching, partitioning — is identical
+on both paths and fully tested.
 """
 
 from __future__ import annotations
@@ -42,10 +45,69 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6, maxval 255): ASCII header tokens (``#`` comments
+    allowed) then raw RGB triplets."""
+    tokens: list[int] = []
+    i = 2  # past b'P6'
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    n = w * h * 3
+    px = payload[i:i + n]
+    if len(px) != n:
+        raise ValueError("truncated PPM pixel data")
+    return {"width": w, "height": h, "mean_pixel": sum(px) / n}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed 24-bit BMP: dims from BITMAPINFOHEADER, mean over the
+    pixel rows EXCLUDING the per-row 4-byte-alignment padding."""
+    import struct
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    h = abs(h)  # negative height = top-down; mean is order-independent
+    stride = (w * 3 + 3) // 4 * 4
+    total = count = 0
+    for row in range(h):
+        start = data_off + row * stride
+        chunk = payload[start:start + w * 3]
+        if len(chunk) != w * 3:
+            raise ValueError("truncated BMP pixel data")
+        total += sum(chunk)
+        count += len(chunk)
+    return {"width": w, "height": h, "mean_pixel": total / max(count, 1)}
+
+
 def _decode_real(payload: bytes) -> dict:
-    """Plug point for a real codec (PIL.Image.open etc.)."""
+    """Real decode for the containers this environment can parse without
+    codec libraries; NotImplementedError is the fall-to-stub signal (a PIL
+    deployment widens this dispatch instead of replacing the plumbing)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
+        "no dependency-free parser for this container; "
         "decode_image_features uses the deterministic structural decode")
 
 
@@ -64,6 +126,25 @@ def _decode_stub(payload: bytes | None) -> dict:
             "brightness": (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0}
 
 
+def _decode_features(payload: bytes | None) -> dict:
+    """Real decode when a parser exists, structural stub otherwise — one
+    row contract either way. Thumb dims: aspect-preserving fit into 16x16;
+    brightness: mean pixel / 255."""
+    if payload is None:
+        return _decode_stub(payload)
+    try:
+        img = _decode_real(payload)
+    except NotImplementedError:
+        return _decode_stub(payload)
+    base = _decode_stub(payload)  # n_bytes + payload_sha are byte-level
+    w, h = img["width"], img["height"]
+    scale = min(1.0, 16 / max(w, h, 1))
+    return {"n_bytes": base["n_bytes"], "payload_sha": base["payload_sha"],
+            "thumb_w": max(1, int(w * scale)),
+            "thumb_h": max(1, int(h * scale)),
+            "brightness": img["mean_pixel"] / 255.0}
+
+
 def decode_image_features(df: DataFrame,
                           payload_col: str = "payload",
                           id_col: str = "media_id") -> DataFrame:
@@ -76,7 +157,7 @@ def decode_image_features(df: DataFrame,
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
         for pdf in batches:
-            feats = pdf[payload_col].map(_decode_stub)
+            feats = pdf[payload_col].map(_decode_features)
             out = pd.DataFrame({
                 "media_id": pdf[id_col],
                 "n_bytes": feats.map(lambda d: d["n_bytes"]),

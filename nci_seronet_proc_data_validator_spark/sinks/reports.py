@@ -134,6 +134,28 @@ def write_job_status_jdbc(status: DataFrame, url: str | None,
     return True
 
 
+def build_upsert_statements(table: str, cols: list[str], key: str,
+                            paramstyle: str = "qmark"
+                            ) -> tuple[str, str, str]:
+    """(probe, update, insert) DBAPI statements for the S11 upsert — the
+    reference's cursor loop shapes (File_Submission_Object.py:439-499:
+    ``SELECT``-probe then ``UPDATE .. WHERE key = %s`` / ``INSERT``).
+    Identifiers are validated; values always travel as bind parameters."""
+    import re
+    for ident in [table, key, *cols]:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
+            raise ValueError(f"unsafe SQL identifier: {ident!r}")
+    ph = "?" if paramstyle == "qmark" else "%s"
+    non_key = [c for c in cols if c != key]
+    probe_sql = f"SELECT 1 FROM {table} WHERE {key} = {ph}"
+    update_sql = (f"UPDATE {table} SET "
+                  + ", ".join(f"{c} = {ph}" for c in non_key)
+                  + f" WHERE {key} = {ph}")
+    insert_sql = (f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
+                  f"({', '.join([ph] * len(cols))})")
+    return probe_sql, update_sql, insert_sql
+
+
 def upsert_job_status(status: DataFrame, connection_factory,
                       table: str = "table_data_validator",
                       key: str = "file_name",
@@ -158,10 +180,6 @@ def upsert_job_status(status: DataFrame, connection_factory,
     cols = list(status.columns)
     if key not in cols:
         raise ValueError(f"key column {key!r} not in status columns {cols}")
-    import re
-    for ident in [table, *cols]:
-        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
-            raise ValueError(f"unsafe SQL identifier: {ident!r}")
     # Co-locate every occurrence of a key in ONE partition: the probe →
     # INSERT/UPDATE pair is not atomic, so two partitions carrying the
     # same key could both miss the probe and double-insert. Hash
@@ -169,14 +187,9 @@ def upsert_job_status(status: DataFrame, connection_factory,
     # connection (concurrent *re-runs* still need a DB-side unique key or
     # native upsert — documented above).
     status = status.repartition(F.col(key))
-    ph = "?" if paramstyle == "qmark" else "%s"
+    probe_sql, update_sql, insert_sql = build_upsert_statements(
+        table, cols, key, paramstyle)
     non_key = [c for c in cols if c != key]
-    probe_sql = f"SELECT 1 FROM {table} WHERE {key} = {ph}"
-    update_sql = (f"UPDATE {table} SET "
-                  + ", ".join(f"{c} = {ph}" for c in non_key)
-                  + f" WHERE {key} = {ph}")
-    insert_sql = (f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
-                  f"({', '.join([ph] * len(cols))})")
 
     def _apply(rows) -> None:
         rows = list(rows)

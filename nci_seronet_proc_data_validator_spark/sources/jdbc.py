@@ -46,6 +46,21 @@ MERGED_TABLE_QUERIES = {
 }
 
 
+# Post-read column renames per sheet (File_Submission_Object.py:506:
+# ``Test_Result`` → ``SARS_CoV_2_PCR_Test_Result`` for the prior-test
+# fallback table).
+SHEET_RENAMES = {
+    "prior_clinical_test.csv": {
+        "Test_Result": "SARS_CoV_2_PCR_Test_Result"},
+}
+
+
+def apply_sheet_renames(df: DataFrame, sheet_name: str) -> DataFrame:
+    for old, new in SHEET_RENAMES.get(sheet_name, {}).items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
 def read_merged_table(spark: SparkSession, url: str, sheet_name: str,
                       properties: dict | None = None) -> DataFrame | None:
     """S5: DB fallback Merged_Table for a sheet that was not submitted.
@@ -59,31 +74,61 @@ def read_merged_table(spark: SparkSession, url: str, sheet_name: str,
           .option("query", q)
           .options(**(properties or {}))
           .load())
-    if sheet_name == "prior_clinical_test.csv":
-        df = df.withColumnRenamed("Test_Result", "SARS_CoV_2_PCR_Test_Result")
-    return df
+    return apply_sheet_renames(df, sheet_name)
+
+
+def pending_submissions_sql(
+        batch_status: str = "Batch_Validation_SUCCESS",
+        file_status: str = "FILE_VALIDATION_IN_PROGRESS") -> str:
+    """S6 jobs-queue SQL with the intent restored.
+
+    Reference (nci-seronet-data-validator.py:152-159): same projection and
+    status params, but the JOIN has no ON clause (filtered cross join) and
+    the result is immediately overwritten by a second read parameterized
+    with ``["65"]`` — both documented bugs (SURVEY.md §2.9.1). We emit the
+    evident intent: equi-join on submission_file_id, single read, statuses
+    qualified to the table that owns them.
+    """
+    for s in (batch_status, file_status):
+        if "'" in s:
+            raise ValueError(f"unsafe status literal: {s!r}")
+    return (f"SELECT sub.orig_file_id, sub.submission_file_id, "
+            f"tbl.unzipped_file_id, sub.submission_validation_file_location, "
+            f"tbl.file_validation_file_location "
+            f"FROM table_submission_validator AS sub "
+            f"JOIN table_file_validator AS tbl "
+            f"ON sub.submission_file_id = tbl.submission_file_id "
+            f"WHERE sub.batch_validation_status = '{batch_status}' "
+            f"AND tbl.file_validation_status = '{file_status}'")
 
 
 def read_pending_submissions(spark: SparkSession, url: str,
-                             batch_status: str = "BATCH_Validation_In_Process",
-                             file_status: str = "FILE_Unzipped",
+                             batch_status: str = "Batch_Validation_SUCCESS",
+                             file_status: str = "FILE_VALIDATION_IN_PROGRESS",
                              properties: dict | None = None
                              ) -> DataFrame | None:
-    """S6 with the intent restored: equi-join of submission and file jobs
-    tables on submission id, filtered on both statuses (the reference's
-    ON-less JOIN and double-read are documented bugs, SURVEY.md §2.9.1)."""
+    """S6: the jobs queue (see ``pending_submissions_sql``)."""
     if not url:
         return None
-    q = (f"SELECT sub.submission_file_id AS orig_file_id, "
-         f"sub.submission_file_id, tbl.unzipped_file_id, "
-         f"sub.submission_file_location, tbl.file_validation_file_location "
-         f"FROM table_submission_validator sub "
-         f"JOIN table_file_validator tbl "
-         f"ON sub.submission_file_id = tbl.submission_file_id "
-         f"WHERE sub.batch_validation_status = '{batch_status}' "
-         f"AND tbl.file_validation_status = '{file_status}'")
+    q = pending_submissions_sql(batch_status, file_status)
     return (spark.read.format("jdbc").option("url", url)
             .option("query", q).options(**(properties or {})).load())
+
+
+# Reference's bookkeeping anti-filter, verbatim incl. the lowercase 't' in
+# Submission_time (nci-seronet-data-validator.py:148).
+IGNORED_CATALOG_COLUMNS = [
+    "Submission_ID", "Submission_CBC", "Biorepository_ID", "Shipping_ID",
+    "Test_Agreement", "Submission_time",
+]
+
+
+def expected_columns_sql(db_name: str) -> str:
+    """S7 catalog SQL (nci-seronet-data-validator.py:145-147)."""
+    if "'" in db_name:
+        raise ValueError(f"unsafe schema name: {db_name!r}")
+    return (f"SELECT TABLE_NAME, COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS "
+            f"WHERE TABLE_SCHEMA = '{db_name}'")
 
 
 def read_expected_columns(spark: SparkSession, url: str, db_name: str,
@@ -92,11 +137,7 @@ def read_expected_columns(spark: SparkSession, url: str, db_name: str,
     bookkeeping-column anti-filter (nci:148-150)."""
     if not url:
         return None
-    q = (f"SELECT TABLE_NAME, COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS "
-         f"WHERE TABLE_SCHEMA = '{db_name}'")
     df = (spark.read.format("jdbc").option("url", url)
-          .option("query", q).options(**(properties or {})).load())
-    bookkeeping = ["Submission_CBC", "Submission_Time", "Submission_File",
-                   "Biospecimen_Company_ID", "Equipment_Calibration_Due_Date",
-                   "Comments"]
-    return df.filter(~df.COLUMN_NAME.isin(bookkeeping))
+          .option("query", expected_columns_sql(db_name))
+          .options(**(properties or {})).load())
+    return df.filter(~df.COLUMN_NAME.isin(IGNORED_CATALOG_COLUMNS))

@@ -4,6 +4,8 @@ the streaming surface."""
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -140,6 +142,58 @@ def test_multimodal_decode_plumbing(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
     stats = {r["modality"]: r["n"] for r in media_stats(df).collect()}
     assert stats == {"image": 2, "video": 1}
+
+
+def _ppm_bytes(w, h, pixels):
+    """Binary P6 PPM with a comment line (parser must skip it)."""
+    assert len(pixels) == w * h * 3
+    return (f"P6\n# fixture\n{w} {h}\n255\n").encode() + bytes(pixels)
+
+
+def _bmp_bytes(w, h, rows_bgr, pad_byte=0xFF):
+    """Uncompressed 24-bit BMP; rows padded to 4 bytes with ``pad_byte``
+    (deliberately non-zero: a decoder that averages padding shows up)."""
+    import struct
+    stride = (w * 3 + 3) // 4 * 4
+    pixel_data = b"".join(
+        bytes(r) + bytes([pad_byte]) * (stride - w * 3) for r in rows_bgr)
+    header = (b"BM"
+              + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pixel_data), 2835, 2835, 0, 0))
+    return header + pixel_data
+
+
+def test_multimodal_real_decode_ppm_bmp(spark):
+    """The real (dependency-free) decode path: hand-computed pixel means.
+
+    PPM 2x2: pixels 0..11 → mean 5.5 → brightness 5.5/255.
+    BMP 3x2: all pixel bytes 10, row padding 0xFF → brightness 10/255
+    (padding excluded). A 40x20 PPM checks the aspect-preserving thumb.
+    """
+    from nci_seronet_proc_data_validator_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _decode_real, decode_image_features)
+    ppm = _ppm_bytes(2, 2, list(range(12)))
+    bmp = _bmp_bytes(3, 2, [[10] * 9, [10] * 9])
+    wide = _ppm_bytes(40, 20, [100] * (40 * 20 * 3))
+    rows = [
+        (1, "image", "image/x-portable-pixmap", ppm, 2, 2, None),
+        (2, "image", "image/bmp", bmp, 3, 2, None),
+        (3, "image", "image/x-portable-pixmap", wide, 40, 20, None),
+        (4, "image", "image/png", bytes([1, 2, 3]), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert feats[1]["brightness"] == pytest.approx(5.5 / 255)
+    assert (feats[1]["thumb_w"], feats[1]["thumb_h"]) == (2, 2)
+    assert feats[2]["brightness"] == pytest.approx(10 / 255)
+    assert (feats[2]["thumb_w"], feats[2]["thumb_h"]) == (3, 2)
+    assert feats[3]["brightness"] == pytest.approx(100 / 255)
+    assert (feats[3]["thumb_w"], feats[3]["thumb_h"]) == (16, 8)
+    # unknown container falls back to the structural stub
+    assert feats[4]["n_bytes"] == 3 and feats[4]["thumb_w"] == 16
+    with pytest.raises(NotImplementedError):
+        _decode_real(bytes([1, 2, 3, 4]))
 
 
 def test_streaming_validation(spark, tmp_path):

@@ -1,8 +1,27 @@
-"""applyInPandasWithState session tracking across micro-batches."""
+"""applyInPandasWithState session tracking across micro-batches.
+
+Harness note: the tracker registers processing-time timeouts, and a
+stateful query with pending timeouts keeps scheduling micro-batches
+forever — even under trigger(availableNow). So these tests never wait for
+self-termination: they poll the memory sink for the expected rows, then
+``stop()`` the query (leaving it running would also burn CPU for the rest
+of the suite).
+"""
 
 import os
+import time
 
-from pyspark.sql import functions as F
+import pandas as pd
+
+
+def _wait_rows(spark, table: str, n: int, timeout: float = 60.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        if len(rows) >= n:
+            return rows
+        time.sleep(0.3)
+    raise AssertionError(f"{table}: wanted {n} rows, got {len(rows)}")
 
 
 def test_stateful_session_tracking(spark, tmp_path):
@@ -12,36 +31,98 @@ def test_stateful_session_tracking(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)
 
-    def land(name, rows):
+    def land(rows):
         (spark.createDataFrame(rows, "user_id long, epoch long")
          .coalesce(1).write.mode("append").parquet(src))
 
     # batch 1: user 1 two close events; user 2 one event
-    land("b1", [(1, 1000), (1, 1100), (2, 5000)])
+    land([(1, 1000), (1, 1100), (2, 5000)])
 
     stream = spark.readStream.schema("user_id long, epoch long").parquet(src)
     out = track_sessions(stream, gap_seconds=600)
     q = (out.writeStream.outputMode("append").format("memory")
          .queryName("sessions_out").trigger(availableNow=True).start())
-    q.awaitTermination(120)
-
-    got = {r["user_id"]: r for r in
-           spark.sql("SELECT * FROM sessions_out").collect()}
+    try:
+        got = {r["user_id"]: r for r in
+               _wait_rows(spark, "sessions_out", 2)}
+    finally:
+        q.stop()
     assert got[1]["n_events"] == 2 and got[1]["session_count"] == 0
     assert got[1]["last_seen"] == 1100 and got[1]["closed"] is False
     assert got[2]["n_events"] == 1
 
-    # batch 2 (new query over same checkpoint-less memory sink): a far-away
-    # event rolls user 1 into a new session — state carries within the run
-    land("b2", [(1, 9000)])
+    # second run over the same source after another file lands: the fresh
+    # query replays everything in one batch — the far-away event rolls
+    # user 1 into a new session (state carries within the run)
+    land([(1, 9000)])
     q2 = (track_sessions(
             spark.readStream.schema("user_id long, epoch long").parquet(src),
             gap_seconds=600)
           .writeStream.outputMode("append").format("memory")
           .queryName("sessions_out2").trigger(availableNow=True).start())
-    q2.awaitTermination(120)
-    got2 = {r["user_id"]: r for r in
-            spark.sql("SELECT * FROM sessions_out2").collect()}
-    # both batches replayed in one run: 1000/1100 then 9000 → rolled over
+    try:
+        got2 = {r["user_id"]: r for r in
+                _wait_rows(spark, "sessions_out2", 2)}
+    finally:
+        q2.stop()
     assert got2[1]["session_count"] == 1
     assert got2[1]["n_events"] == 1
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the tracker directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_session_tracker_timeout_closure():
+    """The hasTimedOut branch (idle-key flush) — driven directly because a
+    real processing-time timeout would need wall-clock minutes."""
+    from nci_seronet_proc_data_validator_spark.streaming.stateful import (
+        session_tracker)
+
+    fn = session_tracker(gap_seconds=600)
+    state = _FakeState(value=(2, 7, 12345), timed_out=True)
+    [out] = list(fn((42,), iter([]), state))
+    assert state.removed
+    row = out.iloc[0]
+    assert (row["user_id"], row["session_count"], row["n_events"],
+            row["last_seen"], row["closed"]) == (42, 2, 7, 12345, True)
+
+
+def test_session_tracker_rollover_math():
+    """Gap rollover across batch boundaries, state carried in."""
+    from nci_seronet_proc_data_validator_spark.streaming.stateful import (
+        session_tracker)
+
+    fn = session_tracker(gap_seconds=600)
+    state = _FakeState(value=(0, 2, 1100))
+    batches = iter([pd.DataFrame({"epoch": [9000, 9100]})])
+    [out] = list(fn((1,), batches, state))
+    row = out.iloc[0]
+    assert (row["session_count"], row["n_events"], row["last_seen"],
+            row["closed"]) == (1, 2, 9100, False)
+    assert state.get == (1, 2, 9100)
+    assert state.timeout_ms == 600 * 1000
