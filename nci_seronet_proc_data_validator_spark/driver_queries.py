@@ -2163,21 +2163,14 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_findings(union_findings(parts))
 
 
-def _load_rulebook_oracle() -> str | None:
-    """The full-rulebook oracle SQL is a generated artifact
-    (``plans/rulebook_oracle.sql``, written by
-    ``tools/gen_rulebook_oracle.py``) because assembling it live needs an
-    active SparkContext (rule binding builds Column objects) and
-    ``oracle_sql()`` must work without one. A test regenerates and diffs it
-    so the artifact cannot drift from the binding."""
-    import os
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "plans", "rulebook_oracle.sql")
-    try:
-        with open(path, encoding="utf-8") as fh:
-            return fh.read()
-    except OSError:
-        return None
+def _rulebook_oracle() -> str:
+    """Assembled at import time — binding builds only SQL templates (no
+    Column objects), so no SparkContext is needed (dual-backend checks,
+    ``functions/checks.py``)."""
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        rulebook_oracle_sql,
+    )
+    return rulebook_oracle_sql()
 
 
-QUERIES["rulebook_full"] = (q_rulebook_full, _load_rulebook_oracle())
+QUERIES["rulebook_full"] = (q_rulebook_full, _rulebook_oracle())

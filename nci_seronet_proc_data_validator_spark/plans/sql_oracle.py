@@ -2,10 +2,11 @@
 Spark engine compiles.
 
 ``bind_sheet_rules`` produces, per column, an ordered list of ``CheckExpr``
-— each carrying both the compiled Column predicate (Spark) and its DuckDB
-SQL mirror (``CheckExpr.sql``, emitted by the same builder in
-``functions/checks.py``). This module turns that binding into one SQL
-statement:
+— each holding ONE shared-dialect SQL template that renders to Spark
+(``violation_col``) and to DuckDB (``sql``) — see ``functions/checks.py``.
+Binding builds no Column objects, so this assembly runs without a
+SparkContext (the driver calls ``oracle_sql()`` sessionless). This module
+turns that binding into one SQL statement:
 
 - per sheet, a CTE with the fixture's shared-dialect value expressions
   (``plans/fixture.py``);

@@ -1,17 +1,15 @@
 """Full-rulebook driver query: binding↔oracle coherence and DuckDB parity.
 
 The rulebook_full query compiles EVERY rulebook rule over the synthetic
-submission (``plans/fixture.py``); its oracle is assembled from the same
-binding (``plans/sql_oracle.py``) and shipped as a generated artifact.
-These tests pin: (1) the artifact matches a fresh assembly (no drift);
-(2) every bound check carries a SQL mirror; (3) Spark and DuckDB agree
-row-for-row at sf0.001; (4) the fixture actually exercises every check
+submission (``plans/fixture.py``); its oracle is assembled SESSIONLESS
+from the same binding (``plans/sql_oracle.py`` — checks are single-source
+SQL templates). These tests pin: (1) binding without a SparkContext works
+and every check carries a SQL mirror; (2) Spark and DuckDB agree
+row-for-row at sf0.001; (3) the fixture actually exercises every check
 family (severities, sentinel dup rows, warnings, SARS-conditional split).
 """
 
 from __future__ import annotations
-
-import os
 
 import duckdb
 import pandas as pd
@@ -23,9 +21,6 @@ from nci_seronet_proc_data_validator_spark.driver_queries import (
 from nci_seronet_proc_data_validator_spark.plans import sql_oracle
 
 SF_DIR = "/root/testdata/sf0.001"
-ARTIFACT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "nci_seronet_proc_data_validator_spark", "plans", "rulebook_oracle.sql")
 
 TABLES = ["customer", "supplier", "part", "orders", "lineitem"]
 
@@ -38,17 +33,9 @@ def _oracle_df(sql: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
-def test_artifact_is_fresh(spark):
-    """plans/rulebook_oracle.sql must equal a fresh assembly — regenerate
-    with tools/gen_rulebook_oracle.py after touching rulebook/fixture/
-    checks."""
-    with open(ARTIFACT, encoding="utf-8") as fh:
-        shipped = fh.read()
-    assert shipped == sql_oracle.rulebook_oracle_sql(), (
-        "stale artifact: run python tools/gen_rulebook_oracle.py")
-
-
-def test_every_bound_check_has_sql_mirror(spark):
+def test_every_bound_check_has_sql_mirror():
+    """No spark fixture on purpose: binding and oracle assembly must work
+    without a SparkContext (the driver calls oracle_sql() sessionless)."""
     n_checks = 0
     for spec, bound in sql_oracle.rulebook_bound_sheets():
         for cr in bound.column_rules:
@@ -60,6 +47,7 @@ def test_every_bound_check_has_sql_mirror(spark):
     # (395 over this fixture's 96 columns); a big drop means a dispatch
     # branch stopped matching.
     assert n_checks >= 395, n_checks
+    assert len(sql_oracle.rulebook_oracle_sql()) > 10_000
 
 
 @pytest.fixture(scope="module")
