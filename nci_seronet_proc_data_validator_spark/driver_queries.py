@@ -2151,15 +2151,44 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import os as _os
     spread = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        biospecimen_cross_findings,
+        outer_join_spine,
+        participant_cross_findings,
+    )
     icd = icd10_dict_df(spark, sf_dir)
     parts = []
+    sheet_dfs = {}
     for spec, bound in rulebook_bound_sheets():
         df = fixture_sheet_df(spark, sf_dir, spec, spread_partitions=spread)
+        sheet_dfs[spec.sheet] = df
         for col in bound.icd10_columns:
             df = icd10_flag_join(df, col, icd, col + "__icd10_valid")
         parts.append(_compile(df, spec.sheet, bound.column_rules))
         for c in bound.dup_id_columns:
             parts.append(_dups(df, spec.sheet, c))
+
+    # Cross-sheet presence families (J3-J5, sentinel -10). Sources are
+    # distinct-ID projections (the Merged_Table shape); biospecimen
+    # contributes a deterministic per-ID type (min) so multi-typed
+    # duplicate IDs decode identically on both engines. All sheets are
+    # "submitted" here, so the submitted-id restriction is a no-op.
+    rpid = "Research_Participant_ID"
+    part_spine = outer_join_spine(
+        {s: sheet_dfs[s].select(rpid).distinct()
+         for s in ("prior_clinical_test.csv", "demographic.csv",
+                   "biospecimen.csv", "confirmatory_clinical_test.csv")},
+        rpid)
+    parts.append(participant_cross_findings(part_spine, "14"))
+    bid = "Biospecimen_ID"
+    bio_sources = {"biospecimen.csv":
+                   sheet_dfs["biospecimen.csv"].groupBy(bid).agg(
+                       F.min("Biospecimen_Type").alias("Biospecimen_Type"))}
+    for s in ("aliquot.csv", "equipment.csv", "reagent.csv",
+              "consumable.csv"):
+        bio_sources[s] = sheet_dfs[s].select(bid).distinct()
+    bio_spine = outer_join_spine(bio_sources, bid)
+    parts.append(biospecimen_cross_findings(bio_spine, "14"))
     return dedup_findings(union_findings(parts))
 
 

@@ -263,3 +263,92 @@ def icd10_flag_join(df: DataFrame, column: str, icd10_codes: DataFrame,
                   F.translate(df[column], ".", "") == F.col("__icd10_code"),
                   "left")
     return out.drop("__icd10_code")
+
+
+# --- DuckDB oracle mirrors for the cross-sheet findings -------------------
+# Generated from the SAME _PART_PATTERNS/_BIO_TABLES the Column decoders
+# use, so messages and keep-first priority cannot drift. Presence flags
+# are membership tests per distinct key — equivalent to the outer-join
+# spine's indicators (they are per-key constants).
+
+def participant_cross_oracle_sql(prior: str, demo: str, bio: str,
+                                 conf: str, cbc_id: str) -> str:
+    key = "Research_Participant_ID"
+    branches = " ".join(
+        f"WHEN {'' if p else 'NOT '}in_p AND {'' if d else 'NOT '}in_d"
+        f" AND {'' if b else 'NOT '}in_b THEN "
+        + "'" + text.replace("'", "''") + "'"
+        for (p, d, b), text in _PART_PATTERNS)
+    return f"""
+SELECT DISTINCT 'Error' AS Message_Type,
+  'Cross_Participant_ID.csv' AS CSV_Sheet_Name,
+  CAST({ROW_CROSS_SHEET} AS BIGINT) AS Row_Index,
+  '{key}' AS Column_Name, k AS Column_Value,
+  CASE {branches} END AS Error_Message
+FROM (
+  SELECT k,
+    k IN (SELECT {key} FROM {prior}) AS in_p,
+    k IN (SELECT {key} FROM {demo}) AS in_d,
+    k IN (SELECT {key} FROM {bio}) AS in_b,
+    k IN (SELECT {key} FROM {conf}) AS in_c
+  FROM (SELECT DISTINCT {key} AS k FROM {prior}
+        UNION SELECT {key} FROM {demo}
+        UNION SELECT {key} FROM {bio}
+        UNION SELECT {key} FROM {conf}))
+WHERE regexp_matches(k, '^{cbc_id}[_]{{1}}[0-9]{{6}}$')
+  AND NOT (in_p AND in_d AND in_b AND in_c)
+  AND (CASE {branches} END) IS NOT NULL
+"""
+
+
+def biospecimen_cross_oracle_sql(bio: str, ali: str, eq: str, re_: str,
+                                 co: str, cbc_id: str) -> str:
+    key = "Biospecimen_ID"
+    ctes = {"aliquot.csv": ali, "equipment.csv": eq,
+            "reagent.csv": re_, "consumable.csv": co}
+    flags = {"aliquot.csv": "in_al", "equipment.csv": "in_eq",
+             "reagent.csv": "in_re", "consumable.csv": "in_co"}
+    branches = []
+    for source, display in _BIO_TABLES:
+        t = flags[source]
+        branches.append(
+            f"WHEN {t} AND NOT in_bio THEN 'ID is found in {display}, "
+            f"however ID is missing from Biospecimen.csv'")
+        if source == "aliquot.csv":
+            branches.append(
+                f"WHEN in_bio AND NOT {t} THEN 'ID is found in "
+                f"Biospecimen.csv, however is missing from {display}'")
+        else:
+            branches.append(
+                f"WHEN {t} AND in_bio AND NOT is_pbmc THEN 'ID is found in "
+                f"{display}, and ID is found in Biospecimen.csv however has "
+                f"Biospecimen_Type NOT PBMC'")
+            branches.append(
+                f"WHEN NOT {t} AND in_bio AND is_pbmc THEN 'ID is found in "
+                f"Biospecimen.csv and has Biospecimen_Type of PBMC, however "
+                f"ID is missing from {display}'")
+    chain = " ".join(branches)
+    member = " ".join(
+        f"k IN (SELECT {key} FROM {cte}) AS {flags[s]},"
+        for s, cte in ctes.items())
+    return f"""
+SELECT DISTINCT 'Error' AS Message_Type,
+  'Cross_Biospecimen_ID.csv' AS CSV_Sheet_Name,
+  CAST({ROW_CROSS_SHEET} AS BIGINT) AS Row_Index,
+  '{key}' AS Column_Name, k AS Column_Value,
+  CASE {chain} END AS Error_Message
+FROM (
+  SELECT k,
+    k IN (SELECT {key} FROM {bio}) AS in_bio,
+    {member}
+    coalesce((SELECT min(Biospecimen_Type) FROM {bio} b
+              WHERE b.{key} = ids.k), '') = 'PBMC' AS is_pbmc
+  FROM (SELECT DISTINCT {key} AS k FROM {bio}
+        UNION SELECT {key} FROM {ali}
+        UNION SELECT {key} FROM {eq}
+        UNION SELECT {key} FROM {re_}
+        UNION SELECT {key} FROM {co}) ids)
+WHERE regexp_matches(k, '^{cbc_id}[_]{{1}}[0-9]{{6}}[_]{{1}}[0-9]{{3}}$')
+  AND NOT (in_bio AND in_al AND in_eq AND in_re AND in_co)
+  AND (CASE {chain} END) IS NOT NULL
+"""

@@ -95,16 +95,32 @@ def _dup_select(cte: str, sheet: str, column: str) -> str:
 
 
 def rulebook_oracle_sql() -> str:
-    """The whole rulebook's findings as ONE DuckDB statement."""
+    """The whole rulebook's findings as ONE DuckDB statement: per-column
+    rule findings + duplicate-ID sentinels + the two cross-sheet presence
+    families (J3–J5, sentinel −10)."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        biospecimen_cross_oracle_sql,
+        participant_cross_oracle_sql,
+    )
     ctes = [f"icd10_dict AS ({ICD10_DICT_SQL})"]
     selects = []
+    names = {}
     for spec, bound in rulebook_bound_sheets():
         name = cte_name(spec)
+        names[spec.sheet] = name
         ctes.append(f"{name} AS ({fixture_sheet_cte(spec)})")
         for cr in bound.column_rules:
             selects.append(
                 _column_select(name, spec.sheet, cr.column, cr.checks))
         for col in bound.dup_id_columns:
             selects.append(_dup_select(name, spec.sheet, col))
+    selects.append(participant_cross_oracle_sql(
+        names["prior_clinical_test.csv"], names["demographic.csv"],
+        names["biospecimen.csv"], names["confirmatory_clinical_test.csv"],
+        CBC_ID))
+    selects.append(biospecimen_cross_oracle_sql(
+        names["biospecimen.csv"], names["aliquot.csv"],
+        names["equipment.csv"], names["reagent.csv"],
+        names["consumable.csv"], CBC_ID))
     return ("WITH " + ",\n".join(ctes) + "\n"
             + "\nUNION ALL\n".join(selects))

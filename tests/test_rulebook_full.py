@@ -70,13 +70,17 @@ def test_spark_matches_duckdb(findings):
 def test_fixture_exercises_all_families(findings):
     sdf, _ = findings
     sheets = set(sdf.CSV_Sheet_Name)
-    assert len(sheets) == 10, sheets
+    assert len(sheets) == 12, sheets  # 10 sheets + 2 cross-sheet families
     assert set(sdf.Message_Type) == {"Error", "Warning"}
     # sentinel dup-ID rows on every dup-checked sheet
     dup = sdf[sdf.Row_Index == -3]
     assert {"prior_clinical_test.csv", "demographic.csv",
             "biospecimen.csv", "aliquot.csv", "assay.csv",
             "confirmatory_clinical_test.csv"} <= set(dup.CSV_Sheet_Name)
+    # cross-sheet presence findings (J3-J5, sentinel -10) on both spines
+    cross = sdf[sdf.Row_Index == -10]
+    assert {"Cross_Participant_ID.csv",
+            "Cross_Biospecimen_ID.csv"} <= set(cross.CSV_Sheet_Name)
     msgs = " ".join(sdf.Error_Message.unique())
     for marker in [
             "Unexpected Value", "Valid Date", "interger",
