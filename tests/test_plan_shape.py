@@ -220,3 +220,28 @@ def test_no_driver_query_has_global_window(spark, sf_dir):
         if lines:
             bad[name] = lines
     assert not bad, f"global windows found: {bad}"
+
+
+def test_rulebook_sheet_findings_map_only(spark, sf_dir):
+    """The flagship's per-sheet findings pass must stay one map-only scan:
+    scan → value projection → shadows → check explode, no Exchange (the
+    only shuffles in rulebook_full are the dup-ID aggs and the cross-sheet
+    spines). Guarded without the local-testdata spread repartition, i.e.
+    the shape a real pre-split cluster input gets."""
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        fixture_sheet_df,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        compile_sheet_findings,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        rulebook_bound_sheets,
+    )
+    for spec, bound in rulebook_bound_sheets():
+        if spec.sheet != "biospecimen.csv":     # the widest sheet
+            continue
+        df = fixture_sheet_df(spark, sf_dir, spec)
+        plan = _plan(compile_sheet_findings(df, spec.sheet,
+                                            bound.column_rules))
+        assert "Exchange" not in plan, plan[:2000]
+        assert plan.count("Scan parquet") == 1
