@@ -711,7 +711,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalized text, all JVM-side regex — one map-only scan covers
     both the stats and the fingerprint operators."""
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\f\\r]+", " ")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -729,7 +729,7 @@ SELECT doc_id, length(text) AS n_chars_actual,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
        length(text) < 100 AS is_short,
-       substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+       substr(md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')), 1, 16)
          AS fingerprint
 FROM documents ORDER BY doc_id
 """
@@ -776,7 +776,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 64-bit content fingerprint of the
     normalized text (hex prefix of md5)."""
     docs = read_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\f\\r]+", " ")
     return docs.select(
         "doc_id",
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
@@ -785,7 +785,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FINGERPRINT = r"""
 SELECT doc_id,
-       substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 16)
+       substr(md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')), 1, 16)
          AS fingerprint
 FROM documents ORDER BY doc_id
 """

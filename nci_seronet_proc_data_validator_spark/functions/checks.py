@@ -138,6 +138,8 @@ class Dependency:
         if self.value == "Is A Date":
             return f"({_is_ts(self.column)})"
         vals = list(self.value) if not isinstance(self.value, str) else [self.value]
+        if not vals:
+            return "(FALSE)"  # empty scope — 'IN ()' would not parse
         return f"({self.column} IN ({_sql_str_list(vals)}))"
 
     def predicate(self) -> Column:

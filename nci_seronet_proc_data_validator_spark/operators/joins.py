@@ -186,6 +186,18 @@ _BIO_TABLES = [
     ("consumable.csv", "Consumable.csv"),
 ]
 
+# Message templates shared by the Column decoder AND the DuckDB oracle
+# builder below — single-sourced so a wording edit cannot break parity.
+_BIO_MSG_IN_T_NOT_BIO = ("ID is found in {display}, however ID is missing "
+                         "from Biospecimen.csv")
+_BIO_MSG_BIO_NOT_T = ("ID is found in Biospecimen.csv, however is missing "
+                      "from {display}")
+_BIO_MSG_NOT_PBMC = ("ID is found in {display}, and ID is found in "
+                     "Biospecimen.csv however has Biospecimen_Type NOT PBMC")
+_BIO_MSG_PBMC_MISSING = ("ID is found in Biospecimen.csv and has "
+                         "Biospecimen_Type of PBMC, however ID is missing "
+                         "from {display}")
+
 
 def biospecimen_cross_findings(spine: DataFrame, cbc_id: str,
                                submitted_ids: DataFrame | None = None
@@ -216,22 +228,18 @@ def biospecimen_cross_findings(spine: DataFrame, cbc_id: str,
         in_t = present(source)
         candidates.append(
             F.when(in_t & ~in_bio,
-                   F.lit("ID is found in " + display
-                         + ", however ID is missing from Biospecimen.csv")))
+                   F.lit(_BIO_MSG_IN_T_NOT_BIO.format(display=display))))
         if source == "aliquot.csv":
             candidates.append(
                 F.when(in_bio & ~in_t,
-                       F.lit("ID is found in Biospecimen.csv, however "
-                             "is missing from " + display)))
+                       F.lit(_BIO_MSG_BIO_NOT_T.format(display=display))))
         else:
             candidates.append(F.when(
                 in_t & in_bio & ~is_pbmc,
-                F.lit("ID is found in " + display + ", and ID is found in "
-                      "Biospecimen.csv however has Biospecimen_Type NOT PBMC")))
+                F.lit(_BIO_MSG_NOT_PBMC.format(display=display))))
             candidates.append(F.when(
                 ~in_t & in_bio & is_pbmc,
-                F.lit("ID is found in Biospecimen.csv and has Biospecimen_Type "
-                      "of PBMC, however ID is missing from " + display)))
+                F.lit(_BIO_MSG_PBMC_MISSING.format(display=display))))
     # Keep-first across tables: the reference's dedup key is (Row_Index,
     # Column_Name, Column_Value), so one ID keeps only its FIRST matching
     # table's message (aliquot → equipment → reagent → consumable).
@@ -303,30 +311,32 @@ WHERE regexp_matches(k, '^{cbc_id}[_]{{1}}[0-9]{{6}}$')
 
 def biospecimen_cross_oracle_sql(bio: str, ali: str, eq: str, re_: str,
                                  co: str, cbc_id: str) -> str:
+    """Contract: the oracle resolves a duplicate ID's type with
+    min(Biospecimen_Type); the Spark spine must therefore be built from a
+    per-ID min-aggregated biospecimen source (as q_rulebook_full does) —
+    a raw multi-typed spine would decode nondeterministically under the
+    key-based findings dedup."""
     key = "Biospecimen_ID"
     ctes = {"aliquot.csv": ali, "equipment.csv": eq,
             "reagent.csv": re_, "consumable.csv": co}
     flags = {"aliquot.csv": "in_al", "equipment.csv": "in_eq",
              "reagent.csv": "in_re", "consumable.csv": "in_co"}
+    def _lit(template: str, display: str) -> str:
+        return "'" + template.format(display=display).replace("'", "''") + "'"
+
     branches = []
     for source, display in _BIO_TABLES:
         t = flags[source]
-        branches.append(
-            f"WHEN {t} AND NOT in_bio THEN 'ID is found in {display}, "
-            f"however ID is missing from Biospecimen.csv'")
+        branches.append(f"WHEN {t} AND NOT in_bio THEN "
+                        + _lit(_BIO_MSG_IN_T_NOT_BIO, display))
         if source == "aliquot.csv":
-            branches.append(
-                f"WHEN in_bio AND NOT {t} THEN 'ID is found in "
-                f"Biospecimen.csv, however is missing from {display}'")
+            branches.append(f"WHEN in_bio AND NOT {t} THEN "
+                            + _lit(_BIO_MSG_BIO_NOT_T, display))
         else:
-            branches.append(
-                f"WHEN {t} AND in_bio AND NOT is_pbmc THEN 'ID is found in "
-                f"{display}, and ID is found in Biospecimen.csv however has "
-                f"Biospecimen_Type NOT PBMC'")
-            branches.append(
-                f"WHEN NOT {t} AND in_bio AND is_pbmc THEN 'ID is found in "
-                f"Biospecimen.csv and has Biospecimen_Type of PBMC, however "
-                f"ID is missing from {display}'")
+            branches.append(f"WHEN {t} AND in_bio AND NOT is_pbmc THEN "
+                            + _lit(_BIO_MSG_NOT_PBMC, display))
+            branches.append(f"WHEN NOT {t} AND in_bio AND is_pbmc THEN "
+                            + _lit(_BIO_MSG_PBMC_MISSING, display))
     chain = " ".join(branches)
     member = " ".join(
         f"k IN (SELECT {key} FROM {cte}) AS {flags[s]},"

@@ -20,13 +20,18 @@ Never a global window, never all-pairs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def _lines(df: DataFrame, text_col: str, id_col: str, sep: str):
+    # re.escape: F.split takes a REGEX while the DuckDB oracle's
+    # string_split is literal — an unescaped '.' or '|' separator would
+    # silently split on everything in Spark only.
     return (df.select(F.col(id_col),
-                      F.posexplode(F.split(F.col(text_col), sep))
+                      F.posexplode(F.split(F.col(text_col), re.escape(sep)))
                       .alias("pos", "line")))
 
 
@@ -65,8 +70,11 @@ def remove_common_lines(df: DataFrame, max_doc_freq: int,
                            lambda s: s["line"]),
                        sep).alias("text"),
                     F.count(F.lit(1)).cast("long").alias("n_lines_kept")))
-    totals = (lines.groupBy(id_col)
-              .agg(F.count(F.lit(1)).cast("long").alias("n_lines")))
+    # per-doc line totals need no explode/shuffle — map-only size(split)
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), re.escape(sep)))
+        .cast("long").alias("n_lines"))
     return (totals.join(rebuilt, id_col, "left")
             .select(id_col,
                     F.coalesce("text", F.lit("")).alias("text"),

@@ -134,7 +134,11 @@ def _decode_features(payload: bytes | None) -> dict:
         return _decode_stub(payload)
     try:
         img = _decode_real(payload)
-    except NotImplementedError:
+    except Exception:
+        # No parser for the container OR the payload merely looks like one
+        # (web-crawl bytes starting 'BM'/'P6' with garbage headers,
+        # truncated pixel data, 16-bit PPMs). A corrupt blob must degrade
+        # to the structural stub, never kill the executor task.
         return _decode_stub(payload)
     base = _decode_stub(payload)  # n_bytes + payload_sha are byte-level
     w, h = img["width"], img["height"]

@@ -83,7 +83,10 @@ def compile_sheet_findings(df: DataFrame, sheet_name: str | Column,
 
 
 def _q(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        _sql_quote,
+    )
+    return _sql_quote(s)
 
 
 def _compile_text(df: DataFrame, sheet_name: str,

@@ -196,6 +196,27 @@ def test_multimodal_real_decode_ppm_bmp(spark):
         _decode_real(bytes([1, 2, 3, 4]))
 
 
+def test_multimodal_corrupt_payloads_degrade_to_stub(spark):
+    """Web-crawl bytes that merely LOOK like P6/BM must not kill the task:
+    garbage headers, truncated pixels, unsupported variants all fall back
+    to the structural stub."""
+    from nci_seronet_proc_data_validator_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_image_features)
+    rows = [
+        (1, "image", "?", b"P6junk not a header", None, None, None),
+        (2, "image", "?", b"P6\n2 2\n65535\n" + bytes(24), None, None, None),
+        (3, "image", "?", _ppm_bytes(4, 4, [0] * 48)[:20], None, None, None),
+        (4, "image", "?", b"BM" + bytes(10), None, None, None),
+        (5, "image", "?", _bmp_bytes(3, 2, [[1] * 9, [1] * 9])[:40],
+         None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in decode_image_features(df).collect()}
+    assert len(feats) == 5
+    for r in feats.values():          # stub features, not a crash
+        assert r["thumb_w"] == 16 and r["n_bytes"] > 0
+
+
 def test_streaming_validation(spark, tmp_path):
     from nci_seronet_proc_data_validator_spark.streaming import validate_stream
     in_dir, cp, out = (str(tmp_path / d) for d in ("in", "cp", "out"))
