@@ -24,7 +24,6 @@ import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
 from nci_seronet_proc_data_validator_spark.functions.checks import (
     CheckExpr,
     assay_special,

@@ -32,7 +32,7 @@ a count, and the one ``ln`` plus the final ≤|query|-term sum round through
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_K1 = 1.2

@@ -27,7 +27,6 @@ from nci_seronet_proc_data_validator_spark.errors import (
     union_findings,
 )
 from nci_seronet_proc_data_validator_spark.operators.joins import (
-    MERGE_COLS,
     biospecimen_cross_findings,
     icd10_flag_join,
     merge_tables,

@@ -35,7 +35,7 @@ VALUES = [
     "2020-01-05", "2020-01-05 10:11:12", "1890-01-01", "2030-12-31",
     "2020-13-05", "14:30:00", "99:99:99",
     "14_000001", "99_000001", "BAD_ID!", "14_000001_001",
-    "A042", "ZZZ9", " 7", "7 ",
+    "A042", "ZZZ9", " 7", "7 ", "a\x0bb", "\x0b",
 ]
 
 
