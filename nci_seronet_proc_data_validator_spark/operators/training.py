@@ -177,3 +177,82 @@ SELECT shard, CAST(floor(off / {budget}.0) AS BIGINT) AS seq_id,
        count(*) AS n_docs, sum(n_tok) AS total_tokens
 FROM o GROUP BY 1, 2 ORDER BY shard, seq_id
 """
+
+
+def build_vocab(docs: DataFrame, n: int = 50_000,
+                text_col: str = "text") -> DataFrame:
+    """Frequency-truncated vocabulary with dense integer ids.
+
+    Tokens = lowercase [a-z0-9]+ runs (the same regex family as
+    ``vocab_topn``); ids are 1..n by (count desc, token) — deterministic.
+    The ranking window runs on ONE partition by design: its input is the
+    ALREADY-truncated top-n token list (TakeOrdered upstream), which is
+    bounded by the vocabulary size, not the corpus — the same
+    driver-scale shape as k-means' centroid sync. id 0 is reserved for
+    <unk>.
+    """
+    from pyspark.sql.window import Window as _W
+    tokens = (docs.select(F.explode(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "token")
+        .limit(n))
+    return tokens.withColumn(
+        "token_id",
+        F.row_number().over(_W.orderBy(F.col("n_occ").desc(), "token"))
+        .cast("long"))
+
+
+def vocab_encode(docs: DataFrame, vocab: DataFrame, unk_id: int = 0,
+                 text_col: str = "text", id_col: str = "doc_id"
+                 ) -> DataFrame:
+    """Encode each document as its token-id array against ``vocab`` —
+    the final text→training-tokens step before ``pack_sequences``.
+
+    Shape: posexplode tokens (map-only) → BROADCAST join against the
+    bounded vocabulary → one keyed agg reassembling ids in order.
+    Out-of-vocabulary tokens map to ``unk_id``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
+        .alias("pos", "token"))
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
+                       "token", "left")
+    ids = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            "pos", F.coalesce("token_id", F.lit(unk_id)).alias("tid")))),
+        lambda s: s["tid"])
+    return (joined.groupBy(id_col)
+            .agg(ids.alias("token_ids"),
+                 F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_unk")))
+
+
+def vocab_encode_oracle_sql(n_vocab: int, unk_id: int = 0,
+                            table: str = "documents") -> str:
+    """DuckDB mirror: same tokenization, same (count desc, token) ranking,
+    same ordered reassembly."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, i AS pos, toks[i] AS token
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM {table}),
+       unnest(generate_series(1, len(toks))) AS u(i)),
+v AS (
+  SELECT token,
+         row_number() OVER (ORDER BY count(*) DESC, token) AS token_id
+  FROM t GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {n_vocab})
+SELECT doc_id,
+       list(coalesce(v.token_id, {unk_id}) ORDER BY pos) AS token_ids,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unk
+FROM t LEFT JOIN v USING (token)
+GROUP BY doc_id
+"""
