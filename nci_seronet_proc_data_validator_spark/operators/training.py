@@ -191,16 +191,15 @@ def build_vocab(docs: DataFrame, n: int = 50_000,
     driver-scale shape as k-means' centroid sync. id 0 is reserved for
     <unk>.
     """
-    from pyspark.sql.window import Window as _W
-    tokens = (docs.select(F.explode(
-        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
-        .alias("token"))
-        .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
-        .orderBy(F.col("n_occ").desc(), "token")
-        .limit(n))
-    return tokens.withColumn(
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        tokens as _tokens)
+    top = (docs.select(F.explode(_tokens(text_col)).alias("token"))
+           .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+           .orderBy(F.col("n_occ").desc(), "token")
+           .limit(n))
+    return top.withColumn(
         "token_id",
-        F.row_number().over(_W.orderBy(F.col("n_occ").desc(), "token"))
+        F.row_number().over(Window.orderBy(F.col("n_occ").desc(), "token"))
         .cast("long"))
 
 
@@ -214,22 +213,35 @@ def vocab_encode(docs: DataFrame, vocab: DataFrame, unk_id: int = 0,
     bounded vocabulary → one keyed agg reassembling ids in order.
     Out-of-vocabulary tokens map to ``unk_id``.
     """
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        tokens as _tokens)
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(F.expr(
-            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"))
-        .alias("pos", "token"))
+        F.posexplode(_tokens(text_col)).alias("pos", "token"))
     joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
                        "token", "left")
     ids = F.transform(
         F.array_sort(F.collect_list(F.struct(
             "pos", F.coalesce("token_id", F.lit(unk_id)).alias("tid")))),
         lambda s: s["tid"])
-    return (joined.groupBy(id_col)
-            .agg(ids.alias("token_ids"),
-                 F.count(F.lit(1)).cast("long").alias("n_tokens"),
-                 F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
-                 .cast("long").alias("n_unk")))
+    encoded = (joined.groupBy(id_col)
+               .agg(ids.alias("token_ids"),
+                    F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                    F.sum(F.when(F.col("token_id").isNull(), 1)
+                          .otherwise(0)).cast("long").alias("n_unk")))
+    # Zero-token docs (empty/punctuation-only text) vanish in posexplode;
+    # keep them as empty encodings so downstream joins (pack_sequences
+    # keeps n_tok=0 docs too) never lose documents.
+    return (docs.select(id_col).distinct()
+            .join(encoded, id_col, "left")
+            .select(id_col,
+                    F.coalesce("token_ids",
+                               F.array().cast("array<bigint>"))
+                    .alias("token_ids"),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("n_unk", F.lit(0)).cast("long")
+                    .alias("n_unk")))
 
 
 def vocab_encode_oracle_sql(n_vocab: int, unk_id: int = 0,
@@ -247,12 +259,19 @@ v AS (
   SELECT token,
          row_number() OVER (ORDER BY count(*) DESC, token) AS token_id
   FROM t GROUP BY token
-  ORDER BY count(*) DESC, token LIMIT {n_vocab})
-SELECT doc_id,
-       list(coalesce(v.token_id, {unk_id}) ORDER BY pos) AS token_ids,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_unk
-FROM t LEFT JOIN v USING (token)
-GROUP BY doc_id
+  ORDER BY count(*) DESC, token LIMIT {n_vocab}),
+e AS (
+  SELECT doc_id,
+         list(coalesce(v.token_id, {unk_id}) ORDER BY pos) AS token_ids,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk
+  FROM t LEFT JOIN v USING (token)
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(e.token_ids, []) AS token_ids,
+       coalesce(e.n_tokens, 0) AS n_tokens,
+       coalesce(e.n_unk, 0) AS n_unk
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN e USING (doc_id)
 """

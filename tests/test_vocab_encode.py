@@ -37,7 +37,7 @@ def test_vocab_encode_matches_duckdb(spark, docs):
 
 
 def test_vocab_encode_semantics(spark):
-    rows = [(1, "the cat the cat dog"), (2, "zebra the")]
+    rows = [(1, "the cat the cat dog"), (2, "zebra the"), (3, "!!!")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     vocab = build_vocab(df, n=2)   # 'the' (3) -> id 1, 'cat' (2) -> id 2
     v = {r["token"]: r["token_id"] for r in vocab.collect()}
@@ -46,6 +46,9 @@ def test_vocab_encode_semantics(spark):
     assert enc[1]["token_ids"] == [1, 2, 1, 2, 0]     # dog -> unk
     assert enc[1]["n_tokens"] == 5 and enc[1]["n_unk"] == 1
     assert enc[2]["token_ids"] == [0, 1]              # zebra -> unk
+    # punctuation-only doc survives as an empty encoding (pack_sequences
+    # keeps n_tok=0 docs; a join must not lose them)
+    assert enc[3]["token_ids"] == [] and enc[3]["n_tokens"] == 0
     plan = (vocab_encode(df, vocab)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
