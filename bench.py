@@ -25,6 +25,7 @@ from nci_seronet_proc_data_validator_spark.driver_queries import (
     q_events_sliding,
     q_ivf_topk,
     q_kmeans,
+    q_vocab_topn,
     read_events,
 )
 from nci_seronet_proc_data_validator_spark.functions.checks import (
@@ -112,7 +113,7 @@ BENCH_QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "interval_join": QUERIES["interval_join"][0],
     "kmeans_centroids": q_kmeans,
-    "vocab_topn": QUERIES["vocab_topn"][0],
+    "vocab_topn": q_vocab_topn,
     "events_sliding": q_events_sliding,
     "tpch_q1": QUERIES["tpch_q1"][0],
     "tpch_q3": QUERIES["tpch_q3"][0],
@@ -121,6 +122,10 @@ BENCH_QUERIES = {
     # synthetic submission (one map-only findings scan per sheet + one
     # dup-ID shuffle per ID column).
     "rulebook_full": QUERIES["rulebook_full"][0],
+    # round-3 curation operators
+    "dsir_importance": QUERIES["dsir_importance"][0],
+    "boilerplate_removal": QUERIES["boilerplate_removal"][0],
+    "vocab_pipeline": QUERIES["vocab_pipeline"][0],
 }
 
 

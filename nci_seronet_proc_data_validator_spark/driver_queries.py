@@ -707,8 +707,12 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality features + 64-bit content fingerprint of
-    the normalized text, all JVM-side regex — one map-only scan covers
-    both the stats and the fingerprint operators."""
+    the normalized text + the whitespace-vs-BPE token-budget estimate
+    (``operators/text_quality.bpe_token_counts``), all JVM-side regex —
+    one map-only scan covers the stats, fingerprint, and token-count
+    operators."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        BPE_PATTERN)
     docs = read_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\f\\r]+", " ")
     return docs.select(
@@ -720,18 +724,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     0)).cast("long").alias("n_punct"),
         (F.length("text") < 100).alias("is_short"),
         F.substring(F.md5(norm), 1, 16).alias("fingerprint"),
+        F.size(F.expr("filter(split(text, ' +'), x -> x != '')"))
+        .cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN),
+                                    0)).cast("long").alias("n_bpe_tokens"),
     ).orderBy("doc_id")
 
 
-SQL_TEXT_STATS = r"""
+def _sql_text_stats() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        BPE_PATTERN)
+    pat = BPE_PATTERN.replace("'", "''")
+    return r"""
 SELECT doc_id, length(text) AS n_chars_actual,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
        length(text) < 100 AS is_short,
        substr(md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')), 1, 16)
-         AS fingerprint
+         AS fingerprint,
+       CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
+            AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '""" + pat + r"""')) AS BIGINT)
+         AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+SQL_TEXT_STATS = _sql_text_stats()
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +834,129 @@ def q_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         familiarity_features)
     docs = read_table(spark, sf_dir, "documents")
     return familiarity_features(docs).orderBy("doc_id")
+
+
+def q_repetition_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition + corpus-bigram familiarity fused into
+    ONE bigram pass (operators/text_quality.bigram_profile) — profiling a
+    corpus with both signals must not scan the text twice."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bigram_profile)
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_profile(docs).orderBy("doc_id")
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-bigram importance of every document w.r.t. the
+    English slice (``lang = 'en'`` as the target domain) — the
+    "make the crawl look like the target corpus" data-selection
+    primitive (operators/importance.py). Integer-exact Σ-ratio scoring;
+    two keyed shuffles + one bounded broadcast, corpus-size-independent.
+    """
+    from nci_seronet_proc_data_validator_spark.operators.importance import (
+        hashed_ngram_importance)
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    return (hashed_ngram_importance(docs, F.col("lang") == "en",
+                                    n=2, buckets=4096)
+            .orderBy("doc_id"))
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-frequency unit removal
+    (operators/linedup.remove_common_lines). The testdata documents are
+    single-line, so the removal unit here is the word (``sep=' '``):
+    words present in >390 distinct documents are corpus boilerplate and
+    are dropped, order of the survivors preserved — which exercises the
+    posexplode → df-agg → broadcast anti-join → ordered reassembly
+    pipeline for real. Text round-trips as an md5 so the compare moves
+    hashes, not documents."""
+    from nci_seronet_proc_data_validator_spark.operators.linedup import (
+        remove_common_lines)
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    out = remove_common_lines(docs, max_doc_freq=390, sep=" ")
+    return (out.select("doc_id", F.md5("text").alias("new_text_hash"),
+                       "n_lines_kept", "n_lines_dropped")
+            .orderBy("doc_id"))
+
+
+def _sql_boilerplate_removal() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.linedup import (
+        remove_common_lines_oracle_sql)
+    inner = remove_common_lines_oracle_sql(390, table="documents", sep=" ")
+    return f"""
+SELECT doc_id, md5(text) AS new_text_hash, n_lines_kept, n_lines_dropped
+FROM ({inner.strip()}) ORDER BY doc_id
+"""
+
+
+def q_vocab_pipeline(spark: SparkSession, sf_dir: str, n: int = 200
+                     ) -> DataFrame:
+    """The vocabulary pipeline end to end in one tagged union: the
+    frequency-truncated vocabulary itself ('vocab' rows: token, occurrence
+    + document frequency, dense id) and every document encoded against it
+    ('doc' rows: token count, OOV count, md5 of the ordered id sequence).
+    Embeds vocab_topn (same top-N ranking), build_vocab, and vocab_encode
+    (operators/training.py) — ids ride the bounded broadcast, encodings
+    reassemble in posexplode order."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input)
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        build_vocab, vocab_encode)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    vocab = build_vocab(docs, n=n)
+    vrows = (docs.select("doc_id", F.explode(
+                 F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+                 .alias("token"))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n_occ"),
+                  F.countDistinct("doc_id").alias("n_docs"))
+             .join(vocab.select("token", "token_id"), "token")
+             .select(F.lit("vocab").alias("part"),
+                     F.col("token").alias("key"),
+                     F.col("n_occ").alias("n_a"),
+                     F.col("n_docs").alias("n_b"),
+                     F.col("token_id").alias("n_c"),
+                     F.lit("").alias("h")))
+    enc = vocab_encode(docs, vocab)
+    drows = enc.select(
+        F.lit("doc").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_tokens").alias("n_a"),
+        F.col("n_unk").alias("n_b"),
+        F.lit(0).cast("long").alias("n_c"),
+        F.md5(F.concat_ws(",", F.col("token_ids"))).alias("h"))
+    return vrows.unionByName(drows)
+
+
+def _sql_vocab_pipeline(n: int = 200) -> str:
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        vocab_encode_oracle_sql)
+    enc = vocab_encode_oracle_sql(n_vocab=n, table="documents")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM tok GROUP BY token),
+v AS (
+  SELECT token, n_occ, n_docs,
+         row_number() OVER (ORDER BY n_occ DESC, token) AS token_id
+  FROM counts ORDER BY n_occ DESC, token LIMIT {n})
+SELECT 'vocab' AS part, token AS key, n_occ AS n_a, n_docs AS n_b,
+       CAST(token_id AS BIGINT) AS n_c, '' AS h
+FROM v
+UNION ALL
+SELECT 'doc' AS part, CAST(doc_id AS VARCHAR) AS key, n_tokens AS n_a,
+       n_unk AS n_b, CAST(0 AS BIGINT) AS n_c,
+       md5(array_to_string(token_ids, ',')) AS h
+FROM ({enc.strip()})
+"""
 
 
 # ------------------------------------------------ MinHash / SimHash dedup
@@ -2085,6 +2227,10 @@ ORDER BY c.doc_id, c.chunk_idx
 
 
 def _consolidate_registry() -> None:
+    from nci_seronet_proc_data_validator_spark.operators.importance import (
+        importance_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bigram_profile_oracle_sql)
     merged = {
         "c1_c2_checks": (q_c1_c2_checks, _union_all_sql(SQL_C1, SQL_C2)),
         "c3_c4_checks": (q_c3_c4_checks,
@@ -2096,6 +2242,16 @@ def _consolidate_registry() -> None:
         "events_windows": (q_events_windows, SQL_EVENTS_WINDOWS),
         "skew_salted": (q_skew_salted, SQL_SKEW_SALTED),
         "chunk_and_split": (q_chunk_and_split, _sql_chunk_and_split()),
+        # round-3 curation operators, slotted in by fusing the two
+        # bigram-pass siblings and folding bpe_token_count into text_stats
+        "repetition_familiarity": (q_repetition_familiarity,
+                                   bigram_profile_oracle_sql()),
+        "dsir_importance": (q_dsir_importance,
+                            importance_oracle_sql("lang = 'en'", n=2,
+                                                  buckets=4096)),
+        "boilerplate_removal": (q_boilerplate_removal,
+                                _sql_boilerplate_removal()),
+        "vocab_pipeline": (q_vocab_pipeline, _sql_vocab_pipeline()),
     }
     absorbed = [
         # merged into the tagged unions above
@@ -2109,6 +2265,12 @@ def _consolidate_registry() -> None:
         # already exercised inside a composed registered query
         "minhash_signatures", "simhash_signatures", "dedup_exact",
         "doc_fingerprint", "ivf_topk", "kmeans_centroids", "dedup_clusters",
+        # fused: one bigram pass serves both signal families
+        "repetition_bigrams", "familiarity",
+        # folded into the text_stats map-only profile scan
+        "bpe_token_count",
+        # embedded in vocab_pipeline (same top-N ranking feeds the ids)
+        "vocab_topn",
     ]
     for name in absorbed:
         QUERIES.pop(name, None)

@@ -214,6 +214,70 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def bigram_profile(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Repetition + familiarity in ONE bigram pass.
+
+    ``repetition_features`` and ``familiarity_features`` both start from
+    the identical per-document bigram counts; profiling a corpus with both
+    signals should not scan and explode the text twice. This fuses them:
+    one explode → one (doc, bigram) agg → corpus counts (keyed agg with
+    map-side partials) → broadcast-size-independent shuffle join on the
+    bigram key → one agg back to documents carrying both signal families.
+    Same row domain as the parts (docs with >= 2 words).
+    """
+    ws = _words(text_col)
+    base = (df.select(F.col(id_col), ws.alias("ws"))
+            .filter(F.size("ws") >= 2))
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+    doc_bg = (base.select(id_col, F.explode(bigrams).alias("bg"))
+              .groupBy(id_col, "bg")
+              .agg(F.count(F.lit(1)).alias("n")))
+    corpus = doc_bg.groupBy("bg").agg(F.sum("n").alias("cn"))
+    out = (doc_bg.join(corpus, "bg")
+           .groupBy(id_col)
+           .agg(F.sum("n").cast("long").alias("n_bigrams"),
+                F.count(F.lit(1)).alias("n_distinct_bigrams"),
+                F.max("n").cast("long").alias("top_count"),
+                F.sum(F.col("n") * F.col("cn")).cast("long")
+                .alias("sum_corpus_freq")))
+    return out.select(
+        id_col, "n_bigrams", "n_distinct_bigrams", "top_count",
+        ((F.col("top_count") >= 2)
+         & (F.col("top_count") * 5 > F.col("n_bigrams")))
+        .alias("is_repetitive"),
+        "sum_corpus_freq",
+        (F.col("sum_corpus_freq").cast("double")
+         / F.col("n_bigrams")).alias("familiarity"))
+
+
+def bigram_profile_oracle_sql(table: str = "documents") -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, ' +'), x -> x <> '') AS ws
+  FROM {table}),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+db AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
+c AS (SELECT bg, sum(n) AS cn FROM db GROUP BY bg)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       count(*) AS n_distinct_bigrams,
+       CAST(max(n) AS BIGINT) AS top_count,
+       (max(n) >= 2 AND max(n) * 5 > sum(n)) AS is_repetitive,
+       CAST(SUM(n * cn) AS BIGINT) AS sum_corpus_freq,
+       CAST(CAST(SUM(n * cn) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(n) AS BIGINT) AS familiarity
+FROM db JOIN c USING (bg)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def repetition_oracle_sql(table: str = "documents") -> str:
     return f"""
 WITH w AS (

@@ -185,10 +185,11 @@ def build_vocab(docs: DataFrame, n: int = 50_000,
 
     Tokens = lowercase [a-z0-9]+ runs (the same regex family as
     ``vocab_topn``); ids are 1..n by (count desc, token) — deterministic.
-    The ranking window runs on ONE partition by design: its input is the
-    ALREADY-truncated top-n token list (TakeOrdered upstream), which is
-    bounded by the vocabulary size, not the corpus — the same
-    driver-scale shape as k-means' centroid sync. id 0 is reserved for
+    The corpus-wide part is one keyed agg + TakeOrdered top-n; id
+    assignment then runs on the ALREADY-truncated vocab (bounded by n,
+    not the corpus) as a broadcast rank-count self-join — the same
+    zero-WindowExec idiom as ``search.bm25_topk``, so the no-global-window
+    plan guard holds for every query composing this. id 0 is reserved for
     <unk>.
     """
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
@@ -197,10 +198,15 @@ def build_vocab(docs: DataFrame, n: int = 50_000,
            .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
            .orderBy(F.col("n_occ").desc(), "token")
            .limit(n))
-    return top.withColumn(
-        "token_id",
-        F.row_number().over(Window.orderBy(F.col("n_occ").desc(), "token"))
-        .cast("long"))
+    # rank(t) = 1 + |{peer strictly before t}| over the <= n survivors
+    peers = top.select(F.col("n_occ").alias("peer_occ"),
+                       F.col("token").alias("peer_tok"))
+    before = ((F.col("peer_occ") > F.col("n_occ"))
+              | ((F.col("peer_occ") == F.col("n_occ"))
+                 & (F.col("peer_tok") < F.col("token"))))
+    return (top.join(F.broadcast(peers), before, "left")
+            .groupBy("token", "n_occ")
+            .agg((F.count("peer_tok") + 1).cast("long").alias("token_id")))
 
 
 def vocab_encode(docs: DataFrame, vocab: DataFrame, unk_id: int = 0,

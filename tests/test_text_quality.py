@@ -67,3 +67,29 @@ def test_bpe_token_counts(spark):
     assert out[1] == (2, 3)
     # "hello" + "," + "  " + "world" + "!!"  (no-lookahead \s+ branch)
     assert out[2] == (2, 5)
+
+
+def test_bigram_profile_matches_parts(spark):
+    """The fused one-pass profile must equal the join of its two parent
+    operators row-for-row (same domain: docs with >= 2 words)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bigram_profile, familiarity_features, repetition_features)
+    df = _docs(spark, [
+        (1, "a b a b a b"),
+        (2, "the quick brown fox"),
+        (3, "the quick brown cat"),
+        (4, "solo"),
+        (5, ""),
+    ])
+    fused = {r["doc_id"]: r.asDict() for r in bigram_profile(df).collect()}
+    rep = {r["doc_id"]: r.asDict()
+           for r in repetition_features(df).collect()}
+    fam = {r["doc_id"]: r.asDict()
+           for r in familiarity_features(df).collect()}
+    assert set(fused) == set(rep) == set(fam) == {1, 2, 3}
+    for d, row in fused.items():
+        for k in ("n_bigrams", "n_distinct_bigrams", "top_count",
+                  "is_repetitive"):
+            assert row[k] == rep[d][k], (d, k)
+        for k in ("sum_corpus_freq", "familiarity"):
+            assert row[k] == fam[d][k], (d, k)
