@@ -1022,13 +1022,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_TERMS)
 
 
+MIXTURE_SHARES = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2}  # zh dropped
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language downsample (operators/sampling.py)."""
+    """Both deterministic sampling modes in one tagged union
+    (operators/sampling.py): explicit per-language keep-rates
+    ('stratified') and target-mixture water-filling ('mixture' — the
+    scarcest stratum relative to its share keeps 100%, the rest
+    downsample to hit the requested corpus proportions; strata outside
+    the target mix drop)."""
     from nci_seronet_proc_data_validator_spark.operators.sampling import (
-        stratified_sample)
+        mixture_sample, stratified_sample)
     docs = read_table(spark, sf_dir, "documents")
-    return (stratified_sample(docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT)
-            .select("doc_id", "lang").orderBy("doc_id"))
+    s = (stratified_sample(docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT)
+         .select(F.lit("stratified").alias("part"), "doc_id", "lang"))
+    m = (mixture_sample(docs, "lang", MIXTURE_SHARES)
+         .select(F.lit("mixture").alias("part"), "doc_id", "lang"))
+    return s.unionByName(m)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,15 +1437,20 @@ def _register_dedup_queries() -> None:
         q_dedup_clusters,
         connected_components_oracle_sql(minhash_lsh_pairs_oracle_sql()))
     from nci_seronet_proc_data_validator_spark.operators.sampling import (
-        stratified_sample_oracle_sql)
+        mixture_sample_oracle_sql, stratified_sample_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.search import (
         bm25_oracle_sql)
+    strat_sql = stratified_sample_oracle_sql(
+        "lang", SAMPLE_RATES, SAMPLE_DEFAULT,
+        select="'stratified' AS part, doc_id, lang")
+    mix_sql = mixture_sample_oracle_sql(
+        "lang", MIXTURE_SHARES, select="'mixture' AS part, doc_id, lang")
     QUERIES.update({
         "bm25_topk": (q_bm25_topk, bm25_oracle_sql(BM25_TERMS)),
         "stratified_sample": (
             q_stratified_sample,
-            stratified_sample_oracle_sql("lang", SAMPLE_RATES,
-                                         SAMPLE_DEFAULT)),
+            f"SELECT * FROM ({strat_sql.strip()})\nUNION ALL\n"
+            f"SELECT * FROM ({mix_sql.strip()})"),
     })
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
         bpe_token_oracle_sql)

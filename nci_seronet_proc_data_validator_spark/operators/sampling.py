@@ -44,6 +44,67 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.filter(_bucket(key) < threshold)
 
 
+def mixture_sample(df: DataFrame, strata_col: str,
+                   shares: dict[str, float],
+                   key_col: str = "doc_id") -> DataFrame:
+    """Sample to a TARGET MIXTURE: given desired corpus proportions
+    (e.g. ``{"web": .5, "wiki": .3, "code": .2}``), derive the largest
+    per-stratum keep-rates that realize those proportions without
+    upsampling (the scarcest stratum relative to its share keeps 100%;
+    the rest downsample to match — water-filling), then cut with the same
+    deterministic content-hash predicate as ``stratified_sample``.
+
+    Fully distributed: one small keyed count (#strata rows), the
+    min-ratio reduction, and a broadcast of the per-stratum thresholds
+    back onto the scan — no driver collect, no full-data shuffle. All
+    threshold math is INTEGER (basis-point weights, integral division)
+    so both engines derive bit-identical cuts. Strata not in ``shares``
+    are dropped (share 0).
+    """
+    if not shares:
+        raise ValueError("shares must be non-empty")
+    w_rows = [(k, int(round(v * _BP))) for k, v in sorted(shares.items())]
+    if any(w <= 0 for _, w in w_rows):
+        raise ValueError(f"shares must be > 0: {shares}")
+    spark = df.sparkSession
+    weights = spark.createDataFrame(
+        w_rows, f"{strata_col} string, w long")
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    j = counts.join(F.broadcast(weights), strata_col)
+    # largest total sample size consistent with every rate <= 1:
+    # lim = min_s floor(n_s * BP / w_s); stratum keep-threshold (basis
+    # points) = floor(lim * w_s / n_s) <= BP, == BP for the binding stratum
+    lim = j.agg(F.min(F.expr(f"n * {_BP} div w")).alias("lim"))
+    thr = (j.crossJoin(F.broadcast(lim))
+           .select(strata_col, F.expr("lim * w div n").alias("bp")))
+    key = F.concat(F.lit(_SALT), F.col(key_col).cast("string"))
+    return (df.join(F.broadcast(thr), strata_col)
+            .filter(_bucket(key) < F.col("bp"))
+            .drop("bp"))
+
+
+def mixture_sample_oracle_sql(strata_col: str, shares: dict[str, float],
+                              key_col: str = "doc_id",
+                              select: str = "doc_id, lang",
+                              table: str = "documents") -> str:
+    """DuckDB mirror — same integer water-filling, same hash cut."""
+    vals = ", ".join(f"('{k}', {int(round(v * _BP))})"
+                     for k, v in sorted(shares.items()))
+    return f"""
+WITH w(strata, wt) AS (VALUES {vals}),
+c AS (SELECT {strata_col} AS strata, count(*) AS n FROM {table} GROUP BY 1),
+j AS (SELECT c.strata, n, wt FROM c JOIN w USING (strata)),
+l AS (SELECT min(n * {_BP} // wt) AS lim FROM j),
+thr AS (SELECT strata, lim * wt // n AS bp FROM j, l)
+SELECT {select}
+FROM {table} t JOIN thr ON t.{strata_col} = thr.strata
+WHERE CAST(concat('0x', substr(md5('{_SALT}' || CAST({key_col} AS VARCHAR)),
+                               1, 8)) AS BIGINT) % {_BP} < bp
+ORDER BY {key_col}
+"""
+
+
 def stratified_sample_oracle_sql(strata_col: str, rates: dict[str, float],
                                  default_rate: float,
                                  key_col: str = "doc_id",

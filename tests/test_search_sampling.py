@@ -55,3 +55,42 @@ def test_stratified_sample_deterministic_and_partition_invariant(spark):
     # 500 candidates each; md5 buckets ~uniform
     assert 200 < en < 300
     assert 20 < de < 80
+
+
+def test_mixture_sample_water_filling(spark):
+    """Target-mixture sampling: the stratum scarcest relative to its
+    share keeps 100% (threshold 10000 bp), others downsample so the
+    kept corpus approximates the requested proportions; strata outside
+    the mix drop entirely; integer thresholds are layout-invariant."""
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        mixture_sample)
+    rows = ([(i, "en") for i in range(800)]
+            + [(i, "de") for i in range(800, 1000)]
+            + [(i, "zh") for i in range(1000, 1100)])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    # want 50/50 en/de; de (200 docs vs 800 en) binds -> de keeps all,
+    # en cut to bp = floor(lim*w/n) = floor(4000000*5000/800) ... exact:
+    # lim = min(800*10000//5000, 200*10000//5000) = min(1600, 400) = 400
+    # bp_en = 400*5000//800 = 2500; bp_de = 400*5000//200 = 10000
+    out = mixture_sample(docs, "lang", {"en": 0.5, "de": 0.5}).collect()
+    langs = {}
+    for r in out:
+        langs.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert "zh" not in langs                      # outside the mix
+    assert len(langs["de"]) == 200                # binding stratum: all
+    assert 150 < len(langs["en"]) < 250           # ~25% of 800
+    # determinism across partition layouts
+    again = mixture_sample(docs.repartition(7, "lang"), "lang",
+                           {"en": 0.5, "de": 0.5}).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_mixture_sample_validates_shares(spark):
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        mixture_sample)
+    docs = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    import pytest
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "lang", {})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "lang", {"en": 0.0})
