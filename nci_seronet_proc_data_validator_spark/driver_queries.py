@@ -2337,7 +2337,11 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     sheet_dfs = {}
     for spec, bound in rulebook_bound_sheets():
-        df = fixture_sheet_df(spark, sf_dir, spec, spread_partitions=spread)
+        # persist=True: each sheet feeds the findings pass, a pass per
+        # dup-ID column, and the cross-sheet spines — the cached cast
+        # base is scanned k× instead of re-shuffled k×.
+        df = fixture_sheet_df(spark, sf_dir, spec, spread_partitions=spread,
+                              persist=True)
         sheet_dfs[spec.sheet] = df
         for col in bound.icd10_columns:
             df = icd10_flag_join(df, col, icd, col + "__icd10_valid")

@@ -97,15 +97,21 @@ def explode_findings(df: DataFrame, candidates: list[Column]) -> DataFrame:
     """Evaluate many rule candidates in ONE pass over ``df``.
 
     ``candidates`` are Columns of finding-struct-or-null (use
-    ``F.when(violation, finding_struct(...))``). Builds an array, strips
-    nulls, explodes. One scan, no unions, fully codegen'd — the shape that
-    scales to 100 TB (vs. the reference's per-rule filter+append,
+    ``F.when(violation, finding_struct(...))``). Builds an array, explodes,
+    drops null elements. One scan, no unions, fully codegen'd — the shape
+    that scales to 100 TB (vs. the reference's per-rule filter+append,
     ``File_Submission_Object.py:151``).
+
+    Null stripping happens AFTER the explode (``WHERE _f IS NOT NULL``)
+    rather than via ``array_compact``: array_compact desugars to a
+    higher-order ``filter(..., lambda)`` which is CodegenFallback and
+    demotes the whole candidate expression tree to interpreted evaluation.
     """
     if not candidates:
         return empty_findings(df.sparkSession)
-    arr = F.array_compact(F.array(*candidates))
+    arr = F.array(*candidates)
     return (df.select(F.explode(arr).alias("_f"))
+              .where(F.col("_f").isNotNull())
               .select(*[F.col(f"_f.{c}").alias(c) for c in FINDING_COLUMNS]))
 
 

@@ -78,7 +78,19 @@ def numeric_shadow(c: Column) -> Column:
 # this one cheap regex makes non-date columns ~30× cheaper to shadow
 # (failed JVM datetime parses are exception-driven and expensive; a regex
 # reject is a few ns).
-_DATELIKE = "^([0-9]{1,4}[-/:]|[0-9]{1,2} [A-Za-z]{3}|[A-Za-z]{3,9} [0-9])"
+#
+# The month-name arms are spelled as an explicit alternation, not
+# ``[A-Za-z]{3,9} [0-9]``: free-text columns like "site 41" matched the
+# loose word-then-digit shape on ~95% of rows, and each false positive
+# paid up to 15 exception-driven parse failures (measured: the two
+# free-text biospecimen columns cost ~1s each per 150k rows at sf0.1).
+# Java's MMM/MMMM parsing is case-sensitive capitalized, so anchoring on
+# the capitalized month prefix rejects exactly the values that could
+# never parse anyway. Shared verbatim with the DuckDB oracle gate
+# (``duckdb_shadow_exprs``) so both engines shadow identical cells.
+_MONTHS = "(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+_DATELIKE = (f"^([0-9]{{1,4}}[-/:]|[0-9]{{1,2}} {_MONTHS}"
+             f"|{_MONTHS}[a-z]* [0-9])")
 
 
 def timestamp_shadow(c: Column) -> Column:
@@ -111,6 +123,8 @@ _TS_FAST_SHAPES = [
     ("^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{1,2}:[0-9]{2}:[0-9]{2}$",
      "yyyy-MM-dd'T'HH:mm:ss"),
     ("^[0-9]{2}:[0-9]{2}:[0-9]{2}$", "HH:mm:ss"),
+    # bare H:mm / HH:mm (no seconds): only "H:mm" of _TS_FORMATS parses it
+    ("^[0-9]{1,2}:[0-9]{2}$", "H:mm"),
 ]
 
 

@@ -564,7 +564,8 @@ FIXTURE_SHEETS: list[SheetFixture] = [
 
 
 def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
-                     spread_partitions: int | None = None) -> DataFrame:
+                     spread_partitions: int | None = None,
+                     persist: bool = False) -> DataFrame:
     """Materialize one fixture sheet in Spark (with typed shadows).
 
     ``spread_partitions``: local testdata is ONE parquet file with ~3 row
@@ -574,6 +575,15 @@ def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
     cores. On a real cluster the input is already split into many files
     and this should be left ``None`` — the scan parallelism is the file
     split count and the findings pass stays map-only.
+
+    ``persist``: cache the casted base (BEFORE the shadow projection).
+    The rulebook consumes each sheet several times — the findings pass,
+    one pass per duplicate-ID column, and the cross-sheet ID spines — and
+    without a cache every pass re-runs the scan + repartition + casts.
+    Caching pre-shadow keeps the cached footprint narrow; each consumer
+    computes only the shadows Catalyst doesn't prune for it. Callers own
+    the unpersist (or rely on LRU eviction — the cast base is a slim
+    string projection of the source).
     """
     base = read_table(spark, sf_dir, spec.base)
     if spread_partitions:
@@ -581,6 +591,8 @@ def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
     exprs = [f"CAST({spec.key} AS LONG) AS row_index"]
     exprs += [f"CAST({e} AS STRING) AS {c}" for c, e in spec.columns.items()]
     df = base.selectExpr(*exprs)
+    if persist:
+        df = df.persist()
     return with_typed_shadows(
         df, [c for c in spec.columns if c not in spec.drop_list])
 

@@ -6,7 +6,7 @@ re-filtering the pandas table and appending rows
 Here all rules of a sheet compile into a single projection:
 
     per rule column:  coalesce(when(viol_1, finding), when(viol_2, finding), …)
-    sheet findings:   explode(array_compact(array(col_1, …, col_n)))
+    sheet findings:   explode(array(col_1, …, col_n)) + null filter
 
 - one whole-stage-codegen'd pass over the sheet, zero shuffles;
 - ``coalesce`` in rule order reproduces pandas ``drop_duplicates(...,
@@ -54,7 +54,7 @@ def compile_sheet_findings(df: DataFrame, sheet_name: str | Column,
 
     Two compile paths with identical semantics:
     - **text** (normal): every check is a shared-SQL template, so the whole
-      explode(array_compact(array(...))) projection is assembled as ONE
+      explode(array(...))+filter projection is assembled as ONE
       ``selectExpr`` string — a full-rulebook sheet (30 columns, hundreds
       of checks) costs 2 py4j calls instead of ~2,000 Column round-trips
       (~1s driver time per sheet, ×10 sheets, measured r3).
@@ -119,9 +119,17 @@ def _compile_text(df: DataFrame, sheet_name: str,
             empty_findings,
         )
         return empty_findings(df.sparkSession)
-    arr = f"array_compact(array({', '.join(col_exprs)}))"
+    # explode the RAW array and drop null elements AFTER, instead of
+    # array_compact: array_compact desugars to filter(..., lambda) — a
+    # higher-order function that is CodegenFallback, which demotes the
+    # ENTIRE findings expression tree (every CASE WHEN / RLIKE / struct)
+    # to interpreted evaluation. explode + IS NOT NULL keeps the whole
+    # stage in generated code (plan guard:
+    # tests/test_plan_shape.py::test_rulebook_findings_codegen).
+    arr = f"array({', '.join(col_exprs)})"
     from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
     return (df.selectExpr(f"explode({arr}) AS _f")
+            .where("_f IS NOT NULL")
             .selectExpr(*[f"_f.{c} AS {c}" for c in FINDING_COLUMNS]))
 
 

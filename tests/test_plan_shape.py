@@ -245,3 +245,42 @@ def test_rulebook_sheet_findings_map_only(spark, sf_dir):
                                             bound.column_rules))
         assert "Exchange" not in plan, plan[:2000]
         assert plan.count("Scan parquet") == 1
+
+
+def test_rulebook_findings_codegen(spark, sf_dir):
+    """The findings explode must stay inside whole-stage codegen.
+
+    Two ways to lose it, both regressions this pins:
+    - array_compact in the explode input: desugars to a higher-order
+      filter(..., lambda) which is CodegenFallback and demotes the whole
+      check-expression tree (every CASE WHEN / RLIKE) to interpreted
+      evaluation (~2x the findings pass, measured at sf0.1);
+    - the wide fixture tripping spark.sql.codegen.maxFields (kept raised
+      in session.py).
+    Formatted explain marks codegen'd operators with '*'.
+    """
+    import contextlib
+    import io
+
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        fixture_sheet_df,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        compile_sheet_findings,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        rulebook_bound_sheets,
+    )
+    spec, bound = next((s, b) for s, b in rulebook_bound_sheets()
+                       if s.sheet == "biospecimen.csv")
+    df = fixture_sheet_df(spark, sf_dir, spec)
+    f = compile_sheet_findings(df, spec.sheet, bound.column_rules)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        f.explain("formatted")
+    plan = buf.getvalue()
+    ops = [ln.strip() for ln in plan.splitlines()]
+    gen = [ln for ln in ops if "Generate" in ln and ("+-" in ln or ln.startswith("*"))]
+    assert gen and all(ln.lstrip("+- ").startswith("* ") or ln.startswith("* ")
+                       for ln in gen), gen
+    assert "array_compact" not in plan
