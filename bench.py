@@ -22,6 +22,7 @@ from nci_seronet_proc_data_validator_spark.driver_queries import (
     q_c6_dup_ids,
     q_dedup_clusters,
     q_events_hourly,
+    q_embedding_topk,
     q_events_sliding,
     q_ivf_topk,
     q_kmeans,
@@ -99,7 +100,7 @@ BENCH_QUERIES = {
     "a2_crosstab": QUERIES["a2_crosstab"][0],
     "dedup_normalized": QUERIES["dedup_normalized"][0],
     "minhash_lsh_pairs": QUERIES["minhash_lsh_pairs"][0],
-    "embedding_topk": QUERIES["embedding_topk"][0],
+    "embedding_topk": q_embedding_topk,
     "ivf_topk": q_ivf_topk,
     "events_hourly": q_events_hourly,
     "sessionize": QUERIES["sessionize"][0],
@@ -126,6 +127,7 @@ BENCH_QUERIES = {
     "dsir_importance": QUERIES["dsir_importance"][0],
     "boilerplate_removal": QUERIES["boilerplate_removal"][0],
     "vocab_pipeline": QUERIES["vocab_pipeline"][0],
+    "semdedup": QUERIES["semdedup"][0],
 }
 
 

@@ -2148,6 +2148,48 @@ def q_c9_c12_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(q_c12_missing_sars(spark, sf_dir)))
 
 
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN paths in one tagged union — the brute-force cosine top-10
+    (the exactness baseline) and the k-means-trained IVF probe (the scale
+    path); identical (query_id, neighbor_id, sim6, rank) shapes."""
+    b = q_embedding_topk(spark, sf_dir) \
+        .select(F.lit("brute").alias("op"), "*")
+    i = q_ivf_topk_trained(spark, sf_dir) \
+        .select(F.lit("ivf").alias("op"), "*")
+    return b.unionByName(i)
+
+
+def _sql_embedding_ann() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_centroid_vectors_cte, kmeans_ctes)
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_topk_oracle_sql)
+    ivf = ivf_topk_oracle_sql(
+        n_queries=5, k=5, nprobe=2,
+        prefix_ctes=kmeans_ctes(k=8, iters=2),
+        cent_cte=kmeans_centroid_vectors_cte(k=8, iters=2))
+    return (f"SELECT 'brute' AS op, * FROM ({SQL_EMB_TOPK.strip()})\n"
+            f"UNION ALL\nSELECT 'ivf' AS op, * FROM ({ivf.strip()})")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means clusters bound the candidate
+    pairs, integer-exact within-cluster cosine, deterministic id-minimal
+    keep rule (``operators/semdedup.py``)."""
+    from nci_seronet_proc_data_validator_spark.operators.semdedup import (
+        semdedup)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (semdedup(emb, k=8, iters=2, threshold=0.45)
+            .orderBy("vec_id"))
+
+
+def _sql_semdedup() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.semdedup import (
+        semdedup_oracle_sql)
+    return (f"SELECT * FROM ({semdedup_oracle_sql(k=8, iters=2, threshold=0.45).strip()})"
+            f" ORDER BY vec_id")
+
+
 _HOUR_US = 3_600_000_000
 
 
@@ -2268,6 +2310,10 @@ def _consolidate_registry() -> None:
         "boilerplate_removal": (q_boilerplate_removal,
                                 _sql_boilerplate_removal()),
         "vocab_pipeline": (q_vocab_pipeline, _sql_vocab_pipeline()),
+        # both ANN paths (brute baseline + trained IVF) as one tagged
+        # union, freeing the slot SemDeDup takes
+        "embedding_ann": (q_embedding_ann, _sql_embedding_ann()),
+        "semdedup": (q_semdedup, _sql_semdedup()),
     }
     absorbed = [
         # merged into the tagged unions above
@@ -2287,6 +2333,8 @@ def _consolidate_registry() -> None:
         "bpe_token_count",
         # embedded in vocab_pipeline (same top-N ranking feeds the ids)
         "vocab_topn",
+        # merged into the embedding_ann tagged union
+        "embedding_topk", "ivf_topk_trained",
     ]
     for name in absorbed:
         QUERIES.pop(name, None)

@@ -34,11 +34,15 @@ from pyspark.sql import functions as F
 _WS = "filter(split({c}, ' +'), x -> x != '')"
 
 
-def _ngram_buckets(text_col: str, n: int, buckets: int) -> Column:
+def _ngram_buckets(text_col: str, n: int, buckets: int,
+                   pretokenized: bool = False) -> Column:
     """Word n-grams → 32-bit md5 bucket ids (list Column). The short-doc
     guard matters: Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not
-    empty like DuckDB's generate_series."""
-    ws = _WS.format(c=text_col)
+    empty like DuckDB's generate_series.
+
+    ``pretokenized``: ``text_col`` already holds the whitespace-token
+    array (skip the split/filter)."""
+    ws = text_col if pretokenized else _WS.format(c=text_col)
     if n == 1:
         ng = ws
     else:
@@ -66,8 +70,25 @@ def hashed_ngram_importance(df: DataFrame, target: Column, n: int = 2,
     """
     if n < 1 or buckets < 1:
         raise ValueError(f"n and buckets must be >= 1: {n=} {buckets=}")
-    base = df.select(F.col(id_col), target.alias("_is_target"),
-                     _ngram_buckets(text_col, n, buckets).alias("_bk"))
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input,
+    )
+    # Stage the tokenization through a materialized ``_ws`` column: the
+    # higher-order filter/transform functions are CodegenFallback, so
+    # Catalyst does no common-subexpression elimination across the three
+    # occurrences of filter(split(...)) inside the fused n-gram
+    # expression — inlined, every row re-splits its text three times
+    # (measured ~25% of the scan stage at sf0.1). Projecting ``_ws``
+    # first makes later occurrences cheap attribute reads.
+    # spread_small_input: single-file local scans arrive as ONE partition;
+    # the n-gram/md5 stage is the compute-heavy part and must not run as
+    # one task (no-op on cluster inputs already split >= cores).
+    staged = spread_small_input(df).select(
+        F.col(id_col), target.alias("_is_target"),
+        F.expr(_WS.format(c=text_col)).alias("_ws"))
+    base = staged.select(id_col, "_is_target",
+                         _ngram_buckets("_ws", n, buckets,
+                                        pretokenized=True).alias("_bk"))
     doc_ng = (base.select(id_col, "_is_target",
                           F.explode("_bk").alias("bucket"))
               .groupBy(id_col, "_is_target", "bucket")

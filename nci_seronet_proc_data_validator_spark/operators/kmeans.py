@@ -63,8 +63,30 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     ``cq`` is the quantized component after the last mean update and
     ``n_assigned`` the size of the cluster in the final assignment.
     """
+    sums, _assigned = _lloyd(emb, k, iters, id_col, vec_col)
+    return (sums.select(F.col("cid").alias("centroid_id"), "pos", "cq",
+                        F.col("n").alias("n_assigned"))
+            .orderBy("centroid_id", "pos"))
+
+
+def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """The FINAL Lloyd assignment ``(vid, qv, cid)`` — the cluster
+    partition downstream consumers (IVF build, SemDeDup) group by.
+    Matches the oracle CTE ``a{iters}`` (assignment under the
+    ``c{iters-1}`` model, i.e. the argmin computed in the last
+    iteration before the final mean update)."""
+    _sums, assigned = _lloyd(emb, k, iters, id_col, vec_col)
+    return assigned
+
+
+def _lloyd(emb: DataFrame, k: int, iters: int,
+           id_col: str, vec_col: str):
+    """Shared Lloyd loop: returns (final per-component stats DF, final
+    assignment DF)."""
     if k < 1 or iters < 1:
-        raise ValueError(f"kmeans_fit requires k >= 1 and iters >= 1 "
+        raise ValueError(f"kmeans requires k >= 1 and iters >= 1 "
                          f"(got k={k}, iters={iters})")
     # Quantized vectors feed the init scan plus every iteration's
     # assignment — persist once (the same input caching MLlib's KMeans
@@ -77,6 +99,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     centers = [r["qv"] for r in v.orderBy("vid").limit(k).collect()]
     cids = list(range(len(centers)))
     sums = None
+    assigned = None
     for _ in range(iters):
         c_lit = F.array(*[F.array(*[F.lit(int(x)) for x in c])
                           for c in centers])
@@ -105,9 +128,7 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
         cids = sorted(by_cid)
         centers = [[by_cid[c][pos] for pos in sorted(by_cid[c])]
                    for c in cids]
-    return (sums.select(F.col("cid").alias("centroid_id"), "pos", "cq",
-                        F.col("n").alias("n_assigned"))
-            .orderBy("centroid_id", "pos"))
+    return sums, assigned
 
 
 def kmeans_ctes(k: int = 8, iters: int = 2,

@@ -60,6 +60,19 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         # interpreted Catalyst expressions).
         .config("spark.sql.codegen.maxFields", "1000")
         .config("spark.sql.codegen.hugeMethodLimit", "65535")
+        # InferFiltersFromGenerate infers `size(arr) > 0 AND isnotnull(arr)`
+        # below every explode; predicate pushdown then substitutes the
+        # array-producing ALIAS through the projections, so the inferred
+        # filter re-evaluates the whole array expression — for the n-gram
+        # pipelines (tokenize → transform → md5 per element, all
+        # CodegenFallback HOFs with no CSE) that is the full per-document
+        # hashing THREE times per row (measured: dsir's explode stage
+        # 3.2s -> 0.9s at sf0.1 with the rule excluded). The rule only
+        # saves emitting rows whose arrays are empty — negligible against
+        # re-hashing every document's n-grams twice more.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -284,3 +284,19 @@ def test_rulebook_findings_codegen(spark, sf_dir):
     assert gen and all(ln.lstrip("+- ").startswith("* ") or ln.startswith("* ")
                        for ln in gen), gen
     assert "array_compact" not in plan
+
+
+def test_no_duplicated_generator_input_in_filters(spark, sf_dir):
+    """InferFiltersFromGenerate must stay excluded (session.py): it infers
+    size(arr)>0 filters below every explode, and pushdown substitutes the
+    array-producing alias — re-evaluating the whole tokenize->ngram->md5
+    chain up to 3x per row (measured 3.5x on dsir at sf0.1). Guard: no
+    Filter in the n-gram query plans contains a transform/md5 chain."""
+    import re
+
+    from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
+    for name in ("dsir_importance", "contamination", "vocab_pipeline"):
+        plan = _plan(QUERIES[name][0](spark, sf_dir))
+        for cond in re.findall(r"Filter \(?[^\n]*", plan):
+            assert "md5(" not in cond and "transform(" not in cond, (
+                name, cond[:200])
