@@ -223,11 +223,20 @@ def read_any(spark: SparkSession, paths: str | list[str],
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make queries independent of who built the SparkSession (the driver
-    uses its own): UTC session time (oracle parity) and nanos-as-long
+    uses its own): UTC session time (oracle parity), nanos-as-long
     parquet reads (the events table is TIMESTAMP(NANOS), which Spark
-    otherwise rejects). Both are runtime-settable SQL confs."""
+    otherwise rejects), and the performance confs ``session.get_spark``
+    sets (codegen limits for the wide rulebook projections; the
+    InferFiltersFromGenerate exclusion that keeps explode-over-computed-
+    array plans from re-hashing every document's n-grams — see
+    session.py for the rationale). All are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.codegen.maxFields", "1000")
+    spark.conf.set("spark.sql.codegen.hugeMethodLimit", "65535")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+                   "org.apache.spark.sql.catalyst.optimizer."
+                   "InferFiltersFromGenerate")
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
