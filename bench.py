@@ -128,6 +128,7 @@ BENCH_QUERIES = {
     "boilerplate_removal": QUERIES["boilerplate_removal"][0],
     "vocab_pipeline": QUERIES["vocab_pipeline"][0],
     "semdedup": QUERIES["semdedup"][0],
+    "bpe_train": QUERIES["bpe_train"][0],
 }
 
 

@@ -708,13 +708,27 @@ FROM documents GROUP BY 1 ORDER BY 1
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality features + 64-bit content fingerprint of
     the normalized text + the whitespace-vs-BPE token-budget estimate
-    (``operators/text_quality.bpe_token_counts``), all JVM-side regex —
-    one map-only scan covers the stats, fingerprint, and token-count
-    operators."""
+    (``operators/text_quality.bpe_token_counts``) + the per-document
+    stopword-profile language prediction (the lang-id operator — its
+    confusion-matrix form is ``q_lang_id``, this keeps the per-doc
+    primitive driver-checked in the same map-only profile scan), all
+    JVM-side regex — one scan covers stats, fingerprint, token-count and
+    lang-id."""
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
         BPE_PATTERN)
     docs = read_table(spark, sf_dir, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\f\\r]+", " ")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))
+    n_en = n(r"\b(the|and|of|to|in)\b")
+    n_de = n(r"\b(der|die|das|und|ist)\b")
+    n_es = n(r"\b(el|la|los|las|es)\b")
+    n_fr = n(r"\b(le|les|et|est|une)\b")
+    pred = (F.when((n_en >= n_de) & (n_en >= n_es) & (n_en >= n_fr), "en")
+            .when((n_de >= n_es) & (n_de >= n_fr), "de")
+            .when(n_es >= n_fr, "es")
+            .otherwise("fr"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_actual"),
@@ -728,6 +742,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN),
                                     0)).cast("long").alias("n_bpe_tokens"),
+        pred.alias("predicted_lang"),
     ).orderBy("doc_id")
 
 
@@ -745,7 +760,23 @@ SELECT doc_id, length(text) AS n_chars_actual,
        CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))
             AS BIGINT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '""" + pat + r"""')) AS BIGINT)
-         AS n_bpe_tokens
+         AS n_bpe_tokens,
+       CASE WHEN len(regexp_extract_all(text, '\b(the|and|of|to|in)\b'))
+                 >= len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+             AND len(regexp_extract_all(text, '\b(the|and|of|to|in)\b'))
+                 >= len(regexp_extract_all(text, '\b(el|la|los|las|es)\b'))
+             AND len(regexp_extract_all(text, '\b(the|and|of|to|in)\b'))
+                 >= len(regexp_extract_all(text, '\b(le|les|et|est|une)\b'))
+            THEN 'en'
+            WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+                 >= len(regexp_extract_all(text, '\b(el|la|los|las|es)\b'))
+             AND len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b'))
+                 >= len(regexp_extract_all(text, '\b(le|les|et|est|une)\b'))
+            THEN 'de'
+            WHEN len(regexp_extract_all(text, '\b(el|la|los|las|es)\b'))
+                 >= len(regexp_extract_all(text, '\b(le|les|et|est|une)\b'))
+            THEN 'es'
+            ELSE 'fr' END AS predicted_lang
 FROM documents ORDER BY doc_id
 """
 
@@ -2172,6 +2203,24 @@ def _sql_embedding_ann() -> str:
             f"UNION ALL\nSELECT 'ivf' AS op, * FROM ({ivf.strip()})")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (arXiv:1508.07909) over the corpus — the
+    learned-tokenizer step between vocabulary building and token-id
+    encoding (``operators/bpe.py``): one corpus scan to the
+    word-frequency table, then per merge a pair agg + 1-row model sync
+    + map-only string-replace merge."""
+    from nci_seronet_proc_data_validator_spark.operators.bpe import (
+        bpe_train)
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=12).orderBy("step")
+
+
+def _sql_bpe_train() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.bpe import (
+        bpe_train_oracle_sql)
+    return bpe_train_oracle_sql(n_merges=12)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means clusters bound the candidate
     pairs, integer-exact within-cluster cosine, deterministic id-minimal
@@ -2314,6 +2363,9 @@ def _consolidate_registry() -> None:
         # union, freeing the slot SemDeDup takes
         "embedding_ann": (q_embedding_ann, _sql_embedding_ann()),
         "semdedup": (q_semdedup, _sql_semdedup()),
+        # learned tokenizer; slot freed by folding the per-doc lang-id
+        # prediction into the text_stats profile scan
+        "bpe_train": (q_bpe_train, _sql_bpe_train()),
     }
     absorbed = [
         # merged into the tagged unions above
@@ -2335,6 +2387,9 @@ def _consolidate_registry() -> None:
         "vocab_topn",
         # merged into the embedding_ann tagged union
         "embedding_topk", "ivf_topk_trained",
+        # per-doc prediction now a text_stats column (confusion-matrix
+        # form remains available as q_lang_id)
+        "lang_id",
     ]
     for name in absorbed:
         QUERIES.pop(name, None)

@@ -1,0 +1,59 @@
+"""BPE merge training — classic-corpus merges, greedy-overlap semantics,
+DuckDB oracle parity."""
+
+import duckdb
+import pytest
+
+from nci_seronet_proc_data_validator_spark.operators.bpe import (
+    bpe_train,
+    bpe_train_oracle_sql,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_classic_merges(spark):
+    out = [tuple(r) for r in bpe_train(
+        _docs(spark, ["low low low lower lower lowest",
+                      "new newer newest wide wider"]),
+        n_merges=4).collect()]
+    # 'lo' (6: three lows + two lowers + lowest), then 'low' (6),
+    # then 'er' (4: lower x2, newer, wider), then 'er</w>' (4)
+    assert out == [(1, "l", "o", "lo", 6), (2, "lo", "w", "low", 6),
+                   (3, "e", "r", "er", 4), (4, "er", "</w>", "er</w>", 4)]
+
+
+def test_overlapping_pairs_merge_greedily(spark):
+    # 'aaaa': pairs (a,a) x3 -> greedy leftmost merge gives 'aa aa',
+    # weight counts ALL adjacent occurrences (3) like classic BPE
+    out = [tuple(r) for r in bpe_train(_docs(spark, ["aaaa"]),
+                                       n_merges=2).collect()]
+    assert out[0] == (1, "a", "a", "aa", 3)
+    # after round 1 the word is 'aa aa </w>' (classic greedy, NOT the
+    # under-merged 'aa a a'); round-2 candidates (aa,aa) and (aa,</w>)
+    # tie at 1 and '<' sorts before 'a', so (aa,</w>) wins
+    assert out[1][1:4] == ("aa", "</w>", "aa</w>")
+
+
+def test_matches_duckdb_oracle(spark, sf_dir):
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_table,
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    got = [tuple(r) for r in bpe_train(docs, n_merges=6)
+           .orderBy("step").collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = [tuple(r) for r in
+            con.execute(bpe_train_oracle_sql(n_merges=6)).fetchall()]
+    assert got == want
+    assert len(got) == 6
+
+
+def test_validates_args(spark):
+    with pytest.raises(ValueError):
+        bpe_train(_docs(spark, ["x"]), n_merges=0)
