@@ -128,6 +128,11 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
         cids = sorted(by_cid)
         centers = [[by_cid[c][pos] for pos in sorted(by_cid[c])]
                    for c in cids]
+    # Release the training cache (graph.py's pattern): the returned
+    # frames re-derive the quantization lazily — one cheap map — instead
+    # of pinning executor memory for every later kmeans consumer
+    # (semdedup, IVF build) in the session.
+    v.unpersist()
     return sums, assigned
 
 

@@ -59,8 +59,13 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
     ``keep`` is False iff a smaller-id vector in the same k-means cluster
     has cosine similarity ≥ ``threshold``.
     """
+    # localCheckpoint: the assignment feeds BOTH pair-join sides and the
+    # final verdict join — unmaterialized, the Lloyd assignment subtree
+    # would execute three times. Blocks are freed by the ContextCleaner
+    # when the plan is garbage-collected (no session-lifetime pin).
     assigned = kmeans_assignments(emb, k=k, iters=iters,
-                                  id_col=id_col, vec_col=vec_col)
+                                  id_col=id_col,
+                                  vec_col=vec_col).localCheckpoint()
     a = assigned.select(F.col("vid").alias("id_a"),
                         F.col("qv").alias("qa"), "cid")
     b = assigned.select(F.col("vid").alias("id_b"),
