@@ -870,11 +870,13 @@ def q_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition + corpus-bigram familiarity fused into
     ONE bigram pass (operators/text_quality.bigram_profile) — profiling a
-    corpus with both signals must not scan the text twice."""
+    corpus with both signals must not scan the text twice — plus the
+    CCNet head/middle/tail perplexity tercile per language
+    (``text_quality.ccnet_buckets``)."""
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
-        bigram_profile)
+        ccnet_buckets)
     docs = read_table(spark, sf_dir, "documents")
-    return bigram_profile(docs).orderBy("doc_id")
+    return ccnet_buckets(docs).orderBy("doc_id")
 
 
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2337,7 +2339,7 @@ def _consolidate_registry() -> None:
     from nci_seronet_proc_data_validator_spark.operators.importance import (
         importance_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
-        bigram_profile_oracle_sql)
+        ccnet_buckets_oracle_sql)
     merged = {
         "c1_c2_checks": (q_c1_c2_checks, _union_all_sql(SQL_C1, SQL_C2)),
         "c3_c4_checks": (q_c3_c4_checks,
@@ -2352,7 +2354,9 @@ def _consolidate_registry() -> None:
         # round-3 curation operators, slotted in by fusing the two
         # bigram-pass siblings and folding bpe_token_count into text_stats
         "repetition_familiarity": (q_repetition_familiarity,
-                                   bigram_profile_oracle_sql()),
+                                   f"SELECT * FROM "
+                                   f"({ccnet_buckets_oracle_sql().strip()})"
+                                   f" ORDER BY doc_id"),
         "dsir_importance": (q_dsir_importance,
                             importance_oracle_sql("lang = 'en'", n=2,
                                                   buckets=4096)),

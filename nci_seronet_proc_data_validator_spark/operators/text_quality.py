@@ -297,3 +297,48 @@ SELECT doc_id,
        (max(n) >= 2 AND max(n) * 5 > sum(n)) AS is_repetitive
 FROM c GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, rank documents by the LM-quality
+    stand-in (corpus-bigram ``familiarity``, best first) and split into
+    terciles — ``head`` is the cleanest third the pretraining mix
+    usually keeps.
+
+    Determinism: ntile depends only on the total order and the partition
+    count; ordering is (familiarity DESC, doc_id), so both engines bucket
+    identically with no float-threshold comparisons.
+
+    Scale note: the per-language window puts one language's docs through
+    one task — fine for calibration-sized corpora; at 100 TB replace the
+    ntile with approx_percentile cutoffs per language (two values,
+    broadcast) exactly like ``q_length_percentiles`` documents.
+    """
+    from pyspark.sql import Window as W
+    prof = bigram_profile(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    w = W.partitionBy(lang_col).orderBy(F.col("familiarity").desc(),
+                                        F.col(id_col))
+    tercile = F.ntile(3).over(w)
+    bucket = (F.when(tercile == 1, "head")
+              .when(tercile == 2, "middle").otherwise("tail"))
+    return (prof.join(langs, id_col)
+            .select(id_col, lang_col, "n_bigrams", "n_distinct_bigrams",
+                    "top_count", "is_repetitive", "sum_corpus_freq",
+                    "familiarity", bucket.alias("ppl_bucket")))
+
+
+def ccnet_buckets_oracle_sql(table: str = "documents") -> str:
+    return f"""
+WITH prof AS ({bigram_profile_oracle_sql(table).strip()})
+SELECT p.doc_id, d.lang, p.n_bigrams, p.n_distinct_bigrams, p.top_count,
+       p.is_repetitive, p.sum_corpus_freq, p.familiarity,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY p.familiarity DESC, p.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM prof p JOIN {table} d ON p.doc_id = d.doc_id
+"""

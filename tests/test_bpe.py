@@ -57,3 +57,57 @@ def test_matches_duckdb_oracle(spark, sf_dir):
 def test_validates_args(spark):
     with pytest.raises(ValueError):
         bpe_train(_docs(spark, ["x"]), n_merges=0)
+
+
+# ---- property: engine output == a naive reference BPE trainer ----------
+
+def _naive_bpe(texts, n_merges):
+    """Classic BPE (Sennrich alg. 1) on lowercase [a-z]+ words:
+    overlap-counted pair frequencies, greedy leftmost non-overlapping
+    merge, ties on the pair string ascending."""
+    import re
+    from collections import Counter
+    words = Counter(w for t in texts for w in re.findall(r"[a-z]+",
+                                                         t.lower()))
+    seqs = {w: [*w, "</w>"] for w in words}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = Counter()
+        for w, freq in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        if not counts:
+            break
+        top = min(counts.items(), key=lambda kv: (-kv[1],
+                                                  f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), cnt = top
+        merges.append((step, a, b, a + b, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_property_matches_naive_reference(spark):
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def check(texts):
+        got = [tuple(r) for r in
+               bpe_train(_docs(spark, texts), n_merges=4)
+               .orderBy("step").collect()]
+        assert got == _naive_bpe(texts, 4)
+
+    check()
