@@ -2206,21 +2206,43 @@ def _sql_embedding_ann() -> str:
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge training (arXiv:1508.07909) over the corpus — the
-    learned-tokenizer step between vocabulary building and token-id
-    encoding (``operators/bpe.py``): one corpus scan to the
-    word-frequency table, then per merge a pair agg + 1-row model sync
-    + map-only string-replace merge."""
+    """The learned tokenizer end to end (``operators/bpe.py``) in one
+    tagged union: BPE merge training (arXiv:1508.07909 — one corpus scan
+    to the word-frequency table, then per merge a pair agg + 1-row model
+    sync + map-only string-replace merge) as 'merge' rows, and every
+    document encoded with the learned merges (map-only replace chain,
+    token count + sequence hash) as 'doc' rows."""
     from nci_seronet_proc_data_validator_spark.operators.bpe import (
-        bpe_train)
+        bpe_encode, bpe_train)
     docs = read_table(spark, sf_dir, "documents")
-    return bpe_train(docs, n_merges=12).orderBy("step")
+    merges = bpe_train(docs, n_merges=12)
+    mrows = merges.select(
+        F.lit("merge").alias("part"),
+        F.col("step").cast("string").alias("key"),
+        F.col("left_sym").alias("sym_a"), F.col("right_sym").alias("sym_b"),
+        F.col("weight").alias("n"), F.col("merged").alias("h"))
+    model = [(r["left_sym"], r["right_sym"])
+             for r in merges.orderBy("step").collect()]
+    drows = bpe_encode(docs, model).select(
+        F.lit("doc").alias("part"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("").alias("sym_a"), F.lit("").alias("sym_b"),
+        F.col("n_bpe_tokens").alias("n"), F.col("seq_hash").alias("h"))
+    return mrows.unionByName(drows)
 
 
 def _sql_bpe_train() -> str:
     from nci_seronet_proc_data_validator_spark.operators.bpe import (
-        bpe_train_oracle_sql)
-    return bpe_train_oracle_sql(n_merges=12)
+        bpe_encode_oracle_sql, bpe_train_oracle_sql)
+    return f"""
+SELECT 'merge' AS part, CAST(step AS VARCHAR) AS key, left_sym AS sym_a,
+       right_sym AS sym_b, weight AS n, merged AS h
+FROM ({bpe_train_oracle_sql(n_merges=12).strip()})
+UNION ALL
+SELECT 'doc' AS part, CAST(doc_id AS VARCHAR) AS key, '' AS sym_a,
+       '' AS sym_b, n_bpe_tokens AS n, seq_hash AS h
+FROM ({bpe_encode_oracle_sql(n_merges=12).strip()})
+"""
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,8 +41,12 @@ from pyspark.sql import functions as F
 _SEQ0 = ("concat('  ', concat_ws('  ', transform(sequence(1, length(w)),"
          " i -> substring(w, i, 1))), '  </w>  ')")
 _TOKS = "filter(split(_s, ' +'), x -> x != '')"
-_PAIRS = ("transform(sequence(1, size(_t) - 1),"
-          " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))")
+# guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a fully-merged
+# single-symbol sequence must yield NO pairs, not an index error
+_PAIRS = ("CASE WHEN size(_t) >= 2 THEN"
+          " transform(sequence(1, size(_t) - 1),"
+          " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+          " ELSE array() END")
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 8,
@@ -83,10 +87,10 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
                 "weight bigint")
 
 
-def bpe_train_oracle_sql(n_merges: int = 8,
-                         table: str = "documents") -> str:
-    """DuckDB twin with the merge rounds unrolled as CTEs (same word
-    weighting, same sentinel-space replace, same tiebreak)."""
+def _bpe_train_ctes(n_merges: int, table: str) -> list[str]:
+    """The unrolled training CTE chain (shared by the train and encode
+    oracles): ``m{r}`` is round r's merge pick, ``s{r}`` the word
+    sequences after applying it."""
     # AS MATERIALIZED: p{r} and s{r} each reference s{r-1}; DuckDB inlines
     # plain CTEs per reference, which doubles the expansion every round
     # (2^n base-scan copies -> "too many open files" past ~10 merges).
@@ -99,7 +103,6 @@ def bpe_train_oracle_sql(n_merges: int = 8,
                                                 i -> w[i:i]), '  ')
          || '  </w>  ' AS seq, freq
   FROM w0)"""]
-    selects = []
     for r in range(1, n_merges + 1):
         prev = f"s{r - 1}"
         ctes.append(f"""p{r} AS (
@@ -112,17 +115,91 @@ def bpe_train_oracle_sql(n_merges: int = 8,
   GROUP BY pair)""")
         ctes.append(f"""m{r} AS (
   SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)""")
+        # coalesce: if round r found no pair (fully merged corpus), m{r}
+        # is empty, the scalar subquery is NULL and replace() would
+        # NULL the sequence — keep it unchanged instead (the Spark loop
+        # simply stops early; row counts still agree).
         ctes.append(f"""s{r} AS MATERIALIZED (
-  SELECT replace(seq,
+  SELECT coalesce(replace(seq,
                  ' ' || (SELECT replace(pair, ' ', '  ') FROM m{r}) || ' ',
-                 ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' ')
-           AS seq, freq
+                 ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' '),
+                 seq) AS seq, freq
   FROM {prev})""")
-        selects.append(
-            f"SELECT {r} AS step, split_part(pair, ' ', 1) AS left_sym,"
-            f" split_part(pair, ' ', 2) AS right_sym,"
-            f" replace(pair, ' ', '') AS merged,"
-            f" CAST(cnt AS BIGINT) AS weight FROM m{r}")
-    joined = ",\n".join(ctes)
+    return ctes
+
+
+def bpe_train_oracle_sql(n_merges: int = 8,
+                         table: str = "documents") -> str:
+    """DuckDB twin with the merge rounds unrolled as CTEs (same word
+    weighting, same sentinel-space replace, same tiebreak)."""
+    selects = [
+        f"SELECT {r} AS step, split_part(pair, ' ', 1) AS left_sym,"
+        f" split_part(pair, ' ', 2) AS right_sym,"
+        f" replace(pair, ' ', '') AS merged,"
+        f" CAST(cnt AS BIGINT) AS weight FROM m{r}"
+        for r in range(1, n_merges + 1)]
+    joined = ",\n".join(_bpe_train_ctes(n_merges, table))
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {joined}\n{body}\nORDER BY step"
+
+
+# doc text → double-space-delimited symbol stream ( per word: chars then
+# </w> ), same representation bpe_train trains on
+_DOC_SEQ = ("concat('  ', concat_ws('  ', transform("
+            "regexp_extract_all(lower({c}), '[a-z]+', 0),"
+            " w -> concat(concat_ws('  ', transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1))), '  </w>'))), '  ')")
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge list to every document — the tokenizer's
+    APPLY side. The model rides the plan as replace literals (one
+    leftmost-non-overlapping ``replace`` per merge, map-only, zero
+    shuffles); returns ``(doc_id, n_bpe_tokens, seq_hash)`` where
+    ``seq_hash`` is the md5 of the single-space-joined token stream (the
+    compare moves hashes, not token sequences)."""
+    seq = F.expr(_DOC_SEQ.format(c=text_col))
+    for left, right in merges:
+        seq = F.replace(seq, F.lit(f" {left}  {right} "),
+                        F.lit(f" {left}{right} "))
+    toks = F.expr("filter(split(_seq, ' +'), x -> x != '')")
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input,
+    )
+    return (spread_small_input(docs)
+            .select(F.col(id_col), seq.alias("_seq"))
+            .select(id_col, toks.alias("_t"))
+            .select(F.col(id_col),
+                    F.size("_t").cast("long").alias("n_bpe_tokens"),
+                    F.md5(F.concat_ws(" ", F.col("_t"))).alias("seq_hash")))
+
+
+def bpe_encode_oracle_sql(n_merges: int = 8,
+                          table: str = "documents") -> str:
+    """DuckDB twin: reuses the training CTE chain (``m{r}`` merge picks)
+    and applies the same replaces to every document."""
+    ctes = ",\n".join(_bpe_train_ctes(n_merges, table))
+    doc_seq = ("'  ' || array_to_string(list_transform("
+               f"regexp_extract_all(lower(text), '[a-z]+'),"
+               " w -> array_to_string(list_transform("
+               "generate_series(1, len(w)), i -> w[i:i]), '  ')"
+               " || '  </w>'), '  ') || '  '")
+    enc = [f"e0 AS MATERIALIZED (SELECT doc_id, {doc_seq} AS seq"
+           f" FROM {table})"]
+    for r in range(1, n_merges + 1):
+        enc.append(
+            f"e{r} AS MATERIALIZED (SELECT doc_id, coalesce(replace(seq,"
+            f" ' ' || (SELECT replace(pair, ' ', '  ') FROM m{r}) || ' ',"
+            f" ' ' || (SELECT replace(pair, ' ', '') FROM m{r}) || ' '),"
+            f" seq) AS seq FROM e{r - 1})")
+    joined = ",\n".join(enc)
+    return f"""WITH {ctes},
+{joined}
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+       md5(array_to_string(t, ' ')) AS seq_hash
+FROM (SELECT doc_id, list_filter(string_split_regex(seq, ' +'),
+                                 x -> x <> '') AS t
+      FROM e{n_merges})
+"""

@@ -111,3 +111,25 @@ def test_property_matches_naive_reference(spark):
         assert got == _naive_bpe(texts, 4)
 
     check()
+
+
+def test_encode_applies_merges_in_order(spark):
+    from nci_seronet_proc_data_validator_spark.operators.bpe import (
+        bpe_encode,
+    )
+    docs = _docs(spark, ["low lower"])
+    # hand model: merge (l,o) then (lo,w) -> 'low' = [low </w>],
+    # 'lower' = [low e r </w>]
+    out = {r["doc_id"]: (r["n_bpe_tokens"], r["seq_hash"])
+           for r in bpe_encode(docs, [("l", "o"), ("lo", "w")]).collect()}
+    import hashlib
+    exp = "low </w> low e r </w>"
+    assert out[0] == (6, hashlib.md5(exp.encode()).hexdigest())
+
+
+def test_encode_empty_model_is_chars(spark):
+    from nci_seronet_proc_data_validator_spark.operators.bpe import (
+        bpe_encode,
+    )
+    out = bpe_encode(_docs(spark, ["ab"]), []).collect()[0]
+    assert out["n_bpe_tokens"] == 3              # a, b, </w>
