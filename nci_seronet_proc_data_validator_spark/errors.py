@@ -21,7 +21,6 @@ omits it, collapsing identical findings across sheets — a bug).
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -116,11 +115,23 @@ def explode_findings(df: DataFrame, candidates: list[Column]) -> DataFrame:
 
 
 def union_findings(parts: Iterable[DataFrame]) -> DataFrame | None:
-    """Combine finding DataFrames (bulk ``unionByName``)."""
+    """Combine finding DataFrames (bulk ``unionByName``).
+
+    Balanced pairwise fold, not a left-deep reduce: every ``unionByName``
+    call analyzes its whole subtree JVM-side, so a left-deep chain of n
+    parts re-analyzes a growing plan n times (quadratic — measured ~1.3s
+    of the rulebook's driver build at n=17); the balanced tree analyzes
+    each subtree once per level (n log n)."""
     parts = [p for p in parts if p is not None]
     if not parts:
         return None
-    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), parts)
+    while len(parts) > 1:
+        nxt = [a.unionByName(b, allowMissingColumns=False)
+               for a, b in zip(parts[::2], parts[1::2])]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
 
 
 def dedup_findings(findings: DataFrame) -> DataFrame:
