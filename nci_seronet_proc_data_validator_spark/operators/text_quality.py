@@ -225,6 +225,21 @@ def bigram_profile(df: DataFrame, text_col: str = "text",
     map-side partials) → broadcast-size-independent shuffle join on the
     bigram key → one agg back to documents carrying both signal families.
     Same row domain as the parts (docs with >= 2 words).
+
+    Also emits the Gopher-style character-coverage repetition signals
+    (Rae et al. 2021, arXiv:2112.11446 §A1.1) over the same pass:
+
+    - ``top_bigram`` — the most frequent bigram, tie-broken by the larger
+      string so both engines pick the same one (``max(struct(n, bg))``);
+    - ``bigram_chars`` / ``dup_bigram_chars`` — total characters across
+      all bigram occurrences, and across occurrences of bigrams that
+      repeat (count >= 2). The Gopher "fraction of characters in
+      duplicate n-grams" without the overlap correction (documented —
+      occurrences are weighted, not unioned);
+    - ``top_char_frac`` / ``dup_char_frac`` — the two coverage ratios,
+      with integer-math gates ``is_top_heavy`` (top bigram covers > 20%
+      of bigram characters — Gopher's 0.20 2-gram threshold) and
+      ``is_dup_heavy`` (repeating bigrams cover > 50%).
     """
     ws = _words(text_col)
     base = (df.select(F.col(id_col), ws.alias("ws"))
@@ -241,13 +256,29 @@ def bigram_profile(df: DataFrame, text_col: str = "text",
            .agg(F.sum("n").cast("long").alias("n_bigrams"),
                 F.count(F.lit(1)).alias("n_distinct_bigrams"),
                 F.max("n").cast("long").alias("top_count"),
+                F.max(F.struct(F.col("n"), F.col("bg")))["bg"]
+                .alias("top_bigram"),
+                F.sum(F.col("n") * F.length("bg")).cast("long")
+                .alias("bigram_chars"),
+                F.sum(F.when(F.col("n") >= 2, F.col("n") * F.length("bg"))
+                      .otherwise(F.lit(0))).cast("long")
+                .alias("dup_bigram_chars"),
                 F.sum(F.col("n") * F.col("cn")).cast("long")
                 .alias("sum_corpus_freq")))
+    top_chars = F.col("top_count") * F.length("top_bigram")
     return out.select(
         id_col, "n_bigrams", "n_distinct_bigrams", "top_count",
         ((F.col("top_count") >= 2)
          & (F.col("top_count") * 5 > F.col("n_bigrams")))
         .alias("is_repetitive"),
+        "top_bigram", "bigram_chars", "dup_bigram_chars",
+        F.round(top_chars * 1.0 / F.col("bigram_chars"), 6)
+        .alias("top_char_frac"),
+        F.round(F.col("dup_bigram_chars") * 1.0 / F.col("bigram_chars"), 6)
+        .alias("dup_char_frac"),
+        (top_chars * 5 > F.col("bigram_chars")).alias("is_top_heavy"),
+        (F.col("dup_bigram_chars") * 2 > F.col("bigram_chars"))
+        .alias("is_dup_heavy"),
         "sum_corpus_freq",
         (F.col("sum_corpus_freq").cast("double")
          / F.col("n_bigrams")).alias("familiarity"))
@@ -264,17 +295,30 @@ b AS (
   FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
   WHERE len(ws) >= 2),
 db AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY 1, 2),
-c AS (SELECT bg, sum(n) AS cn FROM db GROUP BY bg)
-SELECT doc_id,
-       CAST(SUM(n) AS BIGINT) AS n_bigrams,
-       count(*) AS n_distinct_bigrams,
-       CAST(max(n) AS BIGINT) AS top_count,
-       (max(n) >= 2 AND max(n) * 5 > sum(n)) AS is_repetitive,
-       CAST(SUM(n * cn) AS BIGINT) AS sum_corpus_freq,
-       CAST(CAST(SUM(n * cn) AS BIGINT) AS DOUBLE)
-         / CAST(SUM(n) AS BIGINT) AS familiarity
-FROM db JOIN c USING (bg)
-GROUP BY doc_id ORDER BY doc_id
+c AS (SELECT bg, sum(n) AS cn FROM db GROUP BY bg),
+g AS (
+  SELECT doc_id,
+         CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         count(*) AS n_distinct_bigrams,
+         CAST(max(n) AS BIGINT) AS top_count,
+         (max(struct_pack(n := n, bg := bg))).bg AS top_bigram,
+         CAST(SUM(n * len(bg)) AS BIGINT) AS bigram_chars,
+         CAST(SUM(CASE WHEN n >= 2 THEN n * len(bg) ELSE 0 END) AS BIGINT)
+           AS dup_bigram_chars,
+         CAST(SUM(n * cn) AS BIGINT) AS sum_corpus_freq
+  FROM db JOIN c USING (bg)
+  GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_distinct_bigrams, top_count,
+       (top_count >= 2 AND top_count * 5 > n_bigrams) AS is_repetitive,
+       top_bigram, bigram_chars, dup_bigram_chars,
+       round(top_count * len(top_bigram) * 1.0 / bigram_chars, 6)
+         AS top_char_frac,
+       round(dup_bigram_chars * 1.0 / bigram_chars, 6) AS dup_char_frac,
+       (top_count * len(top_bigram) * 5 > bigram_chars) AS is_top_heavy,
+       (dup_bigram_chars * 2 > bigram_chars) AS is_dup_heavy,
+       sum_corpus_freq,
+       CAST(sum_corpus_freq AS DOUBLE) / n_bigrams AS familiarity
+FROM g ORDER BY doc_id
 """
 
 
@@ -327,15 +371,20 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
               .when(tercile == 2, "middle").otherwise("tail"))
     return (prof.join(langs, id_col)
             .select(id_col, lang_col, "n_bigrams", "n_distinct_bigrams",
-                    "top_count", "is_repetitive", "sum_corpus_freq",
-                    "familiarity", bucket.alias("ppl_bucket")))
+                    "top_count", "is_repetitive", "top_bigram",
+                    "bigram_chars", "dup_bigram_chars", "top_char_frac",
+                    "dup_char_frac", "is_top_heavy", "is_dup_heavy",
+                    "sum_corpus_freq", "familiarity",
+                    bucket.alias("ppl_bucket")))
 
 
 def ccnet_buckets_oracle_sql(table: str = "documents") -> str:
     return f"""
 WITH prof AS ({bigram_profile_oracle_sql(table).strip()})
 SELECT p.doc_id, d.lang, p.n_bigrams, p.n_distinct_bigrams, p.top_count,
-       p.is_repetitive, p.sum_corpus_freq, p.familiarity,
+       p.is_repetitive, p.top_bigram, p.bigram_chars, p.dup_bigram_chars,
+       p.top_char_frac, p.dup_char_frac, p.is_top_heavy, p.is_dup_heavy,
+       p.sum_corpus_freq, p.familiarity,
        CASE ntile(3) OVER (PARTITION BY d.lang
                            ORDER BY p.familiarity DESC, p.doc_id)
          WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END

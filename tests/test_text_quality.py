@@ -93,3 +93,26 @@ def test_bigram_profile_matches_parts(spark):
             assert row[k] == rep[d][k], (d, k)
         for k in ("sum_corpus_freq", "familiarity"):
             assert row[k] == fam[d][k], (d, k)
+
+
+def test_bigram_profile_char_coverage(spark):
+    """Gopher char-coverage columns, hand-computed: doc 1 has bigrams
+    'a b' x3 + 'b a' x2 (3 chars each), doc 2 has three singleton
+    bigrams where the (count, string) max tie-break picks 'the quick'."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        bigram_profile)
+    df = _docs(spark, [
+        (1, "a b a b a b"),
+        (2, "the quick brown fox"),
+    ])
+    rows = {r["doc_id"]: r.asDict() for r in bigram_profile(df).collect()}
+    d1 = rows[1]
+    assert d1["top_bigram"] == "a b"
+    assert d1["bigram_chars"] == 15 and d1["dup_bigram_chars"] == 15
+    assert d1["top_char_frac"] == 0.6 and d1["dup_char_frac"] == 1.0
+    assert d1["is_top_heavy"] and d1["is_dup_heavy"]
+    d2 = rows[2]
+    assert d2["top_bigram"] == "the quick"  # max-string tie-break
+    assert d2["bigram_chars"] == 9 + 11 + 9 and d2["dup_bigram_chars"] == 0
+    assert d2["top_char_frac"] == round(9 / 29, 6)
+    assert d2["dup_char_frac"] == 0.0 and not d2["is_dup_heavy"]
