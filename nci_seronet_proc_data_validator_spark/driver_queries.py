@@ -2182,27 +2182,38 @@ def q_c9_c12_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN paths in one tagged union — the brute-force cosine top-10
-    (the exactness baseline) and the k-means-trained IVF probe (the scale
-    path); identical (query_id, neighbor_id, sim6, rank) shapes."""
+    """Three ANN tiers in one tagged union — brute-force cosine top-10
+    (the exactness baseline), the k-means-trained IVF probe (the
+    partition-pruning scale path), and int8 quantize-then-rerank (the
+    memory-bandwidth scale path); identical
+    (query_id, neighbor_id, sim6, rank) shapes."""
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        quantized_topk)
     b = q_embedding_topk(spark, sf_dir) \
         .select(F.lit("brute").alias("op"), "*")
     i = q_ivf_topk_trained(spark, sf_dir) \
         .select(F.lit("ivf").alias("op"), "*")
-    return b.unionByName(i)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    q = quantized_topk(emb, queries, k=5, cand=20) \
+        .select(F.lit("quant").alias("op"), "*")
+    return b.unionByName(i).unionByName(q)
 
 
 def _sql_embedding_ann() -> str:
     from nci_seronet_proc_data_validator_spark.operators.kmeans import (
         kmeans_centroid_vectors_cte, kmeans_ctes)
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
-        ivf_topk_oracle_sql)
+        ivf_topk_oracle_sql, quantized_topk_oracle_sql)
     ivf = ivf_topk_oracle_sql(
         n_queries=5, k=5, nprobe=2,
         prefix_ctes=kmeans_ctes(k=8, iters=2),
         cent_cte=kmeans_centroid_vectors_cte(k=8, iters=2))
+    quant = quantized_topk_oracle_sql(n_queries=5, k=5, cand=20)
     return (f"SELECT 'brute' AS op, * FROM ({SQL_EMB_TOPK.strip()})\n"
-            f"UNION ALL\nSELECT 'ivf' AS op, * FROM ({ivf.strip()})")
+            f"UNION ALL\nSELECT 'ivf' AS op, * FROM ({ivf.strip()})\n"
+            f"UNION ALL\nSELECT 'quant' AS op, * FROM ({quant.strip()})")
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,3 +168,145 @@ SELECT query_id, neighbor_id, sim6, rank FROM (
 WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization: per-vector symmetric scale
+    ``s = max(|x|)``, code ``q_i = floor(x_i * 127 / s + 0.5)``.
+
+    Why this shape at 100 TB: the quantized index is ~4x smaller than the
+    float32 column (int8 codes + one float scale), so the candidate scan
+    is memory-bandwidth-bound on a quarter of the bytes, and the integer
+    dot products are exact cross-engine (the float rerank touches only
+    the tiny candidate set). ``floor(v + 0.5)`` instead of ``round`` —
+    half-up on both engines regardless of each engine's round() tie rule.
+    Zero vectors quantize to all-zero codes (scale clamps to 1).
+    """
+    s = F.aggregate(F.col(vec_col), F.lit(0.0),
+                    lambda a, x: F.greatest(a, F.abs(x.cast("double"))))
+    out = emb.select(F.col(id_col), F.col(vec_col),
+                     F.when(s == 0.0, F.lit(1.0)).otherwise(s)
+                     .alias("q_scale"))
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 127.0 / F.col("q_scale")
+                          + 0.5).cast("int"))
+    return out.select(id_col, vec_col, "q_scale", codes.alias("q_codes"))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   cand: int = 20, id_col: str = "vec_id",
+                   vec_col: str = "embedding", qid_col: str = "query_id",
+                   qvec_col: str = "qe") -> DataFrame:
+    """Quantize-then-rerank ANN: int8 cosine picks ``cand`` candidates per
+    query, exact float cosine reranks them to the final top-``k``.
+
+    Plan shape: one map-only quantize pass over the corpus, a broadcast
+    cross join against the (small) quantized query set scored by integer
+    dot products, per-query TakeOrdered to ``cand``, then the candidate
+    ids — O(Q * cand) rows — broadcast back against the float corpus for
+    the exact rerank. The full-precision vectors are never shuffled and
+    only ``cand`` of them per query are ever read at rerank; composes
+    with IVF bucketing (quantize within each probed bucket).
+
+    Candidate selection is deterministic cross-engine: integer dots are
+    exact, the one double divide is IEEE-identical, ranking keys are
+    ``round(sim, 12)`` with id tie-breaks (the package-wide contract).
+    """
+    qd = quantize_embeddings(spread_small_input(emb), id_col, vec_col) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col("q_codes").alias("nq"))
+    qq = quantize_embeddings(
+        queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(qvec_col).alias("embedding")),
+        "query_id", "embedding") \
+        .select("query_id", F.col("q_codes").alias("qq"))
+    approx = _idot(F.col("qq"), F.col("nq")).cast("double") / (
+        F.sqrt(_idot(F.col("qq"), F.col("qq")).cast("double"))
+        * F.sqrt(_idot(F.col("nq"), F.col("nq")).cast("double")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("asim"), 12).desc(), F.col("neighbor_id"))
+    cands = (F.broadcast(qq).crossJoin(qd)
+             .filter(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("asim", approx)
+             .withColumn("_rn", F.row_number().over(wc))
+             .filter(F.col("_rn") <= cand)
+             .select("query_id", "neighbor_id"))
+
+    nvec = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("ne"))
+    qvec = queries.select(F.col(qid_col).alias("query_id"),
+                          F.col(qvec_col).alias("qe"))
+    sim = _dot(F.col("qe"), F.col("ne")) / (_norm(F.col("qe"))
+                                            * _norm(F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("sim"), 12).desc(), F.col("neighbor_id"))
+    return (F.broadcast(cands).join(nvec, "neighbor_id")
+            .join(F.broadcast(qvec), "query_id")
+            .withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim6"), "rank"))
+
+
+def quantized_topk_oracle_sql(n_queries: int = 5, k: int = 5,
+                              cand: int = 20) -> str:
+    """DuckDB oracle for the quantize-then-rerank pipeline (queries are
+    the first ``n_queries`` vectors, mirroring the driver query)."""
+    dot = ("list_reduce(list_transform(list_zip({a}, {b}), "
+           "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    idot = ("list_reduce(list_transform(list_zip({a}, {b}), "
+            "s -> CAST(s[1] AS BIGINT) * CAST(s[2] AS BIGINT)), "
+            "(x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce(list_transform({a}, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))")
+    return f"""
+WITH qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(floor(
+           CAST(x AS DOUBLE) * 127.0 / (CASE WHEN s = 0 THEN 1.0 ELSE s END)
+           + 0.5) AS INTEGER)) AS q_codes
+  FROM (SELECT vec_id, embedding,
+               list_reduce(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))),
+                 (a, x) -> CASE WHEN x > a THEN x ELSE a END) AS s
+        FROM embeddings)),
+qq AS (SELECT vec_id AS query_id, q_codes AS qqc FROM qz
+       WHERE vec_id < {n_queries}),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(CAST({idot.format(a='q.qqc', b='d.q_codes')}
+                 AS DOUBLE)
+               / (sqrt(CAST({idot.format(a='q.qqc', b='q.qqc')} AS DOUBLE))
+                  * sqrt(CAST({idot.format(a='d.q_codes', b='d.q_codes')}
+                         AS DOUBLE))), 12) DESC,
+               d.vec_id) AS rn
+    FROM qq q CROSS JOIN qz d WHERE q.query_id <> d.vec_id)
+  WHERE rn <= {cand})
+SELECT query_id, neighbor_id, sim6, rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round({dot.format(a='qv.embedding', b='nv.embedding')}
+           / ({nrm.format(a='qv.embedding')}
+              * {nrm.format(a='nv.embedding')}), 6) AS sim6,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY round({dot.format(a='qv.embedding', b='nv.embedding')}
+               / ({nrm.format(a='qv.embedding')}
+                  * {nrm.format(a='nv.embedding')}), 12) DESC,
+             c.neighbor_id) AS rank
+  FROM cands c
+  JOIN embeddings nv ON nv.vec_id = c.neighbor_id
+  JOIN embeddings qv ON qv.vec_id = c.query_id)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
