@@ -2479,7 +2479,10 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     for spec, bound in rulebook_bound_sheets():
         # persist=True: each sheet feeds the findings pass, a pass per
         # dup-ID column, and the cross-sheet spines — the cached cast
-        # base is scanned k× instead of re-shuffled k×.
+        # base is scanned k× instead of re-shuffled k×. (Sharing one
+        # persisted base per distinct base table was measured SLOWER at
+        # sf0.1 — the deduped shuffles are tiny while the typed shadows
+        # recompute per consumer; see fixture_sheet_df's base_df hook.)
         df = fixture_sheet_df(spark, sf_dir, spec, spread_partitions=spread,
                               persist=True)
         sheet_dfs[spec.sheet] = df
