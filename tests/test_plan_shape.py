@@ -300,3 +300,22 @@ def test_no_duplicated_generator_input_in_filters(spark, sf_dir):
         for cond in re.findall(r"Filter \(?[^\n]*", plan):
             assert "md5(" not in cond and "transform(" not in cond, (
                 name, cond[:200])
+
+
+def test_quantized_ann_rerank_is_broadcast(spark, sf_dir):
+    """The int8 candidate scan must broadcast the quantized query set, and
+    the float rerank must broadcast the O(Q*cand) candidate ids against
+    the corpus — a sort-merge join on either side would shuffle the full
+    embedding table per query batch."""
+    from pyspark.sql import functions as F
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        quantized_topk)
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_table)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    plan = _plan(quantized_topk(emb, queries, k=5, cand=20))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
