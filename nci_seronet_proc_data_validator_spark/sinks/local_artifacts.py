@@ -6,8 +6,9 @@ are inherently single-file pandas artifacts, so they are DRIVER-side
 conveniences: collect a (small!) DataFrame via Arrow and write locally.
 Guarded by a row cap — these are for summaries and reports, never data.
 
-xlsx needs openpyxl (not in this environment) and is import-gated; pickle
-works with pandas alone.
+xlsx uses pandas/openpyxl when present, else the dependency-free
+SpreadsheetML writer (``sinks/xlsx_minimal.py``); pickle works with
+pandas alone.
 """
 
 from __future__ import annotations
@@ -40,11 +41,13 @@ def write_local_artifact(df: DataFrame, path: str, fmt: str = "csv",
     elif fmt == "xlsx":
         try:
             import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "xlsx output needs openpyxl, which is not installed in "
-                "this environment") from e
-        pdf.to_excel(path, index=False)
+            pdf.to_excel(path, index=False)
+        except ImportError:
+            from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal \
+                import write_xlsx
+            write_xlsx(path, [str(c) for c in pdf.columns],
+                       pdf.astype(object).where(pdf.notna(), "")
+                       .values.tolist())
     else:
         raise ValueError(f"unknown format {fmt!r}")
     return path

@@ -37,7 +37,14 @@ def write_error_reports(findings: DataFrame, out_dir: str,
     ``partitionBy`` writes every sheet's report in ONE job — no per-sheet
     loop, no driver round-trips; at scale each partition writes in
     parallel.
+
+    ``fmt='xlsx'`` instead writes the reference's workbook artifact shape
+    (one worksheet per sheet, ``s3.py:45-113``) via the dependency-free
+    writer — a DRIVER-side collect, capped, for report-scale output only.
     """
+    if fmt == "xlsx":
+        _write_error_workbook(findings, out_dir)
+        return
     writer = (findings
               .repartition(SHEET_NAME)
               .sortWithinPartitions(SHEET_NAME, "Row_Index")
@@ -47,6 +54,30 @@ def write_error_reports(findings: DataFrame, out_dir: str,
         writer.option("header", "true").csv(out_dir)
     else:
         writer.parquet(out_dir)
+
+
+def _write_error_workbook(findings: DataFrame, path: str,
+                          max_rows: int = 1_000_000) -> str:
+    """One .xlsx workbook, one worksheet per CSV sheet (rows ordered by
+    Row_Index, worksheets by sheet name). Reports are driver-scale by
+    contract — the cap refuses data-scale misuse."""
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        write_xlsx_sheets,
+    )
+    if findings.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"refusing to collect more than {max_rows} findings to the "
+            "driver for an xlsx workbook; use fmt='csv'/'parquet'")
+    cols = [c for c in findings.columns if c != SHEET_NAME]
+    sheets: dict[str, tuple[list[str], list[list[object]]]] = {}
+    pdf = (findings.orderBy(SHEET_NAME, "Row_Index")
+           .toPandas())
+    for name, grp in pdf.groupby(SHEET_NAME, sort=True):
+        sheets[str(name)] = (cols, grp[cols].astype(object)
+                             .where(grp[cols].notna(), "").values.tolist())
+    if not sheets:
+        sheets["no_findings"] = (cols, [])
+    return write_xlsx_sheets(path, sheets)
 
 
 def write_findings_parquet(findings: DataFrame, path: str) -> None:

@@ -138,22 +138,33 @@ def cleanup_sheet(df: DataFrame,
 def read_xlsx(spark: SparkSession, paths: list[str]) -> DataFrame | None:
     """S2 xlsx read. The reference asserts on ``.xlsx`` keys and then has
     no read path (``s3.py:130-137``) — i.e. it crashes; we implement the
-    evident intent, gated on openpyxl like the xlsx writer.
+    evident intent. Unreadable/corrupt workbooks degrade to ``None``
+    (callers treat the group as unreadable, mixed groups still load).
 
     Driver-side pandas read by design: submission xlsx sheets are
     file-per-sheet and driver-scale (the reference loaded them into pandas
     wholesale); at data scale you'd convert to parquet upstream, not scan
     xlsx from executors. Cells ingest as strings with '' for blanks
-    (``na_filter=False`` semantics, S4). Returns None when openpyxl is
-    absent (this container) — callers treat the group as unreadable.
+    (``na_filter=False`` semantics, S4). Uses pandas/openpyxl when
+    available; otherwise the dependency-free SpreadsheetML reader
+    (``sinks/xlsx_minimal.py``) — either way the format is readable in
+    this container.
     """
-    try:
-        import openpyxl  # noqa: F401  (gate; env may not ship it)
-    except ImportError:
-        return None
     import pandas as pd
 
-    frames = [pd.read_excel(p, dtype=str) for p in paths]
+    try:
+        try:
+            import openpyxl  # noqa: F401  (optional fast path)
+            frames = [pd.read_excel(p, dtype=str) for p in paths]
+        except ImportError:
+            from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal \
+                import read_xlsx_rows
+            frames = []
+            for p in paths:
+                cols, rows = read_xlsx_rows(p)
+                frames.append(pd.DataFrame(rows, columns=cols, dtype=str))
+    except Exception:
+        return None  # corrupt/non-xlsx bytes: group is unreadable
     pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 \
         else frames[0]
     # fillna AFTER concat: concat over mismatched columns reintroduces

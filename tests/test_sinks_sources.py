@@ -32,6 +32,23 @@ def test_error_report_sink(spark, tmp_path):
     assert back.count() == 3
 
 
+def test_error_report_sink_xlsx_workbook(spark, tmp_path):
+    """fmt='xlsx' writes the reference's workbook artifact: one worksheet
+    per sheet, rows ordered by Row_Index, readable back without Spark."""
+    from nci_seronet_proc_data_validator_spark.sinks import (
+        write_error_reports)
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows)
+    p = str(tmp_path / "report.xlsx")
+    write_error_reports(_findings(spark), p, fmt="xlsx")
+    cols0, rows0 = read_xlsx_rows(p, sheet=0)   # biospecimen (name order)
+    cols1, rows1 = read_xlsx_rows(p, sheet=1)   # demographic
+    assert "Row_Index" in cols0 and cols0 == cols1
+    assert len(rows0) + len(rows1) == 3
+    ri = cols1.index("Row_Index")
+    assert [r[ri] for r in rows1] == sorted(r[ri] for r in rows1)
+
+
 def test_job_status_and_notification(spark):
     from nci_seronet_proc_data_validator_spark.sinks.reports import (
         build_notification_payload, job_status_rows, write_job_status_jdbc)
@@ -270,38 +287,60 @@ def test_local_artifact_writer(spark, tmp_path):
     assert len(pd.read_pickle(p_pkl)) == 3
     with _pytest.raises(ValueError):
         write_local_artifact(df, str(tmp_path / "x"), "csv", max_rows=1)
-    with _pytest.raises((NotImplementedError, Exception)):
-        write_local_artifact(df, str(tmp_path / "f.xlsx"), "xlsx")
+    p_xlsx = str(tmp_path / "f.xlsx")
+    write_local_artifact(df, p_xlsx, "xlsx")
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows)
+    cols, rows = read_xlsx_rows(p_xlsx)
+    assert cols == df.columns and len(rows) == 3
 
 
-def test_read_xlsx_gated(spark, tmp_path):
-    """Without openpyxl the xlsx read path degrades cleanly: the xlsx
-    group is treated as unreadable (None), other groups still load."""
+def test_read_xlsx_roundtrip_and_corrupt(spark, tmp_path):
+    """A real workbook (written by the dependency-free writer) loads with
+    S4 semantics; corrupt bytes degrade to None and a mixed group still
+    loads its readable members."""
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        write_xlsx,
+    )
     from nci_seronet_proc_data_validator_spark.sources.readers import (
         read_any,
         read_xlsx,
     )
-    try:
-        import openpyxl  # noqa: F401
-        have_openpyxl = True
-    except ImportError:
-        have_openpyxl = False
+    wb = tmp_path / "sheet.xlsx"
+    write_xlsx(str(wb), ["x", "y"], [["1", "foo"], ["2", ""]])
+    out = read_xlsx(spark, [str(wb)])
+    assert out is not None and out.columns == ["x", "y"]
+    got = {tuple(r) for r in out.collect()}
+    assert got == {("1", "foo"), ("2", "")}  # blank cell -> '' (S4)
 
-    fake = tmp_path / "sheet.xlsx"
+    fake = tmp_path / "bad.xlsx"
     fake.write_bytes(b"not really an xlsx")
-    if not have_openpyxl:
-        assert read_xlsx(spark, [str(fake)]) is None
-        assert read_any(spark, [str(fake)], fmt="suffix") is None
-        csv = tmp_path / "a.csv"
-        csv.write_text("x,y\n1,foo\n")
-        mixed = read_any(spark, [str(csv), str(fake)], fmt="suffix")
-        assert mixed is not None and mixed.count() == 1
-    else:  # real env with openpyxl: a real workbook round-trips
-        import pandas as pd
-        pd.DataFrame({"x": ["1"], "y": ["foo"]}).to_excel(
-            str(fake), index=False)
-        out = read_xlsx(spark, [str(fake)])
-        assert out is not None and out.count() == 1
+    assert read_xlsx(spark, [str(fake)]) is None
+    assert read_any(spark, [str(fake)], fmt="suffix") is None
+    csv = tmp_path / "a.csv"
+    csv.write_text("x,y\n1,foo\n")
+    mixed = read_any(spark, [str(csv), str(fake)], fmt="suffix")
+    assert mixed is not None and mixed.count() == 1
+
+
+def test_xlsx_minimal_multisheet_and_escaping(tmp_path):
+    """Workbook-level round-trip without Spark: multiple sheets, XML
+    metacharacters, whitespace preservation, ragged rows."""
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows,
+        write_xlsx_sheets,
+    )
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx_sheets(p, {
+        "errors": (["A", "B"], [["<tag> & \"quote\"", "  padded  "],
+                                ["only-a"]]),
+        "summary": (["n"], [["3"]]),
+    })
+    cols0, rows0 = read_xlsx_rows(p, sheet=0)
+    assert cols0 == ["A", "B"]
+    assert rows0 == [["<tag> & \"quote\"", "  padded  "], ["only-a", ""]]
+    cols1, rows1 = read_xlsx_rows(p, sheet=1)
+    assert cols1 == ["n"] and rows1 == [["3"]]
 
 
 def test_streaming_dedup(spark, tmp_path):
