@@ -264,3 +264,31 @@ def build_notification_payload(summary_rows: list, submission_name: str,
     lines.append(f"*{verdict}* ({total_err} errors, {total_warn} warnings)")
     return {"blocks": [{"type": "section",
                         "text": {"type": "mrkdwn", "text": "\n".join(lines)}}]}
+
+
+def post_notification(url: str, payload: dict, timeout: float = 10.0) -> int:
+    """S12 delivery: POST a JSON payload to a webhook with
+    ``Content-Type: application/json`` — the reference's
+    ``http.request("POST", ...)`` shape
+    (``nci-seronet-data-validator.py:208-250``), stdlib-only. Returns the
+    HTTP status. Driver-side by design; never call from executors."""
+    import json
+    import urllib.request
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status
+
+
+def notify(summary_rows: list, submission_name: str, success_url: str,
+           failure_url: str, submitted_by: str = "unknown",
+           timeout: float = 10.0) -> tuple[str, int]:
+    """Route-and-post like the reference's ``write_message_to_slack``:
+    the failure webhook unless the submission has zero errors. Returns
+    (url used, HTTP status)."""
+    payload = build_notification_payload(summary_rows, submission_name,
+                                         submitted_by)
+    total_err = sum(row["Errors"] for row in summary_rows)
+    url = success_url if total_err == 0 else failure_url
+    return url, post_notification(url, payload, timeout=timeout)

@@ -486,3 +486,49 @@ def test_streaming_static_enrichment(spark, tmp_path):
     out = {r["user_id"]: r["tier"]
            for r in spark.sql("SELECT * FROM enrich_out").collect()}
     assert out == {"u1": "gold", "u2": "silver", "u3": None}
+
+
+def test_notification_webhook_post(spark):
+    """S12 end to end against a real local HTTP server: the payload
+    arrives as JSON with the right Content-Type, and routing picks the
+    failure webhook iff the submission has errors."""
+    import http.server
+    import json
+    import threading
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append((self.path, self.headers["Content-Type"],
+                             json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from nci_seronet_proc_data_validator_spark.sinks.reports import (
+            notify)
+        base = f"http://127.0.0.1:{srv.server_port}"
+        rows = [{"CSV_Sheet_Name": "demographic.csv",
+                 "Errors": 2, "Warnings": 1}]
+        url, status = notify(rows, "sub-1", base + "/ok", base + "/fail")
+        assert status == 200 and url.endswith("/fail")
+        clean = [{"CSV_Sheet_Name": "demographic.csv",
+                  "Errors": 0, "Warnings": 3}]
+        url2, _ = notify(clean, "sub-2", base + "/ok", base + "/fail")
+        assert url2.endswith("/ok")
+        assert [p for p, _, _ in received] == ["/fail", "/ok"]
+        for _, ctype, body in received:
+            assert ctype == "application/json"
+            assert "blocks" in body
+        assert "FAILED" in received[0][2]["blocks"][0]["text"]["text"]
+        assert "PASSED" in received[1][2]["blocks"][0]["text"]["text"]
+    finally:
+        srv.shutdown()
