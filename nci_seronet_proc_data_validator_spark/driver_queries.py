@@ -1979,9 +1979,13 @@ LIMIT 20
 def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel in ONE aggregation pass: how many
     documents survive each cumulative stage — length floor, Gopher-style
-    quality gate, near-dup canonical filter. Composes quality_features +
-    minhash LSH + connected components; flags are computed per doc and
-    summed, so adding a stage costs a column, not a pass."""
+    quality gate, near-dup canonical filter, and a RefinedWeb-style
+    whole-domain gate (drop every doc from domains where under half the
+    docs pass the quality gate — integer-math threshold, no float
+    compare). Composes quality_features + minhash LSH + connected
+    components + a per-domain keyed agg; flags are computed per doc and
+    summed, so adding a stage costs a column, not a pass. Domain stats
+    are domain-cardinality small → broadcast back."""
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         minhash_lsh_pairs)
     from nci_seronet_proc_data_validator_spark.operators.graph import (
@@ -1994,17 +1998,26 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("id") != F.col("cluster_id"))
               .select(F.col("id").alias("doc_id"),
                       F.lit(True).alias("is_dup")))
-    d = (docs.select("doc_id")
-         .join(qf, "doc_id", "left")
-         .join(F.broadcast(losers), "doc_id", "left"))
+    base = docs.select("doc_id", "source").join(qf, "doc_id", "left")
+    dom_ok = (base.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(F.coalesce(F.col("is_quality"), F.lit(False))
+                         .cast("long")).alias("n_q"))
+              .select("source",
+                      (F.col("n_q") * 2 >= F.col("n_docs"))
+                      .alias("domain_ok")))
+    d = (base.join(F.broadcast(losers), "doc_id", "left")
+         .join(F.broadcast(dom_ok), "source", "left"))
     f1 = F.coalesce(F.col("n_words") >= 5, F.lit(False))
     f2 = f1 & F.coalesce(F.col("is_quality"), F.lit(False))
     f3 = f2 & ~F.coalesce(F.col("is_dup"), F.lit(False))
+    f4 = f3 & F.coalesce(F.col("domain_ok"), F.lit(False))
     return d.agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(f1.cast("long")).alias("n_len_ok"),
         F.sum(f2.cast("long")).alias("n_quality"),
-        F.sum(f3.cast("long")).alias("n_kept"))
+        F.sum(f3.cast("long")).alias("n_kept"),
+        F.sum(f4.cast("long")).alias("n_domain_kept"))
 
 
 def corpus_funnel_oracle_sql(pairs_sql: str) -> str:
@@ -2035,17 +2048,27 @@ q AS (
                  AS ws
         FROM documents)
   WHERE len(ws) > 0),
+dom AS (
+  SELECT doc.source,
+         (sum(CASE WHEN COALESCE(q.is_quality, FALSE) THEN 1 ELSE 0 END) * 2
+            >= count(*)) AS domain_ok
+  FROM documents doc LEFT JOIN q ON doc.doc_id = q.doc_id
+  GROUP BY doc.source),
 d AS (
   SELECT doc.doc_id,
          COALESCE(q.n_words >= 5, FALSE) AS f1,
          COALESCE(q.n_words >= 5, FALSE)
            AND COALESCE(q.is_quality, FALSE) AS f2,
-         doc.doc_id IN (SELECT id FROM cc WHERE id <> cluster_id) AS dup
-  FROM documents doc LEFT JOIN q ON doc.doc_id = q.doc_id)
+         doc.doc_id IN (SELECT id FROM cc WHERE id <> cluster_id) AS dup,
+         COALESCE(dom.domain_ok, FALSE) AS dom_ok
+  FROM documents doc LEFT JOIN q ON doc.doc_id = q.doc_id
+  LEFT JOIN dom ON doc.source = dom.source)
 SELECT count(*) AS n_total,
        sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n_len_ok,
        sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN f2 AND NOT dup THEN 1 ELSE 0 END) AS n_kept
+       sum(CASE WHEN f2 AND NOT dup THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN f2 AND NOT dup AND dom_ok THEN 1 ELSE 0 END)
+         AS n_domain_kept
 FROM d
 """
 

@@ -281,3 +281,41 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM {table}) d
 LEFT JOIN e USING (doc_id)
 """
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          max_records_per_file: int = 100_000,
+                          n_shards: int | None = None,
+                          id_col: str = "doc_id",
+                          fmt: str = "parquet") -> None:
+    """Write a curated corpus as bounded-size training shards.
+
+    The 100 TB concern this solves: training loaders want many
+    uniform-size files (shufflable, resumable, one per reader), while a
+    naive ``df.write`` emits one file per upstream partition — skewed
+    stages produce 10 GB files next to 10 KB ones. Two controls compose:
+
+    - ``repartition(n_shards, hash(id))`` evens out record counts across
+      writer tasks (deterministic id-hash, not round-robin, so re-runs
+      place rows identically);
+    - ``maxRecordsPerFile`` caps each task's output file size, splitting
+      any remaining overage without another shuffle.
+
+    ``n_shards=None`` derives ceil(count/max_records) — one counting
+    pass; pass it explicitly at scale to skip that.
+    """
+    if max_records_per_file < 1:
+        raise ValueError(f"max_records_per_file must be >= 1: "
+                         f"{max_records_per_file}")
+    if n_shards is None:
+        n = df.count()
+        n_shards = max(1, -(-n // max_records_per_file))
+    out = (df.repartition(n_shards, F.col(id_col))
+           .write.mode("overwrite")
+           .option("maxRecordsPerFile", max_records_per_file))
+    if fmt == "parquet":
+        out.parquet(path)
+    elif fmt == "json":
+        out.json(path)
+    else:
+        raise ValueError(f"unknown training shard format {fmt!r}")

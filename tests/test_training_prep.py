@@ -95,3 +95,30 @@ def test_pack_sequences_hash_shards_scale(spark):
                                      n_shards=64).collect()}
     assert again == {(r["shard"], r["seq_id"]):
                      (r["n_docs"], r["total_tokens"]) for r in rows}
+
+
+def test_write_training_shards_bounded_files(spark, tmp_path):
+    """Every output file holds <= max_records_per_file rows, all rows
+    survive, and shard placement is deterministic across re-runs."""
+    import glob
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        write_training_shards)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, max_records_per_file=120)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= -(-1000 // 120)  # at least ceil(n/cap) files
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        assert n <= 120
+        total += n
+    assert total == 1000
+    # deterministic placement: same file count and per-file row multiset
+    sizes1 = sorted(spark.read.parquet(f).count() for f in files)
+    write_training_shards(df, out, max_records_per_file=120)
+    files2 = sorted(glob.glob(out + "/part-*.parquet"))
+    sizes2 = sorted(spark.read.parquet(f).count() for f in files2)
+    assert sizes1 == sizes2
