@@ -91,6 +91,18 @@ def c2_date_range_spread(spark, sf_dir):
                                 datetime.date(1997, 12, 31), False, "Date"))
 
 
+def q_quantized_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        quantized_topk)
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_table)
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    return quantized_topk(emb, queries, k=5, cand=20)
+
+
 BENCH_QUERIES = {
     "validation_lineitem": validation_lineitem,
     "c2_date_range": c2_date_range_spread,
@@ -124,6 +136,7 @@ BENCH_QUERIES = {
     # dup-ID shuffle per ID column).
     "rulebook_full": QUERIES["rulebook_full"][0],
     # round-3 curation operators
+    "quantized_topk": q_quantized_topk,
     "dsir_importance": QUERIES["dsir_importance"][0],
     "boilerplate_removal": QUERIES["boilerplate_removal"][0],
     "vocab_pipeline": QUERIES["vocab_pipeline"][0],
