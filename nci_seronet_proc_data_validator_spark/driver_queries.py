@@ -1061,18 +1061,22 @@ MIXTURE_SHARES = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.2}  # zh dropped
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both deterministic sampling modes in one tagged union
     (operators/sampling.py): explicit per-language keep-rates
-    ('stratified') and target-mixture water-filling ('mixture' — the
+    ('stratified'), target-mixture water-filling ('mixture' — the
     scarcest stratum relative to its share keeps 100%, the rest
     downsample to hit the requested corpus proportions; strata outside
-    the target mix drop)."""
+    the target mix drop), and sqrt-temperature flattening
+    ('temperature' — mT5-style alpha=0.5 rare-stratum upweighting with
+    count-derived integer weights)."""
     from nci_seronet_proc_data_validator_spark.operators.sampling import (
-        mixture_sample, stratified_sample)
+        mixture_sample, stratified_sample, temperature_sample)
     docs = read_table(spark, sf_dir, "documents")
     s = (stratified_sample(docs, "lang", SAMPLE_RATES, SAMPLE_DEFAULT)
          .select(F.lit("stratified").alias("part"), "doc_id", "lang"))
     m = (mixture_sample(docs, "lang", MIXTURE_SHARES)
          .select(F.lit("mixture").alias("part"), "doc_id", "lang"))
-    return s.unionByName(m)
+    t = (temperature_sample(docs, "lang")
+         .select(F.lit("temperature").alias("part"), "doc_id", "lang"))
+    return s.unionByName(m).unionByName(t)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1470,7 +1474,8 @@ def _register_dedup_queries() -> None:
         q_dedup_clusters,
         connected_components_oracle_sql(minhash_lsh_pairs_oracle_sql()))
     from nci_seronet_proc_data_validator_spark.operators.sampling import (
-        mixture_sample_oracle_sql, stratified_sample_oracle_sql)
+        mixture_sample_oracle_sql, stratified_sample_oracle_sql,
+        temperature_sample_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.search import (
         bm25_oracle_sql)
     strat_sql = stratified_sample_oracle_sql(
@@ -1478,12 +1483,15 @@ def _register_dedup_queries() -> None:
         select="'stratified' AS part, doc_id, lang")
     mix_sql = mixture_sample_oracle_sql(
         "lang", MIXTURE_SHARES, select="'mixture' AS part, doc_id, lang")
+    temp_sql = temperature_sample_oracle_sql(
+        "lang", select="'temperature' AS part, doc_id, lang")
     QUERIES.update({
         "bm25_topk": (q_bm25_topk, bm25_oracle_sql(BM25_TERMS)),
         "stratified_sample": (
             q_stratified_sample,
             f"SELECT * FROM ({strat_sql.strip()})\nUNION ALL\n"
-            f"SELECT * FROM ({mix_sql.strip()})"),
+            f"SELECT * FROM ({mix_sql.strip()})\nUNION ALL\n"
+            f"SELECT * FROM ({temp_sql.strip()})"),
     })
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
         bpe_token_oracle_sql)

@@ -84,6 +84,54 @@ def mixture_sample(df: DataFrame, strata_col: str,
             .drop("bp"))
 
 
+def temperature_sample(df: DataFrame, strata_col: str,
+                       key_col: str = "doc_id") -> DataFrame:
+    """Temperature-flattened mixture (mT5/UNIMAX-style alpha = 0.5):
+    target shares proportional to ``sqrt(n_s)`` instead of ``n_s``, so
+    rare strata are upweighted relative to their raw frequency and the
+    rarest keeps 100% (no upsampling) — the standard multilingual
+    rebalance before pretraining.
+
+    Same fully-distributed integer water-filling as ``mixture_sample``
+    with the weights DERIVED from the counts: ``w_s = floor(sqrt(n_s))``
+    (IEEE sqrt is correctly rounded and exact for n < 2^52, so both
+    engines derive bit-identical weights), then the same basis-point
+    hash cut. One small keyed count, a scalar min, a broadcast back.
+    """
+    counts = (df.groupBy(strata_col)
+              .agg(F.count(F.lit(1)).alias("n")))
+    j = counts.select(strata_col, "n",
+                      F.floor(F.sqrt(F.col("n"))).cast("long").alias("w")) \
+        .filter(F.col("w") > 0)
+    lim = j.agg(F.min(F.expr(f"n * {_BP} div w")).alias("lim"))
+    thr = (j.crossJoin(F.broadcast(lim))
+           .select(strata_col, F.expr("lim * w div n").alias("bp")))
+    key = F.concat(F.lit(_SALT), F.col(key_col).cast("string"))
+    return (df.join(F.broadcast(thr), strata_col)
+            .filter(_bucket(key) < F.col("bp"))
+            .drop("bp"))
+
+
+def temperature_sample_oracle_sql(strata_col: str,
+                                  key_col: str = "doc_id",
+                                  select: str = "doc_id, lang",
+                                  table: str = "documents") -> str:
+    """DuckDB mirror — sqrt-derived integer weights, same water-fill."""
+    return f"""
+WITH c AS (SELECT {strata_col} AS strata, count(*) AS n
+           FROM {table} GROUP BY 1),
+j AS (SELECT strata, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+      FROM c WHERE n > 0),
+l AS (SELECT min(n * {_BP} // wt) AS lim FROM j),
+thr AS (SELECT strata, lim * wt // n AS bp FROM j, l)
+SELECT {select}
+FROM {table} t JOIN thr ON t.{strata_col} = thr.strata
+WHERE CAST(concat('0x', substr(md5('{_SALT}' || CAST({key_col} AS VARCHAR)),
+                               1, 8)) AS BIGINT) % {_BP} < bp
+ORDER BY {key_col}
+"""
+
+
 def mixture_sample_oracle_sql(strata_col: str, shares: dict[str, float],
                               key_col: str = "doc_id",
                               select: str = "doc_id, lang",

@@ -94,3 +94,28 @@ def test_mixture_sample_validates_shares(spark):
         mixture_sample(docs, "lang", {})
     with pytest.raises(ValueError):
         mixture_sample(docs, "lang", {"en": 0.0})
+
+
+def test_temperature_sample_upweights_rare(spark):
+    """sqrt-temperature flattening: the rarest stratum keeps 100%, and
+    kept fractions order inversely to stratum frequency; weights are
+    integer-exact floor(sqrt(n))."""
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        temperature_sample)
+    rows = ([(i, "common") for i in range(400)]
+            + [(i + 1000, "mid") for i in range(100)]
+            + [(i + 2000, "rare") for i in range(16)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, "lang").groupBy("lang").count().collect()
+    k = {r["lang"]: r["count"] for r in kept}
+    # binding stratum: min over n*BP/floor(sqrt n) -> rare (16*1e4/4)
+    assert k["rare"] == 16  # 100% of the rarest
+    frac = {g: k.get(g, 0) / n
+            for g, n in (("common", 400), ("mid", 100), ("rare", 16))}
+    assert frac["rare"] == 1.0
+    assert frac["mid"] > frac["common"]  # flattening, not proportional
+    # determinism: partition layout does not change the sample
+    k2 = {r["lang"]: r["count"]
+          for r in temperature_sample(df.repartition(13), "lang")
+          .groupBy("lang").count().collect()}
+    assert k == k2
