@@ -100,6 +100,85 @@ def _decode_bmp(payload: bytes) -> dict:
     return {"width": w, "height": h, "mean_pixel": total / max(count, 1)}
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering (types 0-4). Sequential by spec —
+    each byte depends on the left/up/up-left reconstructed neighbors; a
+    vectorized decoder (PIL/libpng SIMD) is the drop-in at volume."""
+    stride = w * bpp
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for row in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:      # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[row * stride:(row + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Real PNG decode, stdlib-only: chunk walk → IHDR geometry, IDAT
+    concat → zlib inflate → per-scanline unfilter → mean over the COLOR
+    channels (alpha excluded so brightness means the same thing across
+    color types). 8-bit gray/RGB/gray+alpha/RGBA, non-interlaced;
+    palette/16-bit raise to the structural stub."""
+    import struct
+    import zlib
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None or depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG color={color} depth={depth} interlace={interlace}")
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + w * channels):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, w, h, channels)
+    n_color = channels - (1 if color in (4, 6) else 0)
+    total = count = 0
+    for i in range(0, len(px), channels):
+        for c in range(n_color):
+            total += px[i + c]
+        count += n_color
+    return {"width": w, "height": h, "mean_pixel": total / max(count, 1)}
+
+
 def _decode_real(payload: bytes) -> dict:
     """Real decode for the containers this environment can parse without
     codec libraries; NotImplementedError is the fall-to-stub signal (a PIL
@@ -108,6 +187,8 @@ def _decode_real(payload: bytes) -> dict:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
         "no dependency-free parser for this container; "
         "decode_image_features uses the deterministic structural decode")

@@ -532,3 +532,54 @@ def test_notification_webhook_post(spark):
         assert "PASSED" in received[1][2]["blocks"][0]["text"]["text"]
     finally:
         srv.shutdown()
+
+
+def _png_bytes(w, h, color, rows, filters=None):
+    """Hand-built PNG: correct CRCs, one IDAT, chosen per-row filters."""
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        c = struct.pack(">I", len(body)) + ctype + body
+        return c + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+    filters = filters or [0] * h
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in zip(filters, rows))
+    assert all(len(r) == w * channels for r in rows)
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_real(spark):
+    """Real PNG decode: filter reconstruction (None/Sub/Up) and
+    alpha-excluded brightness, end to end through mapInPandas."""
+    from nci_seronet_proc_data_validator_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _decode_png, decode_image_features)
+    # 2x2 RGB: filtered rows chosen so reconstruction is non-trivial.
+    # Row 1 (Sub): raw (10,20,30, 10,10,10) -> px (10,20,30, 20,30,40)
+    # Row 2 (Up):  raw (5,5,5, 5,5,5)       -> px (15,25,35, 25,35,45)
+    png = _png_bytes(2, 2, 2, [[10, 20, 30, 10, 10, 10],
+                               [5, 5, 5, 5, 5, 5]], filters=[1, 2])
+    d = _decode_png(png)
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_pixel"] == (10+20+30+20+30+40+15+25+35+25+35+45) / 12
+
+    # RGBA: alpha bytes must NOT contribute to brightness
+    rgba = _png_bytes(1, 1, 6, [[100, 100, 100, 255]])
+    assert _decode_png(rgba)["mean_pixel"] == 100.0
+
+    rows = [(1, "image", "image/png", bytes(png), 2, 2, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = decode_image_features(df).collect()[0]
+    assert feat["thumb_w"] == 2 and feat["thumb_h"] == 2  # fit caps at 1x
+    assert abs(feat["brightness"] - d["mean_pixel"] / 255.0) < 1e-12
+
+    # corrupt PNG (bad zlib stream) degrades to the structural stub
+    bad = png[:40] + b"\x00\x00" + png[42:]
+    rows = [(2, "image", "image/png", bytes(bad), 2, 2, None)]
+    out = decode_image_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
+    assert out["n_bytes"] == len(bad)  # stub path, no crash
