@@ -2191,6 +2191,33 @@ def q_c3_c4_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(q_c4_string_check(spark, sf_dir)))
 
 
+def q_c1_c4_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1–C4 findings (in-list, date-range, float/int-range, string-type)
+    in one findings-schema union — merged to free a registry slot for
+    cross_dedup while every sibling stays driver-checked."""
+    return q_c1_c2_checks(spark, sf_dir) \
+        .unionByName(q_c3_c4_checks(spark, sf_dir))
+
+
+# new batch = every 10th document; corpus = the rest (same predicates in
+# the oracle SQL so both engines split identically at any SF)
+_CROSS_NEW_PRED = "doc_id % 10 = 0"
+_CROSS_CORPUS_PRED = "doc_id % 10 <> 0"
+
+
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against the existing corpus
+    (``operators/dedup.cross_corpus_pairs``) — the probe-an-index shape,
+    cost ∝ batch size, not corpus size."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        cross_corpus_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.expr(_CROSS_NEW_PRED))
+    corpus = docs.filter(F.expr(_CROSS_CORPUS_PRED))
+    return (cross_corpus_pairs(new, corpus)
+            .orderBy("new_id", "corpus_id"))
+
+
 def q_c5_c6_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5 id-format + C6 duplicate-id findings."""
     return q_c5_id_format(spark, sf_dir) \
@@ -2404,10 +2431,15 @@ def _consolidate_registry() -> None:
         importance_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
         ccnet_buckets_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        cross_corpus_oracle_sql)
     merged = {
-        "c1_c2_checks": (q_c1_c2_checks, _union_all_sql(SQL_C1, SQL_C2)),
-        "c3_c4_checks": (q_c3_c4_checks,
-                         _union_all_sql(SQL_C3, SQL_C3_INT, SQL_C4)),
+        "c1_c4_checks": (q_c1_c4_checks,
+                         _union_all_sql(SQL_C1, SQL_C2, SQL_C3, SQL_C3_INT,
+                                        SQL_C4)),
+        "cross_dedup": (q_cross_dedup,
+                        cross_corpus_oracle_sql(_CROSS_NEW_PRED,
+                                                _CROSS_CORPUS_PRED)),
         "c5_c6_checks": (q_c5_c6_checks, _union_all_sql(SQL_C5, SQL_C6)),
         "c7_c8_checks": (q_c7_c8_checks, _union_all_sql(SQL_C7, SQL_C8)),
         "c9_c12_checks": (q_c9_c12_checks,
@@ -2436,7 +2468,9 @@ def _consolidate_registry() -> None:
         "bpe_train": (q_bpe_train, _sql_bpe_train()),
     }
     absorbed = [
-        # merged into the tagged unions above
+        # merged into the tagged unions above (c1_c2/c3_c4 merged again
+        # into c1_c4_checks in-session to slot in cross_dedup)
+        "c1_c2_checks", "c3_c4_checks",
         "c1_in_list", "c2_date_range", "c3_number_range", "c3_int_check",
         "c4_string_check", "c5_id_format", "c6_dup_ids", "c7_substr",
         "c8_dict_lookup", "c9_assay_resolution", "c10_live_le_total",

@@ -167,6 +167,108 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def cross_corpus_pairs(new_docs: DataFrame, corpus: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3, k: int = DEFAULT_K,
+                       bands: int = DEFAULT_BANDS,
+                       min_jaccard: float = 0.0) -> DataFrame:
+    """Incremental dedup: near-dup pairs between a NEW batch and an
+    EXISTING corpus — the everyday production dedup (each crawl/delivery
+    checks against the training set already on disk), as opposed to the
+    within-corpus self-join of ``minhash_lsh_pairs``.
+
+    Shape at 100 TB: the corpus signature/band table is built ONCE per
+    corpus version and persisted (write it ``bucketBy(band_hash)`` so
+    probe joins co-locate without a corpus-side shuffle); each new batch —
+    typically orders of magnitude smaller — builds its own signatures
+    map-only and joins only its band buckets. Candidate verification is
+    exact shingle-set Jaccard restricted to candidates. Cost scales with
+    the batch, not the corpus. Returns (new_id, corpus_id, jaccard).
+    """
+    def _sig_base(df: DataFrame) -> DataFrame:
+        out = df.select(
+            F.col(id_col),
+            shingle_hashes(shingles(tokens(text_col), n)).alias("sh"))
+        return out.withColumn("sig", minhash_signature(F.col("sh"), k))
+
+    corpus_base = _sig_base(spread_small_input(corpus)).persist()
+    new_base = _sig_base(new_docs).persist()
+    nb = lsh_band_table(new_base, id_col, "sig", bands) \
+        .withColumnRenamed(id_col, "new_id")
+    cb = lsh_band_table(corpus_base, id_col, "sig", bands) \
+        .withColumnRenamed(id_col, "corpus_id")
+    cand = (nb.join(cb, ["band_id", "band_hash"])
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .select("new_id", "corpus_id").distinct())
+    out = (cand
+           .join(new_base.select(F.col(id_col).alias("new_id"),
+                                 F.col("sh").alias("sh_n")), "new_id")
+           .join(corpus_base.select(F.col(id_col).alias("corpus_id"),
+                                    F.col("sh").alias("sh_c")), "corpus_id")
+           .select(
+               "new_id", "corpus_id",
+               (F.size(F.array_intersect("sh_n", "sh_c")) /
+                F.greatest(F.size(F.array_union("sh_n", "sh_c")), F.lit(1))
+                ).alias("jaccard")))
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def cross_corpus_oracle_sql(new_pred: str, corpus_pred: str,
+                            n: int = 3, k: int = DEFAULT_K,
+                            bands: int = DEFAULT_BANDS,
+                            min_jaccard: float = 0.0) -> str:
+    """DuckDB mirror of ``cross_corpus_pairs`` where the new batch and the
+    corpus are ``documents`` rows matching ``new_pred`` / ``corpus_pred``
+    (the same split predicates the driver query applies in Spark)."""
+    rows = k // bands
+    coeffs = _lcg_coeffs(k)
+    sig_exprs = ",\n    ".join(
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * h + {b}) % "
+        f"{MINHASH_PRIME})), {MINHASH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs))
+    band_rows = ",\n    ".join(
+        "({b}, md5({concat}))".format(
+            b=b, concat=" || '-' || ".join(
+                f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)))
+        for b in range(bands))
+    shingle_expr = (
+        f"list_distinct(CASE WHEN len(t) >= {n} "
+        f"THEN list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1], "
+        f"t[i+2])), 1, 8)) AS BIGINT)) "
+        f"ELSE [] END)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE ({new_pred}) OR ({corpus_pred})),
+shing AS (SELECT doc_id, {shingle_expr} AS sh FROM toks),
+sig AS (SELECT doc_id, sh,
+    {sig_exprs}
+  FROM shing),
+bands AS (
+  SELECT doc_id, band.* FROM sig,
+    LATERAL (VALUES {band_rows}) AS band(band_id, band_hash)),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+  FROM bands nb JOIN bands cb
+    ON nb.band_id = cb.band_id AND nb.band_hash = cb.band_hash
+   AND nb.doc_id <> cb.doc_id
+  WHERE nb.doc_id IN (SELECT doc_id FROM documents WHERE {new_pred})
+    AND cb.doc_id IN (SELECT doc_id FROM documents WHERE {corpus_pred}))
+SELECT new_id, corpus_id,
+       CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+         / greatest(len(sn.sh) + len(sc.sh) - len(list_intersect(sn.sh, sc.sh)), 1)
+         AS jaccard
+FROM cand
+JOIN shing sn ON sn.doc_id = new_id
+JOIN shing sc ON sc.doc_id = corpus_id
+WHERE CAST(len(list_intersect(sn.sh, sc.sh)) AS DOUBLE)
+        / greatest(len(sn.sh) + len(sc.sh) - len(list_intersect(sn.sh, sc.sh)), 1)
+      >= {min_jaccard}
+ORDER BY new_id, corpus_id
+"""
+
+
 def minhash_oracle_sql(n: int = 3, k: int = DEFAULT_K,
                        bands: int = DEFAULT_BANDS,
                        sig_prefix: int = 4) -> str:

@@ -72,3 +72,21 @@ def test_embedding_near_dups(spark):
              for r in embedding_near_dup_pairs(emb, dim=8).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.999
     assert not any(3 in k for k in pairs)
+
+
+def test_cross_corpus_pairs_planted_dup(spark):
+    """A new-batch doc that near-duplicates a corpus doc is caught; pairs
+    never form within one side; cost shape = batch probes corpus index."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        cross_corpus_pairs)
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "completely different corpus text about spark shuffles")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again"),
+         (101, "unrelated fresh crawl content nothing shared here at all")],
+        "doc_id long, text string")
+    out = cross_corpus_pairs(new, corpus, min_jaccard=0.5).collect()
+    assert [(r["new_id"], r["corpus_id"]) for r in out] == [(100, 1)]
+    assert out[0]["jaccard"] == 1.0
