@@ -106,14 +106,18 @@ def minhash_signature(hashes_col: Column, k: int = DEFAULT_K) -> Column:
 
 def lsh_band_table(df: DataFrame, id_col: str, sig_col: str,
                    bands: int = DEFAULT_BANDS) -> DataFrame:
-    """Explode the signature into (id, band_id, band_hash). Band hash is the
-    md5 of the '-'-joined band slice — compact keys for the bucket shuffle.
-    """
+    """Explode the signature into (id, band_id, band_hash). Band hash is
+    the md5 of the band id + '-'-joined band slice — the id is INSIDE the
+    hash, so every downstream join keys on the single ``band_hash``
+    column. One join key means a bucketBy(band_hash) persisted index
+    co-locates probe joins with no corpus-side Exchange (the optimizer
+    can't widen the key set back to two columns), and the shuffle
+    distribution already separates bands."""
     k = DEFAULT_K
     rows = k // bands
     entries = F.array(*[
         F.struct(F.lit(b).alias("band_id"),
-                 F.md5(F.concat_ws("-", *[
+                 F.md5(F.concat_ws("-", F.lit(str(b)), *[
                      F.col(sig_col)[b * rows + r].cast("string")
                      for r in range(rows)])).alias("band_hash"))
         for b in range(bands)])
@@ -147,7 +151,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     bands_df = lsh_band_table(base, id_col, "sig", bands)
     a = bands_df.alias("a")
     b = bands_df.alias("b")
-    cand = (a.join(b, ["band_id", "band_hash"])
+    cand = (a.join(b, ["band_hash"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
@@ -197,7 +201,7 @@ def cross_corpus_pairs(new_docs: DataFrame, corpus: DataFrame,
         .withColumnRenamed(id_col, "new_id")
     cb = lsh_band_table(corpus_base, id_col, "sig", bands) \
         .withColumnRenamed(id_col, "corpus_id")
-    cand = (nb.join(cb, ["band_id", "band_hash"])
+    cand = (nb.join(cb, ["band_hash"])
             .filter(F.col("new_id") != F.col("corpus_id"))
             .select("new_id", "corpus_id").distinct())
     out = (cand
@@ -229,7 +233,8 @@ def cross_corpus_oracle_sql(new_pred: str, corpus_pred: str,
     band_rows = ",\n    ".join(
         "({b}, md5({concat}))".format(
             b=b, concat=" || '-' || ".join(
-                f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)))
+                [f"'{b}'"] + [f"CAST(s{b * rows + r} AS VARCHAR)"
+                              for r in range(rows)]))
         for b in range(bands))
     shingle_expr = (
         f"list_distinct(CASE WHEN len(t) >= {n} "
@@ -251,7 +256,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
   FROM bands nb JOIN bands cb
-    ON nb.band_id = cb.band_id AND nb.band_hash = cb.band_hash
+    ON nb.band_hash = cb.band_hash
    AND nb.doc_id <> cb.doc_id
   WHERE nb.doc_id IN (SELECT doc_id FROM documents WHERE {new_pred})
     AND cb.doc_id IN (SELECT doc_id FROM documents WHERE {corpus_pred}))
@@ -313,7 +318,8 @@ def minhash_lsh_pairs_oracle_sql(n: int = 3, k: int = DEFAULT_K,
     band_rows = ",\n    ".join(
         "({b}, md5({concat}))".format(
             b=b, concat=" || '-' || ".join(
-                f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)))
+                [f"'{b}'"] + [f"CAST(s{b * rows + r} AS VARCHAR)"
+                              for r in range(rows)]))
         for b in range(bands))
     shingle_expr = (
         f"list_distinct(CASE WHEN len(t) >= {n} "
@@ -333,7 +339,7 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+    ON a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id)
 SELECT id_a, id_b,
        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

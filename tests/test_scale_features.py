@@ -58,3 +58,46 @@ def test_approx_aggregates_within_tolerance(spark):
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.02
+
+
+def test_cross_dedup_corpus_index_bucketed_probe(spark, tmp_path):
+    """The cross-corpus dedup scale story end to end: the corpus band
+    table persists ONCE as a bucketed index on the probe key, and the
+    new-batch probe join then shuffles only the (small) batch side — the
+    corpus side reads its buckets with no Exchange."""
+    import shutil
+    from pyspark.sql import functions as F
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        lsh_band_table, minhash_signature, shingle_hashes, shingles, tokens)
+    spark.sql("DROP TABLE IF EXISTS corpus_band_index")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/corpus_band_index", ignore_errors=True)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(
+            shingle_hashes(shingles(tokens("text"), 3))).alias("sig"))
+    corpus = lsh_band_table(sig.filter("doc_id % 10 <> 0"), "doc_id", "sig")
+    (corpus.write.bucketBy(8, "band_hash").sortBy("band_hash")
+     .mode("overwrite").saveAsTable("corpus_band_index"))
+
+    new_bands = lsh_band_table(sig.filter("doc_id % 10 = 0"), "doc_id",
+                               "sig").withColumnRenamed("doc_id", "new_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # single join key by construction: the band id is hashed INTO
+        # band_hash (lsh_band_table), so the probe keys exactly match the
+        # bucket spec
+        idx = spark.table("corpus_band_index").drop("band_id")
+        probe = (new_bands.repartition(8, "band_hash")
+                 .join(idx, "band_hash"))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # exactly one Exchange (the batch side); the bucketed corpus scan
+        # has none
+        assert plan.count("Exchange") == 1
+        assert "FileScan" in plan and "SelectedBucketsCount" in plan
+        assert probe.count() >= 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
