@@ -22,13 +22,20 @@ from pyspark.sql import types as T
 
 def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
                     sheet_name: str, columns: list[str], cbc_id: str,
-                    output_dir: str) -> "StreamingQuery":
+                    output_dir: str,
+                    status_cb=None) -> "StreamingQuery":
     """Continuously validate CSV sheets landing in ``input_dir``.
 
     Each micro-batch runs the SAME batch rule compiler via foreachBatch —
     one code path for batch and streaming (the Spark idiom for exactly this
     Lambda-trigger pattern). AvailableNow drains pending files then stops;
     swap the trigger for processingTime to run resident.
+
+    ``status_cb(findings_df, epoch_id)``: optional per-batch hook after
+    the findings write — the wiring point for the S11 job-status upsert
+    (``sinks.reports.job_status_rows`` + ``upsert_job_status``), so a
+    resident watcher keeps the jobs table current batch by batch exactly
+    like the reference's Lambda bookkeeping.
     """
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         with_typed_shadows)
@@ -60,6 +67,8 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
         findings = compile_sheet_findings(df, sheet_name, bound.column_rules)
         (findings.withColumn("epoch", F.lit(epoch_id))
          .write.mode("append").parquet(output_dir))
+        if status_cb is not None:
+            status_cb(findings, epoch_id)
 
     return (raw.writeStream
             .foreachBatch(process)

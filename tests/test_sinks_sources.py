@@ -583,3 +583,57 @@ def test_png_decode_real(spark):
     out = decode_image_features(
         spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()[0]
     assert out["n_bytes"] == len(bad)  # stub path, no crash
+
+
+def test_streaming_status_upsert_integration(spark, tmp_path):
+    """Streaming findings feed the S11 jobs-table upsert per micro-batch
+    (status_cb): two drained batches leave ONE current row per file, not
+    two — the resident-watcher bookkeeping loop end to end."""
+    import sqlite3
+
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        job_status_rows, upsert_job_status)
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream)
+
+    db = str(tmp_path / "jobs.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE table_data_validator ("
+        "orig_file_id TEXT, file_name TEXT, data_validation_status TEXT, "
+        "batch_validation_status TEXT, n_errors INTEGER, n_warnings INTEGER, "
+        "data_validation_date TEXT)")
+    conn.commit()
+    conn.close()
+    factory = _sqlite_factory(db)
+    epochs = []
+
+    def status_cb(findings, epoch_id):
+        epochs.append(epoch_id)
+        upsert_job_status(
+            job_status_rows(findings, "sub-s", f"epoch-{epoch_id}"),
+            factory)
+
+    in_dir, cp, out = (str(tmp_path / d) for d in ("in", "cp", "out"))
+    os.makedirs(in_dir)
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    with open(os.path.join(in_dir, "demographic.csv"), "w") as f:
+        f.write("Research_Participant_ID,Age,Race\n14_000001,999,White\n")
+    q = validate_stream(spark, in_dir, cp, "demographic.csv", cols, "14",
+                        out, status_cb=status_cb)
+    q.awaitTermination(120)
+    # second delivery of the same sheet → new batch, same job key
+    with open(os.path.join(in_dir, "demographic2.csv"), "w") as f:
+        f.write("Research_Participant_ID,Age,Race\n14_000002,31,Martian\n")
+    q = validate_stream(spark, in_dir, cp, "demographic.csv", cols, "14",
+                        out, status_cb=status_cb)
+    q.awaitTermination(120)
+
+    assert len(epochs) == 2
+    conn = sqlite3.connect(db)
+    rows = conn.execute(
+        "SELECT file_name, data_validation_date, count(*) "
+        "FROM table_data_validator GROUP BY 1, 2").fetchall()
+    conn.close()
+    # one row for the sheet, carrying the LATEST batch's stamp
+    assert rows == [("demographic.csv", f"epoch-{epochs[-1]}", 1)]
