@@ -713,10 +713,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion-matrix form is ``q_lang_id``, this keeps the per-doc
     primitive driver-checked in the same map-only profile scan), all
     JVM-side regex — one scan covers stats, fingerprint, token-count and
-    lang-id."""
+    lang-id, plus the winnowing (MOSS) substring-level fingerprint
+    (``text_quality.winnow_signature``)."""
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
-        BPE_PATTERN)
-    docs = read_table(spark, sf_dir, "documents")
+        BPE_PATTERN, with_winnow_signature)
+    docs = with_winnow_signature(read_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\f\\r]+", " ")
 
     def n(pat):
@@ -743,13 +744,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN),
                                     0)).cast("long").alias("n_bpe_tokens"),
         pred.alias("predicted_lang"),
+        "winnow_sig",
     ).orderBy("doc_id")
 
 
 def _sql_text_stats() -> str:
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
-        BPE_PATTERN)
+        BPE_PATTERN, winnow_grams_oracle_expr, winnow_sig_oracle_expr)
     pat = BPE_PATTERN.replace("'", "''")
+    winnow = winnow_sig_oracle_expr("_wg")
+    grams = winnow_grams_oracle_expr("text")
     return r"""
 SELECT doc_id, length(text) AS n_chars_actual,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
@@ -776,8 +780,10 @@ SELECT doc_id, length(text) AS n_chars_actual,
             WHEN len(regexp_extract_all(text, '\b(el|la|los|las|es)\b'))
                  >= len(regexp_extract_all(text, '\b(le|les|et|est|une)\b'))
             THEN 'es'
-            ELSE 'fr' END AS predicted_lang
-FROM documents ORDER BY doc_id
+            ELSE 'fr' END AS predicted_lang,
+       """ + winnow + r""" AS winnow_sig
+FROM (SELECT d.*, """ + grams + r""" AS _wg FROM documents d)
+ORDER BY doc_id
 """
 
 

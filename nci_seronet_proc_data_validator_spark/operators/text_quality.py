@@ -391,3 +391,85 @@ SELECT p.doc_id, d.lang, p.n_bigrams, p.n_distinct_bigrams, p.top_count,
          AS ppl_bucket
 FROM prof p JOIN {table} d ON p.doc_id = d.doc_id
 """
+
+
+def with_winnow_signature(df: DataFrame, text_col: str = "text",
+                          out_col: str = "winnow_sig", k: int = 8,
+                          w: int = 4) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer, Wilkerson, Aiken 2003,
+    SIGMOD — the MOSS algorithm): hash every ``k``-char gram of the
+    whitespace-normalized text, slide a ``w``-hash window, keep each
+    window's MINIMUM hash, signature = md5 of the sorted distinct selected
+    hashes. Guarantees any shared substring of length >= k + w - 1 between
+    two documents selects at least one common hash — the substring-level
+    contamination/plagiarism primitive the whole-doc fingerprint
+    (``md5(norm)``) can't provide.
+
+    Map-only, no explode. STAGED through a real projection so the O(L)
+    gram-hash array computes once per document — inlining it into the
+    window transform would re-hash per window (O(L^2) md5 calls; Spark's
+    CollapseProject keeps the stage because the alias is non-cheap and
+    multiply-referenced). Ties inside a window pick the min VALUE, so tie
+    order is irrelevant; docs shorter than ``k`` chars sign the empty
+    selection.
+    """
+    tmp = f"__wg_{out_col}"
+    staged = df.withColumn(tmp, F.expr(_grams_sql(text_col, k)))
+    # explicit empty/short cases: Spark's sequence(1, 0) DESCENDS to
+    # [1, 0] (slice then throws on start=0) where DuckDB's
+    # generate_series(1, 0) is empty — never rely on that divergence.
+    # Fewer hashes than one window → the whole array is the window.
+    mins = _winnow_mins_spark(tmp, w)
+    sig = F.substring(
+        F.md5(F.array_join(
+            F.array_sort(F.array_distinct(F.expr(mins))),
+            "-")), 1, 16)
+    return staged.withColumn(out_col, sig).drop(tmp)
+
+
+def _winnow_mins_spark(grams_col: str, w: int) -> str:
+    return (f"CASE WHEN size({grams_col}) = 0 THEN slice({grams_col}, 1, 0) "
+            f"WHEN size({grams_col}) <= {w} THEN array(array_min({grams_col})) "
+            f"ELSE transform(sequence(1, size({grams_col}) - {w - 1}), "
+            f"j -> array_min(slice({grams_col}, j, {w}))) END")
+
+
+def _norm_sql(text_col: str) -> str:
+    return (f"regexp_replace(lower({text_col}), "
+            f"'[ \\\\t\\\\n\\\\f\\\\r]+', ' ')")
+
+
+def _grams_sql(text_col: str, k: int) -> str:
+    # CAST: conv() returns a STRING — minima must compare numerically.
+    # Explicit sub-k guard: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    # it is not empty like DuckDB's generate_series(1, 0).
+    n = _norm_sql(text_col)
+    return (f"CASE WHEN length({n}) < {k} THEN array_repeat(0L, 0) "
+            f"ELSE transform(sequence(1, length({n}) - {k - 1}), i -> "
+            f"CAST(conv(substring(md5(substring({n}, i, {k})), 1, 8), "
+            f"16, 10) AS LONG)) END")
+
+
+def winnow_grams_oracle_expr(text_col: str = "text", k: int = 8) -> str:
+    """DuckDB gram-hash array (stage 1) — compute ONCE in a subquery
+    column, mirroring the Spark staging."""
+    norm = f"regexp_replace(lower({text_col}), '[ \\t\\n\\f\\r]+', ' ', 'g')"
+    return (f"list_transform(generate_series(1, "
+            f"greatest(length({norm}) - {k - 1}, 0)), "
+            f"i -> CAST(concat('0x', substr(md5(substr({norm}, i, {k})), "
+            f"1, 8)) AS BIGINT))")
+
+
+def winnow_sig_oracle_expr(grams_col: str, w: int = 4) -> str:
+    """DuckDB signature over the staged gram column (stage 2): same
+    window minima, same numeric sort, strings only for the join.
+    COALESCE: DuckDB string_agg of an empty list is NULL where Spark's
+    array_join is '' (short docs)."""
+    mins = (f"CASE WHEN len({grams_col}) = 0 THEN ({grams_col})[1:0] "
+            f"WHEN len({grams_col}) <= {w} THEN [list_min({grams_col})] "
+            f"ELSE list_transform(generate_series(1, "
+            f"len({grams_col}) - {w - 1}), "
+            f"j -> list_min(({grams_col})[j:j+{w - 1}])) END")
+    return (f"substr(md5(coalesce(list_aggregate(list_transform(list_sort("
+            f"list_distinct({mins})), x -> CAST(x AS VARCHAR)), "
+            f"'string_agg', '-'), '')), 1, 16)")

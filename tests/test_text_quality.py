@@ -116,3 +116,36 @@ def test_bigram_profile_char_coverage(spark):
     assert d2["bigram_chars"] == 9 + 11 + 9 and d2["dup_bigram_chars"] == 0
     assert d2["top_char_frac"] == round(9 / 29, 6)
     assert d2["dup_char_frac"] == 0.0 and not d2["is_dup_heavy"]
+
+
+def test_winnow_signature_substring_guarantee(spark):
+    """Winnowing invariants: identical docs share the signature; a doc
+    sharing a long substring (>= k + w - 1 chars) shares at least one
+    selected hash with the original; disjoint text gives disjoint
+    selections. Verified through the staged two-projection plan."""
+    from pyspark.sql import functions as F
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        with_winnow_signature)
+    shared = "the winnowing algorithm selects minimum hashes per window"
+    rows = [
+        (1, shared),
+        (2, shared),                                      # identical
+        (3, "prefix words here " + shared + " suffix tail"),  # contains
+        (4, "zzz qqq completely disjoint characters xxx"),
+        (5, "ab"),                                        # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # expose the selected-hash sets via the staged gram column
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        _grams_sql, _winnow_mins_spark)
+    staged = df.withColumn("_wg", F.expr(_grams_sql("text", 8)))
+    mins = f"array_distinct({_winnow_mins_spark('_wg', 4)})"
+    sel = {r["doc_id"]: set(r["sel"])
+           for r in staged.select("doc_id",
+                                  F.expr(mins).alias("sel")).collect()}
+    sigs = {r["doc_id"]: r["winnow_sig"]
+            for r in with_winnow_signature(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sel[1] & sel[3]            # shared substring -> shared hash
+    assert not (sel[1] & sel[4])      # disjoint text -> disjoint hashes
+    assert sel[5] == set() and len(sigs[5]) == 16  # empty selection signs
