@@ -937,22 +937,27 @@ def q_vocab_pipeline(spark: SparkSession, sf_dir: str, n: int = 200
     """The vocabulary pipeline end to end in one tagged union: the
     frequency-truncated vocabulary itself ('vocab' rows: token, occurrence
     + document frequency, dense id) and every document encoded against it
-    ('doc' rows: token count, OOV count, md5 of the ordered id sequence).
-    Embeds vocab_topn (same top-N ranking), build_vocab, and vocab_encode
-    (operators/training.py) — ids ride the bounded broadcast, encodings
-    reassemble in posexplode order."""
+    ('doc' rows: token count, OOV count, md5 of the ordered id sequence),
+    plus corpus token-distribution health ('stats' rows: distinct/hapax/
+    total token counts, and how many occurrences the truncated head
+    covers — the Zipf head-coverage number that says whether vocab size n
+    was enough). Embeds vocab_topn (same top-N ranking), build_vocab, and
+    vocab_encode (operators/training.py) — ids ride the bounded
+    broadcast, encodings reassemble in posexplode order; the stats reuse
+    the one token-count aggregation."""
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         spread_small_input)
     from nci_seronet_proc_data_validator_spark.operators.training import (
         build_vocab, vocab_encode)
     docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     vocab = build_vocab(docs, n=n)
-    vrows = (docs.select("doc_id", F.explode(
-                 F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-                 .alias("token"))
-             .groupBy("token")
-             .agg(F.count(F.lit(1)).alias("n_occ"),
-                  F.countDistinct("doc_id").alias("n_docs"))
+    counts = (docs.select("doc_id", F.explode(
+                  F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+                  .alias("token"))
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("n_occ"),
+                   F.countDistinct("doc_id").alias("n_docs")))
+    vrows = (counts
              .join(vocab.select("token", "token_id"), "token")
              .select(F.lit("vocab").alias("part"),
                      F.col("token").alias("key"),
@@ -960,6 +965,21 @@ def q_vocab_pipeline(spark: SparkSession, sf_dir: str, n: int = 200
                      F.col("n_docs").alias("n_b"),
                      F.col("token_id").alias("n_c"),
                      F.lit("").alias("h")))
+    srows = (counts.agg(
+                 F.count(F.lit(1)).alias("n_a"),
+                 F.sum((F.col("n_occ") == 1).cast("long")).alias("n_b"),
+                 F.sum("n_occ").cast("long").alias("n_c"))
+             .select(F.lit("stats").alias("part"),
+                     F.lit("corpus").alias("key"), "n_a", "n_b", "n_c",
+                     F.lit("").alias("h"))
+             .unionByName(
+                 counts.join(vocab.select("token"), "token").agg(
+                     F.sum("n_occ").cast("long").alias("n_a"),
+                     F.count(F.lit(1)).alias("n_b"))
+                 .select(F.lit("stats").alias("part"),
+                         F.lit("head").alias("key"), "n_a", "n_b",
+                         F.lit(0).cast("long").alias("n_c"),
+                         F.lit("").alias("h"))))
     enc = vocab_encode(docs, vocab)
     drows = enc.select(
         F.lit("doc").alias("part"),
@@ -968,7 +988,7 @@ def q_vocab_pipeline(spark: SparkSession, sf_dir: str, n: int = 200
         F.col("n_unk").alias("n_b"),
         F.lit(0).cast("long").alias("n_c"),
         F.md5(F.concat_ws(",", F.col("token_ids"))).alias("h"))
-    return vrows.unionByName(drows)
+    return vrows.unionByName(srows).unionByName(drows)
 
 
 def _sql_vocab_pipeline(n: int = 200) -> str:
@@ -989,6 +1009,15 @@ v AS (
   FROM counts ORDER BY n_occ DESC, token LIMIT {n})
 SELECT 'vocab' AS part, token AS key, n_occ AS n_a, n_docs AS n_b,
        CAST(token_id AS BIGINT) AS n_c, '' AS h
+FROM v
+UNION ALL
+SELECT 'stats' AS part, 'corpus' AS key, count(*) AS n_a,
+       CAST(sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(n_occ) AS BIGINT) AS n_c, '' AS h
+FROM counts
+UNION ALL
+SELECT 'stats' AS part, 'head' AS key, CAST(sum(n_occ) AS BIGINT) AS n_a,
+       count(*) AS n_b, CAST(0 AS BIGINT) AS n_c, '' AS h
 FROM v
 UNION ALL
 SELECT 'doc' AS part, CAST(doc_id AS VARCHAR) AS key, n_tokens AS n_a,
