@@ -637,3 +637,35 @@ def test_streaming_status_upsert_integration(spark, tmp_path):
     conn.close()
     # one row for the sheet, carrying the LATEST batch's stamp
     assert rows == [("demographic.csv", f"epoch-{epochs[-1]}", 1)]
+
+
+def test_xlsx_roundtrip_property():
+    """Property: arbitrary cell strings (unicode, XML metachars, newlines,
+    leading/trailing spaces) survive the write→read round-trip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows, write_xlsx)
+
+    # xlsx cannot represent control chars < 0x20 except \t \n \r; the
+    # writer targets report text, so draw from printable + those three
+    cell = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FA1,
+                               blacklist_categories=("Cs",)),
+        min_size=1, max_size=40)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(cell, min_size=2, max_size=4),
+                    min_size=1, max_size=5).filter(
+                        lambda rows: len({len(r) for r in rows}) == 1))
+    def run(rows):
+        import tempfile, os
+        cols = [f"c{i}" for i in range(len(rows[0]))]
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "t.xlsx")
+            write_xlsx(p, cols, rows)
+            got_cols, got_rows = read_xlsx_rows(p)
+        assert got_cols == cols
+        assert got_rows == [[str(v) for v in r] for r in rows]
+
+    run()
