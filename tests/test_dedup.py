@@ -90,3 +90,15 @@ def test_cross_corpus_pairs_planted_dup(spark):
     out = cross_corpus_pairs(new, corpus, min_jaccard=0.5).collect()
     assert [(r["new_id"], r["corpus_id"]) for r in out] == [(100, 1)]
     assert out[0]["jaccard"] == 1.0
+
+
+def test_cross_corpus_pairs_empty_sides(spark):
+    """Empty new batch (or corpus) yields no pairs, no crash — the
+    steady-state 'nothing new arrived' path."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        cross_corpus_pairs)
+    schema = "doc_id long, text string"
+    corpus = spark.createDataFrame([(1, "some corpus text here")], schema)
+    empty = spark.createDataFrame([], schema)
+    assert cross_corpus_pairs(empty, corpus).count() == 0
+    assert cross_corpus_pairs(corpus, empty).count() == 0
