@@ -2228,10 +2228,75 @@ def q_c3_c4_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_c1_c4_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1–C4 findings (in-list, date-range, float/int-range, string-type)
-    in one findings-schema union — merged to free a registry slot for
-    cross_dedup while every sibling stays driver-checked."""
-    return q_c1_c2_checks(spark, sf_dir) \
-        .unionByName(q_c3_c4_checks(spark, sf_dir))
+    plus the A6 keyed-per-sheet findings dedup — one findings-schema
+    union, merged to free registry slots for cross_dedup and
+    multimodal_decode while every sibling stays driver-checked."""
+    return (q_c1_c2_checks(spark, sf_dir)
+            .unionByName(q_c3_c4_checks(spark, sf_dir))
+            .unionByName(q_a6_dedup_findings(spark, sf_dir)))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal decode path, driver-hash-checked end to end:
+    synthesize a deterministic binary P6 PPM payload per document (4x4
+    RGB, pixel bytes = the text's first 48 ASCII codes), push it through
+    the REAL Arrow-batched ``mapInPandas`` decoder
+    (``operators/multimodal.decode_image_features`` →
+    ``_decode_ppm``), and emit the decoded features. The DuckDB oracle
+    recomputes every feature from the character codes — so the Python
+    decode stage (bytes → header parse → pixel mean) is value-checked,
+    not just rows-counted. ASCII guard keeps byte == code-point parity.
+    """
+    from nci_seronet_proc_data_validator_spark.operators.multimodal import (
+        decode_image_features)
+    docs = (read_table(spark, sf_dir, "documents")
+            .filter(F.length("text") >= 48)
+            .filter(F.col("text").rlike("^[ -~]*$")))
+    header = bytes("P6\n4 4\n255\n", "ascii")
+    payloads = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header),
+                 F.encode(F.substring("text", 1, 48), "UTF-8"))
+        .alias("payload"))
+    feats = decode_image_features(payloads)
+    return (feats.select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "payload_sha",
+        "thumb_w", "thumb_h",
+        F.round("brightness", 6).alias("bright6"))
+        .orderBy("doc_id"))
+
+
+def _sql_multimodal_decode() -> str:
+    """Oracle: the PPM the Spark side builds is header (11 bytes) + the
+    first 48 text chars; decode means brightness = mean(char codes)/255,
+    thumb = 4x4 (fit caps at 1x), payload_sha = the structural stub's
+    31-rolling hash over ALL 59 payload bytes (< its 64-byte window)."""
+    header = "P6\n4 4\n255\n"
+    hdr_codes = ", ".join(str(b) for b in header.encode())
+    return f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 48) AS px
+  FROM documents
+  WHERE length(text) >= 48 AND regexp_full_match(text, '[ -~]*')),
+c AS (
+  SELECT doc_id,
+         [{hdr_codes}] ||
+         list_transform(generate_series(1, 48),
+                        i -> CAST(unicode(substr(px, i, 1)) AS BIGINT))
+           AS codes,
+         list_transform(generate_series(1, 48),
+                        i -> CAST(unicode(substr(px, i, 1)) AS BIGINT))
+           AS pix
+  FROM d)
+SELECT doc_id,
+       CAST(59 AS BIGINT) AS n_bytes,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                        (a, b) -> (a * 31 + b) % 2147483647) AS INTEGER)
+         AS payload_sha,
+       CAST(4 AS INTEGER) AS thumb_w, CAST(4 AS INTEGER) AS thumb_h,
+       round((CAST(list_sum(pix) AS DOUBLE) / 48) / 255, 6) AS bright6
+FROM c ORDER BY doc_id
+"""
 
 
 # new batch = every 10th document; corpus = the rest (same predicates in
@@ -2471,10 +2536,11 @@ def _consolidate_registry() -> None:
     merged = {
         "c1_c4_checks": (q_c1_c4_checks,
                          _union_all_sql(SQL_C1, SQL_C2, SQL_C3, SQL_C3_INT,
-                                        SQL_C4)),
+                                        SQL_C4, SQL_A6)),
         "cross_dedup": (q_cross_dedup,
                         cross_corpus_oracle_sql(_CROSS_NEW_PRED,
                                                 _CROSS_CORPUS_PRED)),
+        "multimodal_decode": (q_multimodal_decode, _sql_multimodal_decode()),
         "c5_c6_checks": (q_c5_c6_checks, _union_all_sql(SQL_C5, SQL_C6)),
         "c7_c8_checks": (q_c7_c8_checks, _union_all_sql(SQL_C7, SQL_C8)),
         "c9_c12_checks": (q_c9_c12_checks,
@@ -2503,9 +2569,10 @@ def _consolidate_registry() -> None:
         "bpe_train": (q_bpe_train, _sql_bpe_train()),
     }
     absorbed = [
-        # merged into the tagged unions above (c1_c2/c3_c4 merged again
-        # into c1_c4_checks in-session to slot in cross_dedup)
-        "c1_c2_checks", "c3_c4_checks",
+        # merged into the tagged unions above (c1_c2/c3_c4/a6 merged into
+        # c1_c4_checks in-session to slot in cross_dedup and
+        # multimodal_decode)
+        "c1_c2_checks", "c3_c4_checks", "a6_dedup_findings",
         "c1_in_list", "c2_date_range", "c3_number_range", "c3_int_check",
         "c4_string_check", "c5_id_format", "c6_dup_ids", "c7_substr",
         "c8_dict_lookup", "c9_assay_resolution", "c10_live_le_total",
