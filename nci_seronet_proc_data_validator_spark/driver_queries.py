@@ -2107,11 +2107,12 @@ d AS (
   FROM documents doc LEFT JOIN q ON doc.doc_id = q.doc_id
   LEFT JOIN dom ON doc.source = dom.source)
 SELECT count(*) AS n_total,
-       sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n_len_ok,
-       sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN f2 AND NOT dup THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN f2 AND NOT dup AND dom_ok THEN 1 ELSE 0 END)
-         AS n_domain_kept
+       CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN f2 AND NOT dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN f2 AND NOT dup AND dom_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_domain_kept
 FROM d
 """
 

@@ -157,7 +157,8 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 3,
     joined = ",\n".join(ctes)
     return f"""
 WITH {joined}
-SELECT node_id, rank FROM r{iters} ORDER BY rank DESC, node_id {tail}
+SELECT node_id, CAST(rank AS BIGINT) AS rank
+FROM r{iters} ORDER BY rank DESC, node_id {tail}
 """
 
 

@@ -174,7 +174,7 @@ o AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM t)
 SELECT shard, CAST(floor(off / {budget}.0) AS BIGINT) AS seq_id,
-       count(*) AS n_docs, sum(n_tok) AS total_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
 FROM o GROUP BY 1, 2 ORDER BY shard, seq_id
 """
 

@@ -21,18 +21,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize like the driver's value-hash: int widths unify to
+    int64, but int-vs-float is a REAL mismatch (the driver stringifies
+    values, and '5' != '5.0' — DuckDB HUGEINT sums surface as float64 and
+    must be CAST AS BIGINT in the oracle SQL, not papered over here)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if s.dtype == object:
             df[c] = s.map(lambda v: str(v) if v is not None else "<NULL>")
         elif str(s.dtype).startswith(("int", "uint", "Int")):
-            df[c] = s.astype("float64")  # unify int widths for compare
+            df[c] = s.astype("int64")
         elif str(s.dtype).startswith("datetime"):
             df[c] = s.astype("datetime64[us]").astype(str)
         elif s.dtype == bool:
-            df[c] = s.astype("float64")
+            df[c] = s.astype("bool")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _family(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint", "Int")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s == "bool":
+        return "bool"
+    return s
 
 
 def main() -> int:
@@ -76,8 +91,15 @@ def main() -> int:
         a, b = _canon(sdf), _canon(ddf)
         status = "PASS"
         detail = ""
+        fam_bad = [c for c in a.columns if c in b.columns
+                   and _family(a[c].dtype) != _family(b[c].dtype)]
         if list(a.columns) != list(b.columns):
             status, detail = "FAIL", f"cols {list(a.columns)} vs {list(b.columns)}"
+        elif fam_bad:
+            status = "FAIL"
+            detail = ("dtype family mismatch (driver hash would differ): "
+                      + ", ".join(f"{c}: {a[c].dtype} vs {b[c].dtype}"
+                                  for c in fam_bad))
         elif len(a) != len(b):
             status, detail = "FAIL", f"rows {len(a)} vs {len(b)}"
         elif not a.equals(b):
