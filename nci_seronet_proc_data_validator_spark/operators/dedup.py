@@ -7,10 +7,12 @@ functions over arrays) — no Python in the row path — so the same code runs
 on 100 TB:
 
 - shingling/minhash/simhash are map-only projections (linear scan);
-- LSH banding shuffles once on (band_id, band_hash) — the only shuffle —
-  and bucket sizes are bounded by collision probability, so skew is
-  self-limiting; genuinely hot buckets (boilerplate dups) are handled by
-  AQE skew splitting;
+- LSH banding shuffles once, on ``band_hash`` alone (the band id is
+  hashed INTO band_hash, so every probe/self join is single-key and a
+  corpus index bucketed by band_hash joins exchange-free); bucket sizes
+  are bounded by collision probability, so skew is self-limiting;
+  genuinely hot buckets (boilerplate dups) are handled by AQE skew
+  splitting;
 - candidate verification joins only within buckets (no quadratic blow-up).
 
 Hash function: the leading 8 hex digits of md5, an engine-portable 32-bit

@@ -74,10 +74,14 @@ def mixture_sample(df: DataFrame, strata_col: str,
     j = counts.join(F.broadcast(weights), strata_col)
     # largest total sample size consistent with every rate <= 1:
     # lim = min_s floor(n_s * BP / w_s); stratum keep-threshold (basis
-    # points) = floor(lim * w_s / n_s) <= BP, == BP for the binding stratum
+    # points) = ceil(lim * w_s / n_s). Ceiling division keeps bp <= BP
+    # for every stratum (lim <= n_s*BP/w_s) and makes bp == BP EXACTLY
+    # for the binding stratum even when w does not divide n*BP — floor
+    # here would give BP-1 and silently drop ~1bp of the rarest stratum.
     lim = j.agg(F.min(F.expr(f"n * {_BP} div w")).alias("lim"))
     thr = (j.crossJoin(F.broadcast(lim))
-           .select(strata_col, F.expr("lim * w div n").alias("bp")))
+           .select(strata_col,
+                   F.expr("(lim * w + n - 1) div n").alias("bp")))
     key = F.concat(F.lit(_SALT), F.col(key_col).cast("string"))
     return (df.join(F.broadcast(thr), strata_col)
             .filter(_bucket(key) < F.col("bp"))
@@ -103,9 +107,12 @@ def temperature_sample(df: DataFrame, strata_col: str,
     j = counts.select(strata_col, "n",
                       F.floor(F.sqrt(F.col("n"))).cast("long").alias("w")) \
         .filter(F.col("w") > 0)
+    # ceil(lim*w/n): == BP exactly for the argmin stratum (the rarest
+    # really keeps 100%), <= BP for the rest — see mixture_sample.
     lim = j.agg(F.min(F.expr(f"n * {_BP} div w")).alias("lim"))
     thr = (j.crossJoin(F.broadcast(lim))
-           .select(strata_col, F.expr("lim * w div n").alias("bp")))
+           .select(strata_col,
+                   F.expr("(lim * w + n - 1) div n").alias("bp")))
     key = F.concat(F.lit(_SALT), F.col(key_col).cast("string"))
     return (df.join(F.broadcast(thr), strata_col)
             .filter(_bucket(key) < F.col("bp"))
@@ -123,7 +130,7 @@ WITH c AS (SELECT {strata_col} AS strata, count(*) AS n
 j AS (SELECT strata, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
       FROM c WHERE n > 0),
 l AS (SELECT min(n * {_BP} // wt) AS lim FROM j),
-thr AS (SELECT strata, lim * wt // n AS bp FROM j, l)
+thr AS (SELECT strata, (lim * wt + n - 1) // n AS bp FROM j, l)
 SELECT {select}
 FROM {table} t JOIN thr ON t.{strata_col} = thr.strata
 WHERE CAST(concat('0x', substr(md5('{_SALT}' || CAST({key_col} AS VARCHAR)),
@@ -144,7 +151,7 @@ WITH w(strata, wt) AS (VALUES {vals}),
 c AS (SELECT {strata_col} AS strata, count(*) AS n FROM {table} GROUP BY 1),
 j AS (SELECT c.strata, n, wt FROM c JOIN w USING (strata)),
 l AS (SELECT min(n * {_BP} // wt) AS lim FROM j),
-thr AS (SELECT strata, lim * wt // n AS bp FROM j, l)
+thr AS (SELECT strata, (lim * wt + n - 1) // n AS bp FROM j, l)
 SELECT {select}
 FROM {table} t JOIN thr ON t.{strata_col} = thr.strata
 WHERE CAST(concat('0x', substr(md5('{_SALT}' || CAST({key_col} AS VARCHAR)),

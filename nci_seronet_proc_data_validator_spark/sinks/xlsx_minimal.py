@@ -52,7 +52,28 @@ def _letters_to_idx(ref: str) -> int:
     return out - 1
 
 
-_INVALID_SHEETNAME = re.compile(r"[\[\]:*?/\\]")
+# Excel forbids []:*?/\ in sheet names; control chars are XML-invalid.
+_INVALID_SHEETNAME = re.compile(r"[\[\]:*?/\\\x00-\x1f]")
+
+# Excel's escape scheme for XML-invalid characters (ECMA-376 §22.4.2.4,
+# the same one openpyxl emits): an invalid char becomes _xHHHH_, and a
+# LITERAL substring that looks like _xHHHH_ gets its underscore escaped
+# to _x005F_ so the reader can't mis-decode it. CR (0x0D) must be
+# escaped too — XML parsers normalize \r / \r\n to \n in text content
+# even under xml:space="preserve".
+_X_LITERAL = re.compile(r"_(x[0-9A-Fa-f]{4}_)")
+_X_DECODE = re.compile(r"_x([0-9A-Fa-f]{4})_")
+_XML_INVALID = re.compile(
+    "[\x00-\x08\x0b-\x1f\ud800-\udfff\ufffe\uffff]")
+
+
+def _encode_cell_text(s: str) -> str:
+    s = _X_LITERAL.sub(r"_x005F_\1", s)
+    return _XML_INVALID.sub(lambda m: f"_x{ord(m.group()):04X}_", s)
+
+
+def _decode_cell_text(s: str) -> str:
+    return _X_DECODE.sub(lambda m: chr(int(m.group(1), 16)), s)
 
 
 def _sheet_xml(columns: list[str], rows: list[list[object]]) -> str:
@@ -66,8 +87,9 @@ def _sheet_xml(columns: list[str], rows: list[list[object]]) -> str:
             if v is None or v == "":
                 continue
             ref = f"{_col_letters(c)}{r + 1}"
+            text = escape(_encode_cell_text(str(v)))
             cells.append(f'<c r="{ref}" t="inlineStr"><is><t'
-                         f' xml:space="preserve">{escape(str(v))}</t>'
+                         f' xml:space="preserve">{text}</t>'
                          "</is></c>")
         parts.append(f'<row r="{r + 1}">' + "".join(cells) + "</row>")
     parts.append("</sheetData></worksheet>")
@@ -95,8 +117,9 @@ def write_xlsx_sheets(path: str,
             f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.spreadsheetml'
             '.worksheet+xml"/>')
-        wb_sheets.append(f'<sheet name="{escape(name)}" sheetId="{i}" '
-                         f'r:id="rId{i}"/>')
+        wb_sheets.append(
+            f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+            f'sheetId="{i}" r:id="rId{i}"/>')
         wb_rels.append(
             f'<Relationship Id="rId{i}" Type="{_NS_R}/worksheet" '
             f'Target="worksheets/sheet{i}.xml"/>')
@@ -145,13 +168,14 @@ def _cell_value(cell: ET.Element, shared: list[str]) -> str:
     t = cell.get("t", "n")
     if t == "inlineStr":
         node = cell.find(f"{{{_NS}}}is")
-        return "".join(n.text or ""
-                       for n in node.iter(f"{{{_NS}}}t")) if node is not None \
-            else ""
+        text = "".join(n.text or ""
+                       for n in node.iter(f"{{{_NS}}}t")) \
+            if node is not None else ""
+        return _decode_cell_text(text)
     v = cell.find(f"{{{_NS}}}v")
     raw = v.text if v is not None and v.text is not None else ""
     if t == "s":
-        return shared[int(raw)] if raw != "" else ""
+        return _decode_cell_text(shared[int(raw)]) if raw != "" else ""
     if t == "b":
         return "TRUE" if raw == "1" else "FALSE"
     return raw
@@ -182,18 +206,30 @@ def read_xlsx_rows(path: str, sheet: int = 0
         part = target if target.startswith("xl/") else f"xl/{target}"
         ws = ET.fromstring(z.read(part))
 
-    grid: list[dict[int, str]] = []
+    # Excel/openpyxl omit fully-empty rows from sheet XML entirely, so
+    # rows are positioned by their 1-based ``r`` attribute (gaps padded
+    # with empty rows) — element order alone would shift everything after
+    # an interior blank row up by one, corrupting Row_Index provenance.
+    rowmap: dict[int, dict[int, str]] = {}
     max_col = -1
+    last_r = 0
     for rnode in ws.iter(f"{{{_NS}}}row"):
+        rattr = rnode.get("r")
+        try:
+            ri = int(rattr)
+        except (TypeError, ValueError):
+            ri = last_r + 1
+        last_r = ri
         row: dict[int, str] = {}
         for i, cell in enumerate(rnode.iter(f"{{{_NS}}}c")):
             ref = cell.get("r")
             ci = _letters_to_idx(ref) if ref else i
             row[ci] = _cell_value(cell, shared)
             max_col = max(max_col, ci)
-        grid.append(row)
-    if not grid:
+        rowmap[ri] = row
+    if not rowmap:
         return [], []
     width = max_col + 1
-    dense = [[row.get(i, "") for i in range(width)] for row in grid]
+    dense = [[rowmap.get(ri, {}).get(i, "") for i in range(width)]
+             for ri in range(1, max(rowmap) + 1)]
     return dense[0], dense[1:]

@@ -119,3 +119,19 @@ def test_temperature_sample_upweights_rare(spark):
           for r in temperature_sample(df.repartition(13), "lang")
           .groupBy("lang").count().collect()}
     assert k == k2
+
+
+def test_temperature_sample_rarest_kept_when_w_not_divides(spark):
+    """ADVICE round 3: with n=10, w=floor(sqrt(10))=3, w does not divide
+    n*BP — floor water-fill gave bp=BP-1 and silently dropped ~1bp of
+    the binding stratum. Ceiling division must keep ALL of it."""
+    from nci_seronet_proc_data_validator_spark.operators.sampling import (
+        temperature_sample)
+    # doc_id 11064 hashes to bucket 9999 under the 's:' salt — the one
+    # row a bp=9999 cut would drop; it must survive.
+    rows = ([(i, "common") for i in range(900)]
+            + [(i + 5000, "rare") for i in range(9)] + [(11064, "rare")])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    k = {r["lang"]: r["count"] for r in
+         temperature_sample(df, "lang").groupBy("lang").count().collect()}
+    assert k["rare"] == 10  # exactly 100%, not "~100% minus 1bp"

@@ -343,6 +343,46 @@ def test_xlsx_minimal_multisheet_and_escaping(tmp_path):
     assert cols1 == ["n"] and rows1 == [["3"]]
 
 
+def test_xlsx_control_chars_quotes_and_escape_literals(tmp_path):
+    """ADVICE round 3: sheet names containing double quotes must produce
+    well-formed workbook.xml; XML-invalid control chars and literal
+    _xHHHH_ look-alikes in cell text must survive the round-trip via
+    Excel's escape scheme."""
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows, write_xlsx_sheets)
+    p = str(tmp_path / "wb.xlsx")
+    tricky = ["bell\x07", "cr\rlf\n", "literal _x000D_ text", "_x005F_",
+              "\x00\x1f"]
+    write_xlsx_sheets(p, {'sheet "quoted" name': (["c"], [[v] for v in tricky])})
+    cols, rows = read_xlsx_rows(p)
+    assert cols == ["c"]
+    assert [r[0] for r in rows] == tricky
+
+
+def test_xlsx_read_positions_rows_by_r_attribute(tmp_path):
+    """ADVICE round 3: Excel omits fully-empty rows from sheet XML; the
+    reader must place rows by their r attribute, padding the gap, so
+    Row_Index provenance stays aligned."""
+    import zipfile
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows, write_xlsx)
+    p = str(tmp_path / "wb.xlsx")
+    write_xlsx(p, ["a", "b"], [["r2a", "r2b"], ["", ""], ["r4a", "r4b"]])
+    # simulate Excel: drop the empty row element (row r=3) entirely
+    with zipfile.ZipFile(p) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    ws = parts["xl/worksheets/sheet1.xml"].decode()
+    assert '<row r="3"></row>' in ws
+    parts["xl/worksheets/sheet1.xml"] = ws.replace(
+        '<row r="3"></row>', "").encode()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, data in parts.items():
+            z.writestr(n, data)
+    cols, rows = read_xlsx_rows(p)
+    assert cols == ["a", "b"]
+    assert rows == [["r2a", "r2b"], ["", ""], ["r4a", "r4b"]]
+
+
 def test_streaming_dedup(spark, tmp_path):
     """dropDuplicatesWithinWatermark keyed on content hash: re-arrivals of
     the same text within the horizon are dropped, distinct texts survive."""
@@ -647,10 +687,10 @@ def test_xlsx_roundtrip_property():
     from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
         read_xlsx_rows, write_xlsx)
 
-    # xlsx cannot represent control chars < 0x20 except \t \n \r; the
-    # writer targets report text, so draw from printable + those three
+    # control chars (incl. \r, XML-normalized in raw text) round-trip via
+    # Excel's _xHHHH_ escapes; surrogates are not representable in UTF-8
     cell = st.text(
-        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FA1,
+        alphabet=st.characters(min_codepoint=0x00, max_codepoint=0x2FA1,
                                blacklist_categories=("Cs",)),
         min_size=1, max_size=40)
 
