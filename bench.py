@@ -142,6 +142,8 @@ BENCH_QUERIES = {
     "vocab_pipeline": QUERIES["vocab_pipeline"][0],
     "semdedup": QUERIES["semdedup"][0],
     "bpe_train": QUERIES["bpe_train"][0],
+    # round-4: substring-level dedup (winnowing posting lists)
+    "substr_dup_pairs": QUERIES["substr_dup_pairs"][0],
 }
 
 

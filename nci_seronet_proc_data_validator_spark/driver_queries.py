@@ -885,6 +885,37 @@ def q_repetition_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_buckets(docs).orderBy("doc_id")
 
 
+def q_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation profile in ONE result row per doc:
+    Gopher-style quality gates (``quality_features``) joined with the
+    fused bigram repetition/familiarity pass and the CCNet perplexity
+    tercile (``ccnet_buckets``). Registry fusion of the former
+    ``quality_score`` + ``repetition_familiarity`` entries — same two
+    pipelines, one doc_id-keyed join (both sides per-doc, one shuffle)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        ccnet_buckets, quality_features)
+    docs = read_table(spark, sf_dir, "documents")
+    return (quality_features(docs)
+            .join(ccnet_buckets(docs), "doc_id")
+            .orderBy("doc_id"))
+
+
+def q_substr_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style substring-duplication pairs via winnowing
+    fingerprints (operators/dedup.substr_dup_pairs): any two documents
+    sharing a verbatim run of >= k + w - 1 chars are guaranteed to share
+    a selected fingerprint; pairs are generated inside fingerprint
+    buckets (df-capped), never by posting self-join."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        substr_dup_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    # k=20/w=8: any shared verbatim run >= 27 chars is guaranteed a
+    # common fingerprint; min_shared=4 keeps pairs with substantial
+    # duplicated spans, not one lucky phrase.
+    return (substr_dup_pairs(docs, k=20, w=8, min_shared=4, max_df=64)
+            .orderBy("id_a", "id_b"))
+
+
 def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-bigram importance of every document w.r.t. the
     English slice (``lang = 'en'`` as the target domain) — the
@@ -2531,9 +2562,9 @@ def _consolidate_registry() -> None:
     from nci_seronet_proc_data_validator_spark.operators.importance import (
         importance_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
-        ccnet_buckets_oracle_sql)
+        ccnet_buckets_oracle_sql, quality_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
-        cross_corpus_oracle_sql)
+        cross_corpus_oracle_sql, substr_dup_oracle_sql)
     merged = {
         "c1_c4_checks": (q_c1_c4_checks,
                          _union_all_sql(SQL_C1, SQL_C2, SQL_C3, SQL_C3_INT,
@@ -2550,11 +2581,21 @@ def _consolidate_registry() -> None:
         "skew_salted": (q_skew_salted, SQL_SKEW_SALTED),
         "chunk_and_split": (q_chunk_and_split, _sql_chunk_and_split()),
         # round-3 curation operators, slotted in by fusing the two
-        # bigram-pass siblings and folding bpe_token_count into text_stats
-        "repetition_familiarity": (q_repetition_familiarity,
-                                   f"SELECT * FROM "
-                                   f"({ccnet_buckets_oracle_sql().strip()})"
-                                   f" ORDER BY doc_id"),
+        # bigram-pass siblings and folding bpe_token_count into text_stats;
+        # round-4: quality_score folded in too (one per-doc profile row),
+        # freeing the slot substr_dup_pairs takes
+        "quality_profile": (q_quality_profile, f"""
+SELECT q.*, c.lang, c.n_bigrams, c.n_distinct_bigrams, c.top_count,
+       c.is_repetitive, c.top_bigram, c.bigram_chars, c.dup_bigram_chars,
+       c.top_char_frac, c.dup_char_frac, c.is_top_heavy, c.is_dup_heavy,
+       c.sum_corpus_freq, c.familiarity, c.ppl_bucket
+FROM ({quality_oracle_sql().strip()}) q
+JOIN ({ccnet_buckets_oracle_sql().strip()}) c ON q.doc_id = c.doc_id
+ORDER BY q.doc_id
+"""),
+        "substr_dup_pairs": (q_substr_dup_pairs,
+                             substr_dup_oracle_sql(k=20, w=8, min_shared=4,
+                                                   max_df=64)),
         "dsir_importance": (q_dsir_importance,
                             importance_oracle_sql("lang = 'en'", n=2,
                                                   buckets=4096)),
@@ -2584,8 +2625,10 @@ def _consolidate_registry() -> None:
         # already exercised inside a composed registered query
         "minhash_signatures", "simhash_signatures", "dedup_exact",
         "doc_fingerprint", "ivf_topk", "kmeans_centroids", "dedup_clusters",
-        # fused: one bigram pass serves both signal families
+        # fused: one bigram pass serves both signal families; round-4
+        # fused again with the Gopher gates into quality_profile
         "repetition_bigrams", "familiarity",
+        "quality_score", "repetition_familiarity",
         # folded into the text_stats map-only profile scan
         "bpe_token_count",
         # embedded in vocab_pipeline (same top-N ranking feeds the ids)

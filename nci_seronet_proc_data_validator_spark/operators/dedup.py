@@ -671,3 +671,106 @@ WHERE round(list_reduce(list_transform(list_zip(a.embedding, b.embedding),
             (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= {min_cosine}
 ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------- substring-level near-dup
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Per-document array of DISTINCT winnowing-selected gram hashes
+    (``(id, fps)``) — the posting-list form of the MOSS fingerprint whose
+    digest ``text_quality.with_winnow_signature`` publishes.
+
+    Map-only; gram hashing is STAGED through a real projection so the
+    O(L) md5 array computes once per document (same rationale as
+    ``with_winnow_signature``)."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        _grams_sql, _winnow_mins_spark)
+    staged = spread_small_input(docs).select(
+        F.col(id_col), F.expr(_grams_sql(text_col, k)).alias("__wg"))
+    return staged.select(
+        F.col(id_col),
+        F.array_distinct(F.expr(_winnow_mins_spark("__wg", w))).alias("fps"))
+
+
+def substr_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8, w: int = 4,
+                     min_shared: int = 2, max_df: int = 64) -> DataFrame:
+    """ExactSubstr-style substring-duplication candidate pairs (Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better",
+    re-expressed for Spark): the suffix-array pass the paper uses is
+    replaced by winnowing fingerprints, whose guarantee (Schleimer et
+    al. 2003) is that any shared substring of length >= k + w - 1 chars
+    selects at least one common hash — so every pair of documents
+    sharing a long verbatim passage surfaces here.
+
+    Shape at 100 TB:
+    - posting list is SPARSE (winnowing keeps ~2/(w+1) of gram positions,
+      deduped per doc) — one explode, one ``groupBy(fp)`` shuffle;
+    - pair generation happens inside each fingerprint bucket
+      (``collect_set`` + triangular explode), so there is no posting
+      self-join and no second shuffle of the corpus;
+    - ``max_df`` caps bucket width: a fingerprint present in more docs
+      than that is corpus boilerplate (licence headers, navboxes) — the
+      pair blow-up is bounded by max_df² per bucket and the cap is
+      applied identically in the oracle;
+    - the final ``(id_a, id_b)`` aggregation and the two size joins are
+      keyed shuffles on pair/doc ids.
+
+    Output: ``id_a, id_b, n_shared`` (shared fingerprints, long) and
+    ``overlap_bp`` (n_shared / min(|fps|) in integer basis points — no
+    float compare crosses the engine boundary).
+    """
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    sizes = fps.select(F.col(id_col).alias("_sid"),
+                       F.size("fps").cast("long").alias("n_fp"))
+    posting = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    buckets = (posting.groupBy("fp")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df)))
+    pairs = (buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)), "
+        "y -> named_struct('id_a', x, 'id_b', y))))")).alias("p"))
+        .select("p.id_a", "p.id_b"))
+    shared = (pairs.groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    return (shared
+            .join(sizes.withColumnRenamed("n_fp", "n_a"),
+                  F.col("id_a") == F.col("_sid")).drop("_sid")
+            .join(sizes.withColumnRenamed("n_fp", "n_b"),
+                  F.col("id_b") == F.col("_sid")).drop("_sid")
+            .select("id_a", "id_b", "n_shared",
+                    F.expr("n_shared * 10000 div least(n_a, n_b)")
+                    .alias("overlap_bp")))
+
+
+def substr_dup_oracle_sql(k: int = 8, w: int = 4, min_shared: int = 2,
+                          max_df: int = 64, table: str = "documents",
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """DuckDB mirror: same staged grams, same window minima, same df cap
+    (HAVING over the posting list), same integer basis-point overlap."""
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        winnow_grams_oracle_expr, winnow_mins_oracle_expr)
+    grams = winnow_grams_oracle_expr(text_col, k)
+    mins = winnow_mins_oracle_expr("grams", w)
+    return f"""
+WITH g AS (SELECT {id_col}, {grams} AS grams FROM {table}),
+m AS (SELECT {id_col}, list_distinct({mins}) AS fps FROM g),
+p AS (SELECT {id_col}, unnest(fps) AS fp FROM m),
+d AS (SELECT fp FROM p GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND {max_df}),
+pp AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+       FROM p a JOIN d USING (fp) JOIN p b
+         ON a.fp = b.fp AND a.{id_col} < b.{id_col}),
+n AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM pp GROUP BY 1, 2),
+s AS (SELECT {id_col} AS sid, CAST(len(fps) AS BIGINT) AS n_fp FROM m)
+SELECT id_a, id_b, n_shared,
+       n_shared * 10000 // least(sa.n_fp, sb.n_fp) AS overlap_bp
+FROM n JOIN s sa ON sa.sid = id_a JOIN s sb ON sb.sid = id_b
+WHERE n_shared >= {min_shared}
+ORDER BY id_a, id_b
+"""

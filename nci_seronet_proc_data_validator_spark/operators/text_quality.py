@@ -460,16 +460,23 @@ def winnow_grams_oracle_expr(text_col: str = "text", k: int = 8) -> str:
             f"1, 8)) AS BIGINT))")
 
 
+def winnow_mins_oracle_expr(grams_col: str, w: int = 4) -> str:
+    """DuckDB window-minima list over a staged gram column — the raw
+    selected-hash sequence ``_winnow_mins_spark`` mirrors (shared by the
+    signature digest and the substring-dup posting list)."""
+    return (f"CASE WHEN len({grams_col}) = 0 THEN ({grams_col})[1:0] "
+            f"WHEN len({grams_col}) <= {w} THEN [list_min({grams_col})] "
+            f"ELSE list_transform(generate_series(1, "
+            f"len({grams_col}) - {w - 1}), "
+            f"j -> list_min(({grams_col})[j:j+{w - 1}])) END")
+
+
 def winnow_sig_oracle_expr(grams_col: str, w: int = 4) -> str:
     """DuckDB signature over the staged gram column (stage 2): same
     window minima, same numeric sort, strings only for the join.
     COALESCE: DuckDB string_agg of an empty list is NULL where Spark's
     array_join is '' (short docs)."""
-    mins = (f"CASE WHEN len({grams_col}) = 0 THEN ({grams_col})[1:0] "
-            f"WHEN len({grams_col}) <= {w} THEN [list_min({grams_col})] "
-            f"ELSE list_transform(generate_series(1, "
-            f"len({grams_col}) - {w - 1}), "
-            f"j -> list_min(({grams_col})[j:j+{w - 1}])) END")
+    mins = winnow_mins_oracle_expr(grams_col, w)
     return (f"substr(md5(coalesce(list_aggregate(list_transform(list_sort("
             f"list_distinct({mins})), x -> CAST(x AS VARCHAR)), "
             f"'string_agg', '-'), '')), 1, 16)")

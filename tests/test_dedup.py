@@ -102,3 +102,46 @@ def test_cross_corpus_pairs_empty_sides(spark):
     empty = spark.createDataFrame([], schema)
     assert cross_corpus_pairs(empty, corpus).count() == 0
     assert cross_corpus_pairs(corpus, empty).count() == 0
+
+
+def test_substr_dup_pairs_planted_passage(spark):
+    """Winnowing guarantee: two docs sharing a verbatim run >= k + w - 1
+    chars surface as a pair; unrelated docs do not; overlap_bp is the
+    integer share of the smaller fingerprint set."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        substr_dup_pairs)
+    passage = ("the experimental protocol requires three washes of the "
+               "sample plate followed by incubation at room temperature")
+    docs = spark.createDataFrame(
+        [(1, "intro text alpha. " + passage + " closing remarks one."),
+         (2, "different opening beta! " + passage + " other ending."),
+         (3, "nothing in common with anybody here, entirely fresh prose "
+             "about spark adaptive query execution and shuffle tuning")],
+        "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           substr_dup_pairs(docs, k=8, w=4, min_shared=2).collect()}
+    assert (1, 2) in out
+    assert all(3 not in pair for pair in out)
+    r = out[(1, 2)]
+    assert r["n_shared"] >= 2
+    assert 0 < r["overlap_bp"] <= 10000
+
+
+def test_substr_dup_pairs_df_cap_drops_boilerplate(spark):
+    """A passage present in MORE than max_df docs is corpus boilerplate:
+    its fingerprints are df-capped out, so no O(n^2) pair blow-up."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        substr_dup_pairs)
+    licence = ("this work is licensed under the creative commons "
+               "attribution share alike four point zero international")
+    # unique prefixes share no 8-gram across docs (distinct letter runs),
+    # so every cross-doc fingerprint comes from the licence block
+    rows = [(i, f"{chr(97 + i) * 20} {licence}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every fingerprint of the licence block occurs in all 10 docs;
+    # with max_df=5 they are all capped out -> no pairs at all
+    assert substr_dup_pairs(docs, k=8, w=4, min_shared=1,
+                            max_df=5).count() == 0
+    # with a permissive cap the pairs appear (all 45 of them)
+    assert substr_dup_pairs(docs, k=8, w=4, min_shared=1,
+                            max_df=64).count() == 45
