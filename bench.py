@@ -21,14 +21,23 @@ from nci_seronet_proc_data_validator_spark.driver_queries import (
     QUERIES,
     q_c6_dup_ids,
     q_dedup_clusters,
+    q_dsir_importance,
     q_events_hourly,
     q_embedding_topk,
     q_events_sliding,
     q_ivf_topk,
     q_kmeans,
+    q_quality_score,
     q_vocab_topn,
     read_events,
 )
+
+
+def q_classifier_score(spark, sf_dir):
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        demo_weights, hashed_linear_score)
+    docs = read_table(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, demo_weights(4096))
 from nci_seronet_proc_data_validator_spark.functions.checks import (
     check_date,
     check_if_number,
@@ -121,7 +130,7 @@ BENCH_QUERIES = {
     # per-query timings stay comparable across rounds; registry-
     # consolidated queries keep their standalone functions here so the
     # per-operator timing series stays unbroken)
-    "quality_score": QUERIES["quality_score"][0],
+    "quality_score": q_quality_score,
     "bm25_topk": QUERIES["bm25_topk"][0],
     "dedup_clusters": q_dedup_clusters,
     "interval_join": QUERIES["interval_join"][0],
@@ -137,13 +146,15 @@ BENCH_QUERIES = {
     "rulebook_full": QUERIES["rulebook_full"][0],
     # round-3 curation operators
     "quantized_topk": q_quantized_topk,
-    "dsir_importance": QUERIES["dsir_importance"][0],
+    "dsir_importance": q_dsir_importance,
     "boilerplate_removal": QUERIES["boilerplate_removal"][0],
     "vocab_pipeline": QUERIES["vocab_pipeline"][0],
     "semdedup": QUERIES["semdedup"][0],
     "bpe_train": QUERIES["bpe_train"][0],
-    # round-4: substring-level dedup (winnowing posting lists)
+    # round-4: substring-level dedup (winnowing posting lists) + hashed
+    # linear classifier inference (model-as-literal, map-only)
     "substr_dup_pairs": QUERIES["substr_dup_pairs"][0],
+    "classifier_score": q_classifier_score,
 }
 
 

@@ -933,6 +933,26 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based per-document scoring in one result: DSIR hashed-bigram
+    importance w.r.t. the English slice PLUS hashed-linear classifier
+    inference (fastText-style, model-as-literal — see
+    operators/classifier.py). Registry fusion of the former
+    ``dsir_importance`` entry with the round-4 classifier operator —
+    both score every doc against a model, one doc_id join."""
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        demo_weights, hashed_linear_score)
+    from nci_seronet_proc_data_validator_spark.operators.importance import (
+        hashed_ngram_importance)
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input)
+    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    imp = hashed_ngram_importance(docs, F.col("lang") == "en",
+                                  n=2, buckets=4096)
+    clf = hashed_linear_score(docs, demo_weights(4096), bias=0)
+    return imp.join(clf, "doc_id").orderBy("doc_id")
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/RefinedWeb-style corpus-frequency unit removal
     (operators/linedup.remove_common_lines). The testdata documents are
@@ -2561,6 +2581,8 @@ ORDER BY c.doc_id, c.chunk_idx
 def _consolidate_registry() -> None:
     from nci_seronet_proc_data_validator_spark.operators.importance import (
         importance_oracle_sql)
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        classifier_oracle_sql, demo_weights)
     from nci_seronet_proc_data_validator_spark.operators.text_quality import (
         ccnet_buckets_oracle_sql, quality_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
@@ -2596,9 +2618,14 @@ ORDER BY q.doc_id
         "substr_dup_pairs": (q_substr_dup_pairs,
                              substr_dup_oracle_sql(k=20, w=8, min_shared=4,
                                                    max_df=64)),
-        "dsir_importance": (q_dsir_importance,
-                            importance_oracle_sql("lang = 'en'", n=2,
-                                                  buckets=4096)),
+        # round-4: classifier inference joins the DSIR scoring pass
+        "doc_scoring": (q_doc_scoring, f"""
+SELECT i.*, c.clf_score, c.clf_pred
+FROM ({importance_oracle_sql("lang = 'en'", n=2, buckets=4096).strip()}) i
+JOIN ({classifier_oracle_sql(demo_weights(4096), bias=0).strip()}) c
+  ON i.doc_id = c.doc_id
+ORDER BY i.doc_id
+"""),
         "boilerplate_removal": (q_boilerplate_removal,
                                 _sql_boilerplate_removal()),
         "vocab_pipeline": (q_vocab_pipeline, _sql_vocab_pipeline()),
@@ -2629,6 +2656,8 @@ ORDER BY q.doc_id
         # fused again with the Gopher gates into quality_profile
         "repetition_bigrams", "familiarity",
         "quality_score", "repetition_familiarity",
+        # round-4: fused with classifier inference into doc_scoring
+        "dsir_importance",
         # folded into the text_stats map-only profile scan
         "bpe_token_count",
         # embedded in vocab_pipeline (same top-N ranking feeds the ids)

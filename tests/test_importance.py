@@ -82,3 +82,38 @@ def test_importance_plan_shape(spark, docs):
 def test_importance_arg_validation(spark, docs):
     with pytest.raises(ValueError):
         hashed_ngram_importance(docs, F.expr(_TARGET), n=0)
+
+
+def test_hashed_linear_score_semantics(spark):
+    """Classifier inference: score = bias + sum of bucket weights; empty
+    docs score exactly bias; decision boundary is integer-exact."""
+    import hashlib
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        demo_weights, hashed_linear_score)
+    W = demo_weights(4096)
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "???")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["clf_score"], r["clf_pred"])
+           for r in hashed_linear_score(docs, W, bias=7).collect()}
+    expect1 = 7 + 2 * W[bucket("alpha")] + W[bucket("beta")]
+    assert got[1] == (expect1, expect1 > 0)
+    assert got[2] == (7, True)   # no tokens -> bias
+    assert got[3] == (7, True)   # no [a-z0-9] tokens -> bias
+
+
+def test_hashed_linear_score_is_map_only(spark):
+    """Model-as-literal scoring must add NO shuffle: the physical plan of
+    the scoring projection contains no Exchange beyond the input's own."""
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        demo_weights, hashed_linear_score)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text number "), F.col("id")).alias("text"))
+    plan = hashed_linear_score(
+        docs, demo_weights(256))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
