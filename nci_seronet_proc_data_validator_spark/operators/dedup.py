@@ -53,6 +53,10 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     a real cluster the input is already split into ≥cores partitions, the
     condition is false, and this is a no-op — no shuffle added at scale.
     """
+    if df.isStreaming:
+        # no static partition count to inspect; micro-batch parallelism
+        # is the source's concern (maxFilesPerTrigger etc.)
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -117,3 +117,29 @@ def test_hashed_linear_score_is_map_only(spark):
     plan = hashed_linear_score(
         docs, demo_weights(256))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_hashed_linear_score_streams_unchanged(spark, tmp_path):
+    """The classifier is a stateless map-only projection, so the SAME
+    operator applies to a readStream source with no code changes — the
+    'score the crawl as it lands' deployment mode."""
+    import hashlib
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        demo_weights, hashed_linear_score)
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")],
+        "doc_id long, text string").write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    W = demo_weights(256)
+    q = (hashed_linear_score(stream, W, bias=3)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("clf_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["clf_score"]
+           for r in spark.sql("SELECT * FROM clf_out").collect()}
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+    assert got == {1: 3 + W[bucket("alpha")] + W[bucket("beta")], 2: 3}
