@@ -778,3 +778,48 @@ FROM n JOIN s sa ON sa.sid = id_a JOIN s sb ON sb.sid = id_b
 WHERE n_shared >= {min_shared}
 ORDER BY id_a, id_b
 """
+
+
+def substr_dup_cross(new_docs: DataFrame, corpus: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8, w: int = 4, min_shared: int = 2,
+                     max_df: int = 64) -> DataFrame:
+    """Incremental substring-level dedup: which NEW documents share long
+    verbatim passages with the EXISTING corpus (the decontamination /
+    "did this crawl copy our eval set" check), without a corpus
+    self-join.
+
+    Shape at 100 TB — the ``cross_corpus_pairs`` posture applied to
+    winnowing: the corpus posting list ``(fp, corpus_id)`` is built once
+    per corpus version (persist it ``bucketBy(fp)``); each batch builds
+    its own postings map-only and probes only its fingerprints. The
+    df-cap is computed on the CORPUS side (boilerplate lives there) and
+    pairs never form within a side. Returns
+    ``(new_id, corpus_id, n_shared, overlap_bp)`` with overlap measured
+    against the smaller fingerprint set, as in ``substr_dup_pairs``.
+    """
+    new_fps = winnow_fingerprints(new_docs, id_col, text_col, k, w)
+    corpus_fps = winnow_fingerprints(corpus, id_col, text_col, k, w)
+    new_sizes = new_fps.select(F.col(id_col).alias("_nid"),
+                               F.size("fps").cast("long").alias("n_new"))
+    corpus_sizes = corpus_fps.select(F.col(id_col).alias("_cid"),
+                                     F.size("fps").cast("long")
+                                     .alias("n_corpus"))
+    np_ = new_fps.select(F.col(id_col).alias("new_id"),
+                         F.explode("fps").alias("fp"))
+    cp = corpus_fps.select(F.col(id_col).alias("corpus_id"),
+                           F.explode("fps").alias("fp"))
+    hot = (cp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > max_df).select("fp"))
+    cp_ok = cp.join(F.broadcast(hot), "fp", "left_anti")
+    shared = (np_.join(cp_ok, "fp")
+              .groupBy("new_id", "corpus_id")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    return (shared
+            .join(new_sizes, F.col("new_id") == F.col("_nid")).drop("_nid")
+            .join(corpus_sizes,
+                  F.col("corpus_id") == F.col("_cid")).drop("_cid")
+            .select("new_id", "corpus_id", "n_shared",
+                    F.expr("n_shared * 10000 div least(n_new, n_corpus)")
+                    .alias("overlap_bp")))
