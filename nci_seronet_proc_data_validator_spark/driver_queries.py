@@ -1651,14 +1651,22 @@ _BENCH_PRED = "doc_id % 97 = 0"
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination scan: corpus docs vs the deterministic
+    """Benchmark-contamination scan two ways in one result: the exact
+    broadcast n-gram join (``benchmark_overlap``) PLUS the round-4
+    Bloom-bitset gate (``operators/bloom.bloom_contaminated`` — 64 KB
+    broadcast instead of the raw n-gram set; deterministic fp, so both
+    engines agree bit-for-bit). Corpus docs vs the deterministic
     benchmark slice (doc_id % 97 == 0), 5-gram hash collision."""
+    from nci_seronet_proc_data_validator_spark.operators.bloom import (
+        bloom_contaminated)
     from nci_seronet_proc_data_validator_spark.operators.contamination import (
         benchmark_overlap)
     docs = read_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    return benchmark_overlap(corpus, bench, n=5)
+    return (benchmark_overlap(corpus, bench, n=5)
+            .join(bloom_contaminated(corpus, bench, n=5), "doc_id")
+            .orderBy("doc_id"))
 
 
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2187,13 +2195,14 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _register_round2_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.contamination import (
-        benchmark_overlap_oracle_sql)
+        contamination_with_bloom_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.pii import (
         pii_oracle_sql)
     QUERIES.update({
         "pii_scan": (q_pii_scan, pii_oracle_sql(_PII_DOC_SQL)),
         "contamination": (q_contamination,
-                          benchmark_overlap_oracle_sql(_BENCH_PRED, n=5)),
+                          contamination_with_bloom_oracle_sql(_BENCH_PRED,
+                                                              n=5)),
         "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     })
     from nci_seronet_proc_data_validator_spark.operators.kmeans import (

@@ -103,3 +103,29 @@ SELECT c.doc_id,
 FROM corpus c LEFT JOIN hits h USING (doc_id)
 ORDER BY c.doc_id
 """
+
+
+def contamination_with_bloom_oracle_sql(bench_pred: str, n: int = 5,
+                                        table: str = "documents") -> str:
+    """Exact-join contamination joined with the Bloom-gate columns
+    (``operators/bloom``) — one row per corpus doc, both engines build
+    the identical bitset so even Bloom false positives agree."""
+    from nci_seronet_proc_data_validator_spark.operators.bloom import (
+        bloom_oracle_sql)
+    shing = (f"SELECT doc_id, {_shingle_sql(n)} AS sh FROM "
+             f"(SELECT doc_id, regexp_extract_all(lower(text), "
+             f"'[a-z0-9]+') AS t FROM {table})")
+    bench_h = (f"SELECT DISTINCT h FROM (SELECT unnest(sh) AS h "
+               f"FROM ({shing}) WHERE {bench_pred})")
+    probes = (f"SELECT doc_id, unnest(sh) AS h FROM ({shing}) "
+              f"WHERE NOT ({bench_pred})")
+    bloom = bloom_oracle_sql(bench_h, probes)
+    return f"""
+WITH exact_side AS ({benchmark_overlap_oracle_sql(bench_pred, n, table).strip()}),
+bloom_side AS ({bloom.strip()})
+SELECT e.*,
+       CAST(coalesce(b.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       coalesce(b.n_bloom_hits, 0) > 0 AS bloom_flag
+FROM exact_side e LEFT JOIN bloom_side b USING (doc_id)
+ORDER BY e.doc_id
+"""
