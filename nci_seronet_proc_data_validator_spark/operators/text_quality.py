@@ -357,9 +357,9 @@ def ccnet_buckets(df: DataFrame, text_col: str = "text",
     identically with no float-threshold comparisons.
 
     Scale note: the per-language window puts one language's docs through
-    one task — fine for calibration-sized corpora; at 100 TB replace the
-    ntile with approx_percentile cutoffs per language (two values,
-    broadcast) exactly like ``q_length_percentiles`` documents.
+    one task — fine for calibration-sized corpora; at 100 TB use
+    :func:`ccnet_buckets_at_scale` (approx_percentile cutoffs per
+    language, broadcast back, map-side bucketing).
     """
     from pyspark.sql import Window as W
     prof = bigram_profile(df, text_col=text_col, id_col=id_col)
@@ -480,3 +480,34 @@ def winnow_sig_oracle_expr(grams_col: str, w: int = 4) -> str:
     return (f"substr(md5(coalesce(list_aggregate(list_transform(list_sort("
             f"list_distinct({mins})), x -> CAST(x AS VARCHAR)), "
             f"'string_agg', '-'), '')), 1, 16)")
+
+
+def ccnet_buckets_at_scale(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           lang_col: str = "lang") -> DataFrame:
+    """The 100 TB form of :func:`ccnet_buckets`: instead of an ntile
+    window that routes each language through ONE task, compute the two
+    tercile cutoffs per language with ``approx_percentile`` (a tiny
+    keyed agg — #langs rows), broadcast them back, and bucket each doc
+    map-side by comparison. Plan: one agg shuffle over #langs groups +
+    one broadcast join — no per-language serialization point.
+
+    Bucket boundaries are approximate where familiarity values tie or
+    the sketch rounds, so this is the documented drop-in for the exact
+    windowed form, not its oracle twin; ``tests/test_text_quality.py``
+    pins the agreement rate on skewed data.
+    """
+    prof = bigram_profile(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col))
+    scored = prof.join(langs, id_col)
+    cuts = (scored.groupBy(lang_col)
+            .agg(F.expr("approx_percentile(familiarity, array(0.6667, "
+                        "0.3333), 10000)").alias("qs"))
+            .select(lang_col, F.col("qs")[0].alias("head_cut"),
+                    F.col("qs")[1].alias("mid_cut")))
+    bucket = (F.when(F.col("familiarity") >= F.col("head_cut"), "head")
+              .when(F.col("familiarity") >= F.col("mid_cut"), "middle")
+              .otherwise("tail"))
+    return (scored.join(F.broadcast(cuts), lang_col)
+            .select(id_col, lang_col, "familiarity",
+                    bucket.alias("ppl_bucket")))

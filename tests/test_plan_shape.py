@@ -295,7 +295,7 @@ def test_no_duplicated_generator_input_in_filters(spark, sf_dir):
     import re
 
     from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
-    for name in ("dsir_importance", "contamination", "vocab_pipeline"):
+    for name in ("doc_scoring", "contamination", "vocab_pipeline"):
         plan = _plan(QUERIES[name][0](spark, sf_dir))
         for cond in re.findall(r"Filter \(?[^\n]*", plan):
             assert "md5(" not in cond and "transform(" not in cond, (
