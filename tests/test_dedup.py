@@ -173,3 +173,35 @@ def test_substr_dup_cross_probes_corpus(spark):
     # df-cap: passage fingerprints occur in 2 corpus docs; cap below that
     assert substr_dup_cross(new, corpus, k=8, w=4, min_shared=1,
                             max_df=1).count() == 0
+
+
+def test_substr_dup_pairs_winnowing_guarantee_property(spark):
+    """Property (Schleimer et al. 2003 correctness bound): whenever two
+    documents share a verbatim substring of length >= k + w - 1, the
+    pair MUST surface at min_shared=1 — regardless of where the passage
+    sits or what surrounds it. False negatives are a contract violation;
+    extra pairs are fine."""
+    from hypothesis import given, settings, strategies as st
+
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        substr_dup_pairs)
+    k, w = 8, 4
+    word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                   min_size=2, max_size=8)
+    filler = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    passage = st.lists(word, min_size=4, max_size=10).map(" ".join) \
+        .filter(lambda p: len(p) >= k + w - 1)
+
+    @settings(max_examples=10, deadline=None)
+    @given(passage, filler, filler, filler, filler)
+    def run(p, pre_a, post_a, pre_b, post_b):
+        doc_a = " ".join(x for x in (pre_a, p, post_a) if x)
+        doc_b = " ".join(x for x in (pre_b, p, post_b) if x)
+        docs = spark.createDataFrame(
+            [(1, doc_a), (2, doc_b)], "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 substr_dup_pairs(docs, k=k, w=w, min_shared=1,
+                                  max_df=64).collect()}
+        assert (1, 2) in pairs, (doc_a, doc_b)
+
+    run()
