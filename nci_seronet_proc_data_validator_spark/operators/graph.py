@@ -218,3 +218,33 @@ reach AS (
 SELECT id AS {id_alias}, min(root) AS cluster_id
 FROM reach GROUP BY id ORDER BY 1
 """
+
+
+def keep_best_in_cluster(corpus: DataFrame, components: DataFrame,
+                         score_col: str, id_col: str = "doc_id"
+                         ) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-``score_col`` document (ties break to the smaller
+    id — deterministic), instead of ``keep_canonical``'s min-id pick.
+    The pick production pipelines actually want: when a page and its
+    mirror near-duplicate, keep the cleaner copy.
+
+    Shape: clusters are tiny relative to the corpus (only clustered ids
+    appear in ``components``), so the argmax runs on the cluster
+    membership joined with scores — one keyed agg over cluster_id — and
+    the survivors-complement set is broadcast back as an anti-join, the
+    same terminal shape as ``keep_canonical``.
+    """
+    membership = (components
+                  .join(corpus.select(F.col(id_col).alias("id"), score_col),
+                        "id"))
+    best = (membership.groupBy("cluster_id")
+            .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                                (-F.col("id")).alias("neg_id")))
+                 .alias("b"))
+            .select((-F.col("b.neg_id")).alias("keep_id")))
+    losers = (components.join(
+        F.broadcast(best), components["id"] == best["keep_id"],
+        "left_anti").select("id"))
+    return corpus.join(F.broadcast(losers),
+                       corpus[id_col] == losers["id"], "left_anti")

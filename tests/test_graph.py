@@ -59,3 +59,22 @@ def test_pagerank_star_graph_exact(spark):
         pagerank_oracle_sql("SELECT src, dst FROM edges_t",
                             iters=3)).fetchall()]
     assert got == want
+
+
+def test_keep_best_in_cluster_prefers_quality(spark):
+    """Within a dup cluster the highest-score doc survives (min-id loses
+    if lower quality); singletons and unclustered docs pass through;
+    ties break to the smaller id."""
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        keep_best_in_cluster)
+    corpus = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0),    # cluster A: 2 wins (not min-id 1)
+         (4, 7.0), (5, 7.0),                 # cluster B: tie -> 4 (smaller id)
+         (9, 1.0)],                          # unclustered -> survives
+        "doc_id long, quality double")
+    components = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id long, cluster_id long")
+    kept = sorted(r["doc_id"] for r in
+                  keep_best_in_cluster(corpus, components, "quality")
+                  .collect())
+    assert kept == [2, 4, 9]
