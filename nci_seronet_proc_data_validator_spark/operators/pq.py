@@ -109,3 +109,50 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy(query_id, "rank"))
+
+
+def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
+               codebooks: list[list[list[float]]], queries: DataFrame,
+               k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", query_id: str = "query_id",
+               query_vec: str = "qe") -> DataFrame:
+    """Bounded-probe PQ search — the FAISS IVF-PQ shape (codes quantize
+    raw vectors; residual encoding is the drop-in refinement): coarse IVF
+    routing picks ``nprobe`` clusters per query, ADC runs ONLY over the
+    codes of those clusters. Candidate count is corpus_fraction ×
+    nprobe/K instead of the whole scan — the scale path
+    ``pq_adc_topk``'s compressed-domain full scan needs at real corpus
+    sizes. Probe routing is cosine (matching ``similarity.ivf_assign``,
+    so a bucketBy(cluster_id) code index co-locates both consumers);
+    within candidates the ranking is ADC L2 over codebook literals.
+    """
+    from pyspark.sql import Window as W
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        _dot, _norm, ivf_assign)
+    codes = pq_encode(
+        ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col),
+        codebooks, vec_col=vec_col).select(id_col, "cluster_id", "pq_code")
+    qsim = (_dot(F.col(query_vec), F.col("ce"))
+            / (_norm(F.col(query_vec)) * _norm(F.col("ce"))))
+    wq = W.partitionBy(query_id).orderBy(
+        F.round(F.col("_qsim"), 12).desc(), F.col("centroid_id"))
+    probes = (queries.crossJoin(F.broadcast(centroids))
+              .withColumn("_qsim", qsim)
+              .withColumn("_rn", F.row_number().over(wq))
+              .filter(F.col("_rn") <= nprobe)
+              .select(query_id, query_vec,
+                      F.col("centroid_id").alias("cluster_id")))
+    dsub = len(codebooks[0][0])
+    terms = []
+    for s, book in enumerate(codebooks):
+        luts = ", ".join(_sub_dist_sql(query_vec, s, dsub, c, True)
+                         for c in book)
+        terms.append(f"element_at(array({luts}), "
+                     f"CAST(pq_code[{s}] AS INT) + 1)")
+    dist = F.expr(" + ".join(terms))
+    w = W.partitionBy(query_id).orderBy("adc_dist", id_col)
+    return (probes.join(codes, "cluster_id")
+            .select(query_id, id_col, F.round(dist, 6).alias("adc_dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .orderBy(query_id, "rank"))

@@ -99,3 +99,38 @@ def test_pq_adc_recall_against_brute_force(spark):
         # doc-level top-5 equality is not the right bar for a quantizer)
         cluster = qi // 34
         assert all(v // 34 == cluster for v in got[qi]), (qi, got[qi])
+
+
+def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(spark):
+    """Bounded-probe IVF-PQ: results come only from probed clusters, and
+    when the query's true cluster is probed, the top hit matches the
+    full-scan ADC top hit."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_centroid_vectors)
+    from nci_seronet_proc_data_validator_spark.operators.pq import (
+        ivfpq_topk)
+    X = _data()
+    df = _df(spark, X)
+    centroids = kmeans_centroid_vectors(df, k=6, iters=2)
+    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    qs = spark.createDataFrame(
+        [(0, [float(v) for v in X[0]]), (150, [float(v) for v in X[150]])],
+        "query_id long, qe array<double>")
+    bounded = {}
+    for r in ivfpq_topk(df, centroids, books, qs, k=5, nprobe=2).collect():
+        bounded.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adc_dist"]))
+    full = {}
+    for r in pq_adc_topk(pq_encode(df, books), qs, books, k=5).collect():
+        full.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["adc_dist"]))
+    for qi in (0, 150):
+        assert len(bounded[qi]) == 5
+        # ADC distances agree between the two paths for shared ids
+        fd = dict(full[qi])
+        for vid, d in bounded[qi]:
+            if vid in fd:
+                assert d == fd[vid]
+        # top-1 of the bounded probe equals the full-scan top-1 (the
+        # query's own cluster is always among its 2 nearest probes)
+        assert bounded[qi][0] == full[qi][0]
