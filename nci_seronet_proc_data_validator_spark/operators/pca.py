@@ -49,14 +49,22 @@ def pca_fit(emb: DataFrame, dim: int, k: int,
              for i in range(dim) for j in range(i, dim)]
     row = emb.agg(*aggs).collect()[0]
     n = row["n"]
-    if n < 2:
-        raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
-    mean = np.array([row[f"s{i}"] for i in range(dim)]) / n
-    cov = np.empty((dim, dim))
+    s = [row[f"s{i}"] for i in range(dim)]
+    gram = np.empty((dim, dim))
     for i in range(dim):
         for j in range(i, dim):
-            c = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
-            cov[i, j] = cov[j, i] = c
+            gram[i, j] = gram[j, i] = row[f"p{i}_{j}"]
+    return _components_from_moments(n, np.asarray(s), gram, k)
+
+
+def _components_from_moments(n, s, gram, k):
+    """Shared eigendecomposition tail: raw moments → (mean, components)
+    with deterministic sign normalization."""
+    import numpy as np
+    if n < 2:
+        raise ValueError(f"need >= 2 vectors to fit PCA, got {n}")
+    mean = s / n
+    cov = gram / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)          # ascending
     comps = vecs[:, ::-1][:, :k].T            # k rows, descending value
     for r in range(k):                        # deterministic sign
@@ -64,6 +72,48 @@ def pca_fit(emb: DataFrame, dim: int, k: int,
         if comps[r][m] < 0:
             comps[r] = -comps[r]
     return mean.tolist(), comps.tolist()
+
+
+def pca_fit_wide(emb: DataFrame, dim: int, k: int,
+                 vec_col: str = "embedding") -> tuple[list[float],
+                                                      list[list[float]]]:
+    """The LARGE-dim fit path: :func:`pca_fit` compiles
+    ``1 + d + d(d+1)/2`` aggregate expressions — ideal to d ≈ 128,
+    quadratic plan size beyond. Here each partition computes its partial
+    Gram matrix with one Arrow-batched numpy matmul (``mapInPandas``,
+    the engine's sanctioned Python-row-path exception: BLAS beats
+    codegen on dense d² arithmetic) and only O(partitions) partial rows
+    of d² doubles reach the driver. Same outputs as :func:`pca_fit`
+    modulo float summation order."""
+    import numpy as np
+    if not 1 <= k <= dim:
+        raise ValueError(f"need 1 <= k <= dim: {k=} {dim=}")
+
+    def gram_partial(batches):
+        import numpy as _np
+        import pandas as _pd
+        n = 0
+        s = _np.zeros(dim)
+        g = _np.zeros((dim, dim))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = _np.asarray([list(v) for v in pdf[vec_col]], dtype=float)
+            n += len(X)
+            s += X.sum(axis=0)
+            g += X.T @ X
+        yield _pd.DataFrame({"n": [n], "s": [s.tolist()],
+                             "g": [g.flatten().tolist()]})
+
+    parts = (emb.select(vec_col)
+             .mapInPandas(gram_partial,
+                          "n long, s array<double>, g array<double>")
+             .collect())
+    n = sum(r["n"] for r in parts)
+    s = np.sum([r["s"] for r in parts], axis=0)
+    gram = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in parts],
+                  axis=0)
+    return _components_from_moments(n, s, gram, k)
 
 
 def pca_transform(df: DataFrame, mean: list[float],

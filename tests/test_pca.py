@@ -86,3 +86,16 @@ def test_pca_validates_inputs(spark):
         pca_fit(df, DIM, 0)
     with pytest.raises(ValueError):
         pca_fit(df.limit(1), DIM, 2)
+
+
+def test_pca_fit_wide_matches_expression_path(spark):
+    """The Arrow/BLAS gram path produces the same model as the
+    expression-aggregate path (same moments, float-order tolerance)."""
+    from nci_seronet_proc_data_validator_spark.operators.pca import (
+        pca_fit_wide)
+    X = _data()
+    df = _df(spark, X).repartition(7)
+    mean_a, comps_a = pca_fit(df, DIM, K)
+    mean_b, comps_b = pca_fit_wide(df, DIM, K)
+    assert np.allclose(mean_a, mean_b, atol=1e-10)
+    assert np.allclose(comps_a, comps_b, atol=1e-7)
