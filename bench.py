@@ -155,6 +155,9 @@ BENCH_QUERIES = {
     # linear classifier inference (model-as-literal, map-only)
     "substr_dup_pairs": QUERIES["substr_dup_pairs"][0],
     "classifier_score": q_classifier_score,
+    # round-4: PQ codebook ANN (compressed-domain ADC + bounded-probe
+    # IVF-PQ, integer-exact)
+    "pq_ann": QUERIES["pq_ann"][0],
 }
 
 

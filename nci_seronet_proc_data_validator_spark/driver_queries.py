@@ -2391,6 +2391,52 @@ def q_c7_c8_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_c8_dict_lookup(spark, sf_dir))
 
 
+def q_c5_c8_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 id-format + C6 duplicate-id + C7 substring + C8 dictionary
+    findings — one findings-schema union, merged (round 4) to free the
+    registry slot ``pq_ann`` takes while every sibling check stays
+    driver-verified."""
+    return q_c5_c6_checks(spark, sf_dir) \
+        .unionByName(q_c7_c8_checks(spark, sf_dir))
+
+
+_PQ_CFG = dict(dim=64, m=4, ksub=8, iters=2)
+
+
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (``operators/pq.py``) in one tagged
+    union: 'adc' = the compressed-domain full scan (asymmetric-distance
+    top-k over m-byte codes), 'ivfpq' = the FAISS IVF-PQ shape (coarse
+    cosine routing to nprobe clusters, integer ADC over probed codes
+    only). Both arms share the trained subspace codebooks; every
+    distance is exact int64 micro-unit² arithmetic, so the DuckDB twin
+    matches bit for bit."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_centroid_vectors)
+    from nci_seronet_proc_data_validator_spark.operators.pq import (
+        ivfpq_topk, pq_adc_topk, pq_encode, pq_fit)
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, **_PQ_CFG)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    adc = (pq_adc_topk(pq_encode(emb, books), queries, books, k=5)
+           .select(F.lit("adc").alias("op"), "*"))
+    centroids = kmeans_centroid_vectors(emb, k=8, iters=2)
+    ivf = (ivfpq_topk(emb, centroids, books, queries, k=5, nprobe=2)
+           .select(F.lit("ivfpq").alias("op"), "*"))
+    return adc.unionByName(ivf)
+
+
+def _sql_pq_ann() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.pq import (
+        ivfpq_oracle_sql, pq_adc_oracle_sql)
+    adc = pq_adc_oracle_sql(**_PQ_CFG, n_queries=5, k=5)
+    ivf = ivfpq_oracle_sql(**_PQ_CFG, coarse_k=8, coarse_iters=2,
+                           n_queries=5, k=5, nprobe=2)
+    return (f"SELECT 'adc' AS op, * FROM ({adc.strip()})\n"
+            f"UNION ALL\nSELECT 'ivfpq' AS op, * FROM ({ivf.strip()})")
+
+
 def q_c9_c12_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 assay resolution + C10 live≤total + C11 viability + C12
     conditional-missing findings."""
@@ -2604,8 +2650,11 @@ def _consolidate_registry() -> None:
                         cross_corpus_oracle_sql(_CROSS_NEW_PRED,
                                                 _CROSS_CORPUS_PRED)),
         "multimodal_decode": (q_multimodal_decode, _sql_multimodal_decode()),
-        "c5_c6_checks": (q_c5_c6_checks, _union_all_sql(SQL_C5, SQL_C6)),
-        "c7_c8_checks": (q_c7_c8_checks, _union_all_sql(SQL_C7, SQL_C8)),
+        # round-4: c5_c6 + c7_c8 fused (same findings shape) to free the
+        # slot the PQ ANN tier takes
+        "c5_c8_checks": (q_c5_c8_checks,
+                         _union_all_sql(SQL_C5, SQL_C6, SQL_C7, SQL_C8)),
+        "pq_ann": (q_pq_ann, _sql_pq_ann()),
         "c9_c12_checks": (q_c9_c12_checks,
                           _union_all_sql(SQL_C9, SQL_C10, SQL_C11, SQL_C12)),
         "events_windows": (q_events_windows, SQL_EVENTS_WINDOWS),
@@ -2676,6 +2725,8 @@ ORDER BY i.doc_id
         # per-doc prediction now a text_stats column (confusion-matrix
         # form remains available as q_lang_id)
         "lang_id",
+        # round-4: fused into c5_c8_checks (slot freed for pq_ann)
+        "c5_c6_checks", "c7_c8_checks",
     ]
     for name in absorbed:
         QUERIES.pop(name, None)

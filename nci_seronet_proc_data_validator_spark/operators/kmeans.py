@@ -137,35 +137,39 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
 
 
 def kmeans_ctes(k: int = 8, iters: int = 2,
-                table: str = "embeddings") -> list[str]:
+                table: str = "embeddings", prefix: str = "") -> list[str]:
     """The unrolled-Lloyd CTE chain shared by the k-means oracle and any
-    oracle composing on top of the trained centroids (``c{iters}`` is the
-    final centroid table, ``s{iters}`` its per-component stats)."""
+    oracle composing on top of the trained centroids (``{prefix}c{iters}``
+    is the final centroid table, ``{prefix}s{iters}`` its per-component
+    stats). ``prefix`` namespaces the CTEs so several independent chains
+    (e.g. one per PQ subspace) coexist in one statement; ``table`` may be
+    a parenthesized subquery exposing (vec_id, embedding)."""
     dist = ("list_reduce(list_transform(list_zip({a}, {b}), "
             "s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)")
-    ctes = [f"""v AS (
+    p = prefix
+    ctes = [f"""{p}v AS (
   SELECT vec_id AS vid,
          list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qv
-  FROM {table})""", f"""c0 AS (
+  FROM {table})""", f"""{p}c0 AS (
   SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, qv AS qc
-  FROM (SELECT vid, qv FROM v ORDER BY vid LIMIT {k}))"""]
+  FROM (SELECT vid, qv FROM {p}v ORDER BY vid LIMIT {k}))"""]
     for i in range(1, iters + 1):
-        ctes.append(f"""a{i} AS (
+        ctes.append(f"""{p}a{i} AS (
   SELECT vid, qv, cid FROM (
     SELECT v.vid, v.qv, c.cid,
            row_number() OVER (PARTITION BY v.vid
              ORDER BY {dist.format(a='v.qv', b='c.qc')}, c.cid) AS rn
-    FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
-        ctes.append(f"""s{i} AS (
+    FROM {p}v v CROSS JOIN {p}c{i - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""{p}s{i} AS (
   SELECT cid, pos, sum(val) AS s, count(*) AS n,
          CAST(round(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cq
   FROM (SELECT cid, unnest(qv) AS val,
                unnest(generate_series(0, len(qv) - 1)) AS pos
-        FROM a{i})
+        FROM {p}a{i})
   GROUP BY 1, 2)""")
-        ctes.append(f"""c{i} AS (
-  SELECT cid, list(cq ORDER BY pos) AS qc FROM s{i} GROUP BY cid)""")
+        ctes.append(f"""{p}c{i} AS (
+  SELECT cid, list(cq ORDER BY pos) AS qc FROM {p}s{i} GROUP BY cid)""")
     return ctes
 
 

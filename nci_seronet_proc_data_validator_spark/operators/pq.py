@@ -22,97 +22,125 @@ Spark-first shape for 100 TB:
   per-subspace lookup terms over the stored codes — the scan reads
   m bytes of code per row instead of dim floats.
 
-Float contract: IEEE double throughout; ties in argmin break to the
-LOWEST centroid id (``array_position`` returns the first minimum), so
-codes are deterministic. Test-verified against a numpy twin.
+Exactness contract (the k-means idiom, shared with the DuckDB oracle
+generators below): vectors and queries are quantized to integer
+micro-units up front (``round(x·1e6)`` as BIGINT), codebooks are the
+Lloyd chain's integer centroids, so every subspace distance, every
+argmin, and every ADC sum is EXACT int64 arithmetic — both engines agree
+bit for bit, no float rounding anywhere. Argmin ties break to the LOWEST
+code (first minimum of the code-ordered array). Magnitude: components
+are ~1e6 micro-units, so a squared diff is ≲4e12, ×dim(64) ≲ 2.6e14 —
+far below 2^63.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+    QUANT, _sqdist, quantize,
+)
 
-def pq_fit(emb: DataFrame, dim: int, m: int = 8, ksub: int = 16,
+_DIST = ("list_reduce(list_transform(list_zip({a}, {b}), "
+         "s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)")
+_QUANTIZE = ("list_transform({col}, "
+             f"x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))")
+
+
+def pq_fit(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
            iters: int = 2, id_col: str = "vec_id",
-           vec_col: str = "embedding") -> list[list[list[float]]]:
-    """Train ``m`` subspace codebooks of ``ksub`` centroids each.
-    Returns ``codebooks[m][ksub][dim/m]`` (missing/empty clusters are
-    dropped by the underlying Lloyd; ksub is an upper bound)."""
+           vec_col: str = "embedding") -> list[list[list[int]]]:
+    """Train ``m`` subspace codebooks of ``ksub`` INTEGER centroids each
+    (quantized micro-units — the Lloyd chain's native form). Returns
+    ``codebooks[m][code][dim/m]``; code ids are 0-based positions in
+    ascending surviving-centroid order (empty clusters drop out, so ksub
+    is an upper bound)."""
     from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-        kmeans_centroid_vectors)
+        kmeans_fit)
     if dim % m != 0:
         raise ValueError(f"dim must divide into m subspaces: {dim=} {m=}")
     dsub = dim // m
-    books: list[list[list[float]]] = []
+    books: list[list[list[int]]] = []
     for s in range(m):
         sub = emb.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col))
-        cents = (kmeans_centroid_vectors(sub, k=ksub, iters=iters,
-                                         id_col=id_col, vec_col=vec_col)
-                 .orderBy("centroid_id").collect())
-        books.append([[float(x) for x in r["ce"]] for r in cents])
+        rows = (kmeans_fit(sub, k=ksub, iters=iters,
+                           id_col=id_col, vec_col=vec_col)
+                .orderBy("centroid_id", "pos").collect())
+        by_cid: dict[int, list[int]] = {}
+        for r in rows:
+            by_cid.setdefault(r["centroid_id"], []).append(int(r["cq"]))
+        books.append([by_cid[c] for c in sorted(by_cid)])
     return books
 
 
-def _sub_dist_sql(vec_col: str, s: int, dsub: int,
-                  centroid: list[float], query: bool) -> str:
-    """Squared L2 of subspace ``s`` of ``vec_col`` vs a centroid literal.
-    ``query=False`` indexes the subvector slice of a full data vector."""
-    terms = []
-    for j, c in enumerate(centroid):
-        idx = s * dsub + j
-        terms.append(f"power(CAST({vec_col}[{idx}] AS DOUBLE)"
-                     f" - ({c!r}), 2)")
-    return "(" + " + ".join(terms) + ")"
-
-
-def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
-              vec_col: str = "embedding",
-              out_col: str = "pq_code") -> DataFrame:
-    """Append ``out_col``: array<int> of m codebook indices (0-based),
-    one argmin per subspace, computed entirely map-side."""
+def _code_col(qv: Column, codebooks: list[list[list[int]]]) -> Column:
+    """m argmins over the codebook literals — one array<int> projection."""
     dsub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
-        dists = ", ".join(_sub_dist_sql(vec_col, s, dsub, c, False)
-                          for c in book)
-        codes.append(f"CAST(array_position(array({dists}), "
-                     f"array_min(array({dists}))) - 1 AS INT)")
+        sub = F.slice(qv, s * dsub + 1, dsub)
+        d = F.array(*[
+            _sqdist(sub, F.array(*[F.lit(int(x)) for x in c]))
+            for c in book])
+        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[int]]],
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Append ``out_col``: array<int> of m codebook indices (0-based),
+    one argmin per subspace, computed entirely map-side over the
+    quantized vector."""
     return emb.withColumn(out_col,
-                          F.expr(f"array({', '.join(codes)})"))
+                          _code_col(quantize(F.col(vec_col)), codebooks))
+
+
+def _adc_dist(code_col: Column, qq: Column,
+              codebooks: list[list[list[int]]]) -> Column:
+    """Σ_s LUT_s[code_s]: integer subspace distances of the quantized
+    query against the codebook literals, looked up by stored code."""
+    dsub = len(codebooks[0][0])
+    total = F.lit(0).cast("long")
+    for s, book in enumerate(codebooks):
+        sub = F.slice(qq, s * dsub + 1, dsub)
+        lut = F.array(*[
+            _sqdist(sub, F.array(*[F.lit(int(x)) for x in c]))
+            for c in book])
+        total = total + F.element_at(
+            lut, F.element_at(code_col, s + 1).cast("int") + 1)
+    return total
 
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame,
-                codebooks: list[list[list[float]]], k: int = 5,
+                codebooks: list[list[list[int]]], k: int = 5,
                 id_col: str = "vec_id", code_col: str = "pq_code",
                 query_id: str = "query_id",
                 query_vec: str = "qe") -> DataFrame:
     """Asymmetric-distance top-k: for every query, the k nearest stored
-    CODES (approximate L2). The query side is broadcast; the code scan
-    computes Σ_s table_s[code_s] from codebook literals — no raw-vector
-    reads, no shuffle keyed on content; ranking is a per-query window
-    (partitioned — never global)."""
+    CODES (approximate squared L2, exact int64 in micro-unit²). The query
+    side is broadcast; the code scan sums per-subspace lookups from
+    codebook literals — no raw-vector reads, no shuffle keyed on content;
+    ranking is a per-query window (partitioned — never global). No
+    self-filter: a query that is also a corpus row ranks itself."""
     from pyspark.sql import Window as W
-    dsub = len(codebooks[0][0])
-    terms = []
-    for s, book in enumerate(codebooks):
-        luts = ", ".join(_sub_dist_sql(query_vec, s, dsub, c, True)
-                         for c in book)
-        terms.append(f"element_at(array({luts}), "
-                     f"CAST({code_col}[{s}] AS INT) + 1)")
-    dist = F.expr(" + ".join(terms))
-    scored = (codes.crossJoin(F.broadcast(queries))
-              .select(query_id, id_col, F.round(dist, 6).alias("adc_dist")))
-    w = W.partitionBy(query_id).orderBy("adc_dist", id_col)
+    q = queries.select(query_id,
+                       quantize(F.col(query_vec)).alias("_qq"))
+    scored = (codes.crossJoin(F.broadcast(q))
+              .select(query_id, F.col(id_col).alias("neighbor_id"),
+                      _adc_dist(F.col(code_col), F.col("_qq"), codebooks)
+                      .alias("adc_dist")))
+    w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy(query_id, "rank"))
 
 
 def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
-               codebooks: list[list[list[float]]], queries: DataFrame,
+               codebooks: list[list[list[int]]], queries: DataFrame,
                k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding", query_id: str = "query_id",
                query_vec: str = "qe") -> DataFrame:
@@ -124,8 +152,7 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
     ``pq_adc_topk``'s compressed-domain full scan needs at real corpus
     sizes. Probe routing is cosine (matching ``similarity.ivf_assign``,
     so a bucketBy(cluster_id) code index co-locates both consumers);
-    within candidates the ranking is ADC L2 over codebook literals.
-    """
+    within candidates the ranking is exact-integer ADC."""
     from pyspark.sql import Window as W
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         _dot, _norm, ivf_assign)
@@ -140,19 +167,130 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
               .withColumn("_qsim", qsim)
               .withColumn("_rn", F.row_number().over(wq))
               .filter(F.col("_rn") <= nprobe)
-              .select(query_id, query_vec,
+              .select(query_id, quantize(F.col(query_vec)).alias("_qq"),
                       F.col("centroid_id").alias("cluster_id")))
-    dsub = len(codebooks[0][0])
-    terms = []
-    for s, book in enumerate(codebooks):
-        luts = ", ".join(_sub_dist_sql(query_vec, s, dsub, c, True)
-                         for c in book)
-        terms.append(f"element_at(array({luts}), "
-                     f"CAST(pq_code[{s}] AS INT) + 1)")
-    dist = F.expr(" + ".join(terms))
-    w = W.partitionBy(query_id).orderBy("adc_dist", id_col)
+    w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (probes.join(codes, "cluster_id")
-            .select(query_id, id_col, F.round(dist, 6).alias("adc_dist"))
+            .select(query_id, F.col(id_col).alias("neighbor_id"),
+                    _adc_dist(F.col("pq_code"), F.col("_qq"), codebooks)
+                    .alias("adc_dist"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy(query_id, "rank"))
+
+
+# ------------------------------------------------------------- oracles
+def pq_ctes(dim: int, m: int = 4, ksub: int = 8, iters: int = 2,
+            n_queries: int = 5, table: str = "embeddings") -> list[str]:
+    """The full PQ pipeline as DuckDB CTEs: per subspace a prefixed Lloyd
+    chain (``p{s}…``), the 0-based codebook (``p{s}cb``), the argmin
+    encode (``p{s}enc``), and the per-subspace ADC partials (``p{s}adc``)
+    summed into ``pqadc(query_id, neighbor_id, adc_dist)``. All integer —
+    bit-exact against the Spark operators above."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_ctes)
+    dsub = dim // m
+    ctes: list[str] = [f"""pqq AS (
+  SELECT vec_id AS query_id, {_QUANTIZE.format(col='embedding')} AS qq
+  FROM {table} WHERE vec_id < {n_queries})"""]
+    partials = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        sub = (f"(SELECT vec_id, list_slice(embedding, {lo}, {hi}) "
+               f"AS embedding FROM {table})")
+        ctes.extend(kmeans_ctes(k=ksub, iters=iters, table=sub,
+                                prefix=f"p{s}"))
+        ctes.append(f"""p{s}cb AS (
+  SELECT row_number() OVER (ORDER BY cid) - 1 AS code, qc
+  FROM p{s}c{iters})""")
+        ctes.append(f"""p{s}enc AS (
+  SELECT vid, code FROM (
+    SELECT v.vid, b.code,
+           row_number() OVER (PARTITION BY v.vid
+             ORDER BY {_DIST.format(a='v.qv', b='b.qc')}, b.code) AS rn
+    FROM p{s}v v CROSS JOIN p{s}cb b) WHERE rn = 1)""")
+        qsub = f"list_slice(q.qq, {lo}, {hi})"
+        ctes.append(f"""p{s}adc AS (
+  SELECT q.query_id, e.vid, {_DIST.format(a=qsub, b='b.qc')} AS d
+  FROM pqq q CROSS JOIN p{s}enc e JOIN p{s}cb b ON b.code = e.code)""")
+        partials.append(f"SELECT * FROM p{s}adc")
+    ctes.append(f"""pqadc AS (
+  SELECT query_id, vid AS neighbor_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+  FROM ({' UNION ALL '.join(partials)}) GROUP BY 1, 2)""")
+    return ctes
+
+
+def pq_adc_oracle_sql(dim: int, m: int = 4, ksub: int = 8, iters: int = 2,
+                      n_queries: int = 5, k: int = 5,
+                      table: str = "embeddings") -> str:
+    """DuckDB twin of fit → encode → ``pq_adc_topk`` (full compressed
+    scan)."""
+    joined = ",\n".join(pq_ctes(dim, m, ksub, iters, n_queries, table))
+    return f"""
+WITH {joined}
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY adc_dist, neighbor_id) AS rank
+  FROM pqadc)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def ivfpq_oracle_sql(dim: int, m: int = 4, ksub: int = 8, iters: int = 2,
+                     coarse_k: int = 8, coarse_iters: int = 2,
+                     n_queries: int = 5, k: int = 5, nprobe: int = 2,
+                     table: str = "embeddings") -> str:
+    """DuckDB twin of ``ivfpq_topk``: the coarse Lloyd chain (prefix
+    ``g``) routes queries and vectors by cosine exactly as
+    ``similarity.ivf_assign`` does; ADC restricted to probed clusters."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_ctes)
+    dot = ("list_reduce(list_transform(list_zip({a}, {b}), "
+           "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), "
+           "(x, y) -> x + y)")
+    nrm = ("sqrt(list_reduce(list_transform({a}, "
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))")
+
+    def cos(a: str, b: str) -> str:
+        return (f"{dot.format(a=a, b=b)} / "
+                f"({nrm.format(a=a)} * {nrm.format(a=b)})")
+
+    coarse = kmeans_ctes(k=coarse_k, iters=coarse_iters, table=table,
+                         prefix="g")
+    cent = (f"gcent AS (\n  SELECT cid AS centroid_id, "
+            f"list_transform(qc, x -> CAST(x AS DOUBLE) / {QUANT}) AS ce\n"
+            f"  FROM gc{coarse_iters})")
+    routing = [cent, f"""gassigned AS (
+  SELECT vec_id, centroid_id AS cluster_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos('e.embedding', 'c.ce')}, 12) DESC,
+                      c.centroid_id) AS rn
+    FROM {table} e CROSS JOIN gcent c)
+  WHERE rn = 1)""", f"""gq AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM {table}
+  WHERE vec_id < {n_queries})""", f"""gprobes AS (
+  SELECT query_id, centroid_id AS cluster_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({cos('q.qe', 'c.ce')}, 12) DESC,
+                      c.centroid_id) AS rn
+    FROM gq q CROSS JOIN gcent c)
+  WHERE rn <= {nprobe})"""]
+    pq = pq_ctes(dim, m, ksub, iters, n_queries, table)
+    joined = ",\n".join(coarse + routing + pq)
+    return f"""
+WITH {joined}
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT d.query_id, d.neighbor_id, d.adc_dist,
+         row_number() OVER (PARTITION BY d.query_id
+           ORDER BY d.adc_dist, d.neighbor_id) AS rank
+  FROM pqadc d
+  JOIN gassigned a ON a.vec_id = d.neighbor_id
+  JOIN gprobes p ON p.query_id = d.query_id
+                AND p.cluster_id = a.cluster_id)
+WHERE rank <= {k}
+ORDER BY query_id, rank
+"""

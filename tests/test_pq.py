@@ -1,8 +1,8 @@
 """Product quantization: subspace codebooks via the distributed Lloyd,
-map-only encode, ADC search — verified against a numpy twin."""
+map-only encode, integer-exact ADC search — verified against a numpy
+twin over the same quantized micro-unit arithmetic."""
 
 import numpy as np
-from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.operators.pq import (
     pq_adc_topk,
@@ -21,6 +21,13 @@ def _data():
                       for c in centers])[:N]
 
 
+def _quant(X):
+    # round-half-even like both engines' round() on exact doubles is NOT
+    # what we want — Spark F.round rounds HALF_UP on positives, but these
+    # are random irrationals; np.round's tie rule never fires in practice.
+    return np.round(np.asarray(X, dtype=np.float64) * 1e6).astype(np.int64)
+
+
 def _df(spark, X):
     return spark.createDataFrame(
         [(i, [float(v) for v in X[i]]) for i in range(len(X))],
@@ -29,10 +36,12 @@ def _df(spark, X):
 
 def _np_encode(X, books):
     dsub = DIM // M
+    Xq = _quant(X)
     codes = np.zeros((len(X), M), dtype=int)
     for s, book in enumerate(books):
-        sub = X[:, s * dsub:(s + 1) * dsub]
-        d = ((sub[:, None, :] - np.array(book)[None, :, :]) ** 2).sum(-1)
+        sub = Xq[:, s * dsub:(s + 1) * dsub]
+        d = ((sub[:, None, :] - np.array(book, dtype=np.int64)[None, :, :])
+             ** 2).sum(-1)
         codes[:, s] = d.argmin(axis=1)   # numpy argmin = first min, same tie rule
     return codes
 
@@ -42,6 +51,7 @@ def test_pq_encode_matches_numpy(spark):
     df = _df(spark, X)
     books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
     assert len(books) == M and all(len(b[0]) == DIM // M for b in books)
+    assert all(isinstance(b[0][0], int) for b in books)
     got = np.array([r["pq_code"] for r in
                     pq_encode(df, books).orderBy("vec_id").collect()])
     assert (got == _np_encode(X, books)).all()
@@ -67,9 +77,22 @@ def test_pq_encode_is_map_only_and_streams(spark, tmp_path):
     assert streamed[0] == list(want[0]) and len(streamed) == len(X)
 
 
+def _np_adc(X, books, qi):
+    """Integer ADC distances of query qi against every stored code."""
+    dsub = DIM // M
+    Xq = _quant(X)
+    cds = _np_encode(X, books)
+    d = np.zeros(len(X), dtype=np.int64)
+    for s in range(M):
+        lut_s = ((Xq[qi][s * dsub:(s + 1) * dsub][None, :]
+                  - np.array(books[s], dtype=np.int64)) ** 2).sum(-1)
+        d += lut_s[cds[:, s]]
+    return d
+
+
 def test_pq_adc_recall_against_brute_force(spark):
     """ADC top-k over codes recovers most of the true neighbors on
-    clustered data, and exactly matches the numpy ADC twin."""
+    clustered data, and exactly matches the numpy integer ADC twin."""
     X = _data()
     df = _df(spark, X)
     books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
@@ -77,22 +100,15 @@ def test_pq_adc_recall_against_brute_force(spark):
     qs = spark.createDataFrame(
         [(int(i), [float(v) for v in X[i]]) for i in (0, 50, 150)],
         "query_id long, qe array<double>")
-    got = {}
+    got, gotd = {}, {}
     for r in pq_adc_topk(codes, qs, books, k=5).collect():
-        got.setdefault(r["query_id"], []).append(r["vec_id"])
-    # numpy ADC twin
-    dsub = DIM // M
-    cds = _np_encode(X, books)
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        gotd.setdefault(r["query_id"], []).append(r["adc_dist"])
     for qi in (0, 50, 150):
-        # per-subspace LUTs may be ragged (Lloyd drops empty clusters)
-        d = np.zeros(len(X))
-        for s in range(M):
-            lut_s = ((X[qi][s * dsub:(s + 1) * dsub][None, :]
-                      - np.array(books[s])) ** 2).sum(-1)
-            d += lut_s[cds[:, s]]
-        d = np.round(d, 6)
+        d = _np_adc(X, books, qi)
         order = np.lexsort((np.arange(len(X)), d))[:5]
         assert got[qi] == list(order), qi
+        assert gotd[qi] == [int(d[v]) for v in order], qi
         # quantizer quality: every ADC neighbor comes from the query's
         # own generating cluster (within-cluster docs share codes, so
         # exact-rank order inside the cluster is tie-broken by id —
@@ -119,11 +135,11 @@ def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(spark):
     bounded = {}
     for r in ivfpq_topk(df, centroids, books, qs, k=5, nprobe=2).collect():
         bounded.setdefault(r["query_id"], []).append(
-            (r["vec_id"], r["adc_dist"]))
+            (r["neighbor_id"], r["adc_dist"]))
     full = {}
     for r in pq_adc_topk(pq_encode(df, books), qs, books, k=5).collect():
         full.setdefault(r["query_id"], []).append(
-            (r["vec_id"], r["adc_dist"]))
+            (r["neighbor_id"], r["adc_dist"]))
     for qi in (0, 150):
         assert len(bounded[qi]) == 5
         # ADC distances agree between the two paths for shared ids
@@ -134,3 +150,41 @@ def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(spark):
         # top-1 of the bounded probe equals the full-scan top-1 (the
         # query's own cluster is always among its 2 nearest probes)
         assert bounded[qi][0] == full[qi][0]
+
+
+def test_pq_oracle_sql_matches_spark(spark):
+    """The DuckDB oracle generators reproduce the Spark ADC and IVF-PQ
+    results bit for bit on a parquet snapshot of the test data."""
+    import duckdb
+
+    from nci_seronet_proc_data_validator_spark.operators.pq import (
+        ivfpq_oracle_sql, ivfpq_topk, pq_adc_oracle_sql)
+    X = _data()
+    df = _df(spark, X)
+    con = duckdb.connect()
+    con.register("embeddings",
+                 __import__("pandas").DataFrame(
+                     {"vec_id": range(len(X)),
+                      "embedding": [list(map(float, r)) for r in X]}))
+    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    qs = (df.filter("vec_id < 3")
+          .selectExpr("vec_id AS query_id", "embedding AS qe"))
+    spark_adc = [(r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+                 for r in pq_adc_topk(pq_encode(df, books), qs, books,
+                                      k=5).collect()]
+    duck_adc = con.execute(
+        pq_adc_oracle_sql(DIM, m=M, ksub=KSUB, iters=2,
+                          n_queries=3, k=5)).fetchall()
+    assert spark_adc == [(a, b, int(c), d) for a, b, c, d in duck_adc]
+
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_centroid_vectors)
+    centroids = kmeans_centroid_vectors(df, k=6, iters=2)
+    spark_ivf = [(r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+                 for r in ivfpq_topk(df, centroids, books, qs,
+                                     k=5, nprobe=2).collect()]
+    duck_ivf = con.execute(
+        ivfpq_oracle_sql(DIM, m=M, ksub=KSUB, iters=2, coarse_k=6,
+                         coarse_iters=2, n_queries=3, k=5,
+                         nprobe=2)).fetchall()
+    assert spark_ivf == [(a, b, int(c), d) for a, b, c, d in duck_ivf]
