@@ -76,6 +76,81 @@ def pq_fit(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
     return books
 
 
+def pq_fit_fused(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
+                 iters: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding", include_full: bool = False
+                 ) -> tuple[list[list[list[int]]], list[list[int]]]:
+    """The fused single-pass PQ fit the module docstring promises: ALL
+    slice fits run as ONE keyed Lloyd — rows explode to (slice, subvec),
+    each iteration is a single map-only assignment against an
+    array-of-codebooks literal plus ONE aggregation keyed on
+    (slice, cluster, dim) — so the m (+1) codebooks train in exactly
+    ``iters`` shuffle rounds and ``iters + 1`` driver syncs total,
+    instead of m× that. Bit-identical to per-slice ``pq_fit`` (each
+    slice's arithmetic is independent; init ids — the k lowest — are the
+    same ids for every slice).
+
+    ``include_full=True`` appends the FULL vector as one more slice, so
+    the coarse IVF centroids co-train in the same chain (k must equal
+    ksub); the last returned book is then the coarse codebook in
+    quantized micro-units.
+
+    Returns ``(books, cids)``: per slice the codebook vectors AND the
+    surviving ORIGINAL cluster ids (positions drop when a cluster
+    empties) — consumers that key on cluster identity (coarse IVF
+    routing ties) need the originals."""
+    if dim % m != 0:
+        raise ValueError(f"dim must divide into m subspaces: {dim=} {m=}")
+    dsub = dim // m
+    spans = [(s * dsub, dsub) for s in range(m)]
+    if include_full:
+        spans.append((0, dim))
+    v = emb.select(F.col(id_col).alias("vid"),
+                   quantize(F.col(vec_col)).alias("qv"))
+    sub = v.select(
+        "vid",
+        F.posexplode(F.array(*[F.slice("qv", lo + 1, ln)
+                               for lo, ln in spans])).alias("s", "qv")
+    ).persist()
+    init = v.orderBy("vid").limit(ksub).collect()
+    centers = [[list(r["qv"])[lo:lo + ln] for r in init]
+               for lo, ln in spans]
+    cids = [list(range(len(c))) for c in centers]
+    for _ in range(iters):
+        c_lit = F.array(*[
+            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
+            for book in centers])
+        cid_lit = F.array(*[F.array(*[F.lit(c) for c in cs])
+                            for cs in cids])
+        dists = F.transform(F.element_at(c_lit, F.col("s") + 1),
+                            lambda c: _sqdist(F.col("qv"), c))
+        assigned = (sub.withColumn("_d", dists)
+                    .select("s", "vid", "qv",
+                            F.element_at(
+                                F.element_at(cid_lit, F.col("s") + 1),
+                                F.array_position("_d", F.array_min("_d"))
+                                .cast("int")).alias("cid")))
+        sums = (assigned
+                .select("s", "cid", F.posexplode("qv").alias("pos", "val"))
+                .groupBy("s", "cid", "pos")
+                .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+                .withColumn("cq", F.round(F.col("sm").cast("double")
+                                          / F.col("n")).cast("long")))
+        by_s: dict[int, dict[int, dict[int, int]]] = {}
+        for r in sums.collect():
+            by_s.setdefault(r["s"], {}).setdefault(
+                r["cid"], {})[r["pos"]] = r["cq"]
+        centers, cids = [], []
+        for si in range(len(spans)):
+            by_cid = by_s.get(si, {})
+            cs = sorted(by_cid)
+            cids.append(cs)
+            centers.append([[by_cid[c][p] for p in sorted(by_cid[c])]
+                            for c in cs])
+    sub.unpersist()
+    return centers, cids
+
+
 def _code_col(qv: Column, codebooks: list[list[list[int]]]) -> Column:
     """m argmins over the codebook literals — one array<int> projection."""
     dsub = len(codebooks[0][0])
@@ -99,19 +174,28 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[int]]],
                           _code_col(quantize(F.col(vec_col)), codebooks))
 
 
-def _adc_dist(code_col: Column, qq: Column,
-              codebooks: list[list[list[int]]]) -> Column:
-    """Σ_s LUT_s[code_s]: integer subspace distances of the quantized
-    query against the codebook literals, looked up by stored code."""
+def _lut_col(qq: Column, codebooks: list[list[list[int]]]) -> Column:
+    """The query's ADC lookup table — array<array<long>> of m×ksub
+    integer subspace distances against the codebook literals. Computed
+    ONCE per query row BEFORE the candidate join, so the O(m·ksub·dsub)
+    expression never rides the per-candidate scan."""
     dsub = len(codebooks[0][0])
-    total = F.lit(0).cast("long")
-    for s, book in enumerate(codebooks):
-        sub = F.slice(qq, s * dsub + 1, dsub)
-        lut = F.array(*[
-            _sqdist(sub, F.array(*[F.lit(int(x)) for x in c]))
+    return F.array(*[
+        F.array(*[
+            _sqdist(F.slice(qq, s * dsub + 1, dsub),
+                    F.array(*[F.lit(int(x)) for x in c]))
             for c in book])
+        for s, book in enumerate(codebooks)])
+
+
+def _adc_dist(code_col: Column, lut: Column, m: int) -> Column:
+    """Σ_s LUT[s][code_s]: m array lookups per candidate row — the whole
+    per-candidate ADC cost."""
+    total = F.lit(0).cast("long")
+    for s in range(m):
         total = total + F.element_at(
-            lut, F.element_at(code_col, s + 1).cast("int") + 1)
+            F.element_at(lut, s + 1),
+            F.element_at(code_col, s + 1).cast("int") + 1)
     return total
 
 
@@ -128,11 +212,12 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     self-filter: a query that is also a corpus row ranks itself."""
     from pyspark.sql import Window as W
     q = queries.select(query_id,
-                       quantize(F.col(query_vec)).alias("_qq"))
+                       _lut_col(quantize(F.col(query_vec)), codebooks)
+                       .alias("_lut"))
     scored = (codes.crossJoin(F.broadcast(q))
               .select(query_id, F.col(id_col).alias("neighbor_id"),
-                      _adc_dist(F.col(code_col), F.col("_qq"), codebooks)
-                      .alias("adc_dist")))
+                      _adc_dist(F.col(code_col), F.col("_lut"),
+                                len(codebooks)).alias("adc_dist")))
     w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -143,7 +228,8 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
                codebooks: list[list[list[int]]], queries: DataFrame,
                k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding", query_id: str = "query_id",
-               query_vec: str = "qe") -> DataFrame:
+               query_vec: str = "qe",
+               codes: DataFrame | None = None) -> DataFrame:
     """Bounded-probe PQ search — the FAISS IVF-PQ shape (codes quantize
     raw vectors; residual encoding is the drop-in refinement): coarse IVF
     routing picks ``nprobe`` clusters per query, ADC runs ONLY over the
@@ -152,13 +238,19 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
     ``pq_adc_topk``'s compressed-domain full scan needs at real corpus
     sizes. Probe routing is cosine (matching ``similarity.ivf_assign``,
     so a bucketBy(cluster_id) code index co-locates both consumers);
-    within candidates the ranking is exact-integer ADC."""
+    within candidates the ranking is exact-integer ADC.
+
+    Pass a prebuilt ``codes`` frame (id, cluster_id, pq_code — e.g. the
+    persisted index a production deployment reads back) to skip the
+    in-line assign+encode build."""
     from pyspark.sql import Window as W
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         _dot, _norm, ivf_assign)
-    codes = pq_encode(
-        ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col),
-        codebooks, vec_col=vec_col).select(id_col, "cluster_id", "pq_code")
+    if codes is None:
+        codes = pq_encode(
+            ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col),
+            codebooks, vec_col=vec_col)
+    codes = codes.select(id_col, "cluster_id", "pq_code")
     qsim = (_dot(F.col(query_vec), F.col("ce"))
             / (_norm(F.col(query_vec)) * _norm(F.col("ce"))))
     wq = W.partitionBy(query_id).orderBy(
@@ -167,13 +259,15 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
               .withColumn("_qsim", qsim)
               .withColumn("_rn", F.row_number().over(wq))
               .filter(F.col("_rn") <= nprobe)
-              .select(query_id, quantize(F.col(query_vec)).alias("_qq"),
+              .select(query_id,
+                      _lut_col(quantize(F.col(query_vec)), codebooks)
+                      .alias("_lut"),
                       F.col("centroid_id").alias("cluster_id")))
     w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (probes.join(codes, "cluster_id")
             .select(query_id, F.col(id_col).alias("neighbor_id"),
-                    _adc_dist(F.col("pq_code"), F.col("_qq"), codebooks)
-                    .alias("adc_dist"))
+                    _adc_dist(F.col("pq_code"), F.col("_lut"),
+                              len(codebooks)).alias("adc_dist"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .orderBy(query_id, "rank"))

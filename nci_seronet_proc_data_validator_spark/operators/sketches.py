@@ -1,0 +1,191 @@
+"""Mergeable streaming sketches — HyperLogLog distinct counting and
+Count-Min frequency estimation — the approximate-analytics tier a
+100 TB pipeline runs where exact distinct/groupBy would shuffle the
+full key space.
+
+Why these shapes at scale:
+
+- **HLL** (Flajolet et al. 2007): per stratum the state is m=2^p
+  register maxima — the groupBy(stratum, bucket).max(rho) aggregation is
+  map-side combinable (max is associative), so the shuffle carries at
+  most strata×m tiny rows no matter how many tokens feed it. That IS the
+  sketch property: registers merge by max, so partial aggregation = sketch
+  union. Spark's own approx_count_distinct is the same algorithm fused
+  into one agg; this explicit form exists because its registers are
+  engine-portable (md5) and therefore oracle-checkable cross-engine.
+- **CMS** (Cormode & Muthukrishnan 2005): the counter table is d×w ints
+  built by one keyed count — again map-side combinable, bounded state
+  (d·w counters), and point queries are a broadcast join against the
+  tiny counter table. Heavy-hitter estimation without per-key state.
+
+Exactness contract: every hash, register, and counter is integer
+(32-bit md5-prefix hash — the package-wide engine-portable idiom,
+``operators/dedup.py``). The HLL harmonic sum is computed as an EXACT
+integer Σ 2^(R−M_j) (R=25 bounds the rank of a 24-bit suffix), so the
+only float op is one literal·m²·2^R / S division — IEEE-exact and
+identical on both engines; no log/exp anywhere (the standard small-range
+LinearCounting correction needs ln(), whose last-ulp behavior is
+libm-specific, so this operator reports the raw harmonic estimate plus
+the zero-bucket count V — applying m·ln(m/V) is a driver-side scalar).
+Ties/edge rules: hash suffix 0 → rho = R; probe words absent from the
+corpus read counter 0 (LEFT join + coalesce) on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: HLL geometry: p=8 → m=256 buckets, 24-bit rank suffix, R = 24+1.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_R = 33 - HLL_P
+#: alpha_m for m=256 (Flajolet et al. §4), embedded as the same literal
+#: in both engines.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+#: CMS geometry: d=4 salted hash rows × w=512 counters.
+CMS_D = 4
+CMS_W = 512
+
+_WS = "filter(split({c}, ' +'), x -> x != '')"
+_WS_SQL = "list_filter(string_split_regex({c}, ' +'), x -> x <> '')"
+
+
+def _h32(col: str) -> str:
+    """Spark SQL: engine-portable 32-bit hash (md5 hex prefix)."""
+    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _h32_sql(col: str) -> str:
+    """DuckDB twin of ``_h32``."""
+    return f"CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT)"
+
+
+def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text"
+                 ) -> DataFrame:
+    """Per-``key_col`` HLL distinct-token estimate:
+    ``(key, hll_estimate, zero_buckets, n_tokens)``.
+
+    Plan shape: explode tokens (map) → groupBy(key, bucket).max(rho)
+    (ONE shuffle, ≤ keys·m rows survive map-side combine) → groupBy(key)
+    harmonic sum (second shuffle over ≤ keys·m rows). ``n_tokens`` rides
+    the same aggregations for free."""
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
+    h = F.expr(_h32("tok"))
+    w = F.expr(f"{_h32('tok')} DIV {HLL_M}")
+    rho = F.when(w == 0, F.lit(HLL_R)) \
+        .otherwise(F.lit(HLL_R) - F.length(F.expr(
+            f"bin({_h32('tok')} DIV {HLL_M})")))
+    regs = (toks.select("key", (h % HLL_M).alias("bucket"),
+                        rho.alias("rho"))
+            .groupBy("key", "bucket")
+            .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("n")))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_R} - m_j)")
+    agg = (regs.groupBy("key")
+           .agg(F.sum(term).alias("s_present"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum("n").alias("n_tokens")))
+    # absent buckets contribute a full 2^R each to the harmonic sum
+    s = (F.col("s_present")
+         + (F.lit(HLL_M) - F.col("n_buckets"))
+         * F.lit(1 << HLL_R).cast("long"))
+    est = F.round(F.lit(HLL_ALPHA) * HLL_M * HLL_M
+                  * float(1 << HLL_R) / s.cast("double"), 4)
+    return agg.select(
+        "key", est.alias("hll_estimate"),
+        (F.lit(HLL_M) - F.col("n_buckets")).cast("long")
+        .alias("zero_buckets"),
+        F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def hll_distinct_oracle_sql(key_col: str, text_col: str = "text",
+                            table: str = "documents") -> str:
+    """DuckDB twin of ``hll_distinct`` — same registers bit for bit."""
+    h = _h32_sql("tok")
+    return f"""
+WITH toks AS (
+  SELECT {key_col} AS key, unnest({_WS_SQL.format(c=text_col)}) AS tok
+  FROM {table}),
+hb AS (
+  SELECT key, {h} % {HLL_M} AS bucket,
+         CASE WHEN {h} // {HLL_M} = 0 THEN {HLL_R}
+              ELSE {HLL_R} - length(bin({h} // {HLL_M}))
+         END AS rho
+  FROM toks),
+regs AS (
+  SELECT key, bucket, max(rho) AS m_j, count(*) AS n
+  FROM hb GROUP BY 1, 2),
+agg AS (
+  SELECT key,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_R} - m_j)) AS BIGINT)
+           AS s_present,
+         count(*) AS n_buckets, CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM regs GROUP BY 1)
+SELECT key,
+       round(CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+             * CAST({float(1 << HLL_R)!r} AS DOUBLE)
+             / CAST(s_present + ({HLL_M} - n_buckets)
+                    * (CAST(1 AS BIGINT) << {HLL_R}) AS DOUBLE), 4)
+         AS hll_estimate,
+       CAST({HLL_M} - n_buckets AS BIGINT) AS zero_buckets,
+       n_tokens
+FROM agg
+"""
+
+
+def cms_build(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The d×w Count-Min counter table ``(r, bucket, cnt)`` over token
+    OCCURRENCES (multiplicity counts, the CMS contract). One explode ×d
+    map + one keyed count; ≤ d·w rows survive map-side combine."""
+    toks = df.select(
+        F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
+    rows = toks.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     (F.expr(_h32(f"concat('{r}-', tok)")) % CMS_W)
+                     .alias("bucket"))
+            for r in range(CMS_D)])).alias("rb"))
+    return (rows.select("rb.r", "rb.bucket")
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def cms_point_query(counters: DataFrame, spark, words: list[str]
+                    ) -> DataFrame:
+    """CMS estimate per probe word: min over the d salted rows of the
+    word's counter (absent counters read 0). The d·|words| probe side is
+    broadcast against the ≤ d·w counter table."""
+    probe_rows = [(w, r) for w in words for r in range(CMS_D)]
+    probes = (spark.createDataFrame(probe_rows, "word string, r int")
+              .withColumn("bucket",
+                          F.expr(_h32("concat(r, '-', word)")) % CMS_W))
+    joined = (counters.join(F.broadcast(probes), ["r", "bucket"], "right")
+              .select("word", F.coalesce("cnt", F.lit(0)).alias("cnt")))
+    return joined.groupBy("word").agg(F.min("cnt").alias("cms_count"))
+
+
+def cms_oracle_sql(words: list[str], text_col: str = "text",
+                   table: str = "documents") -> str:
+    """DuckDB twin of ``cms_build`` + ``cms_point_query``."""
+    vals = ", ".join(f"('{w}')" for w in words)
+    h = _h32_sql("concat(r, '-', tok)")
+    hp = _h32_sql("concat(r, '-', word)")
+    return f"""
+WITH toks AS (
+  SELECT unnest({_WS_SQL.format(c=text_col)}) AS tok FROM {table}),
+counters AS (
+  SELECT r, {h} % {CMS_W} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1}))
+                        AS r)
+  GROUP BY 1, 2),
+probes AS (
+  SELECT word, r, {hp} % {CMS_W} AS bucket
+  FROM (VALUES {vals}) AS t(word)
+  CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS r))
+SELECT p.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+FROM probes p LEFT JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY 1
+"""

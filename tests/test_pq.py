@@ -152,6 +152,27 @@ def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(spark):
         assert bounded[qi][0] == full[qi][0]
 
 
+def test_pq_fit_fused_equals_per_slice_fits(spark):
+    """The fused one-chain Lloyd is bit-identical to m independent
+    subspace fits, and its include_full slice reproduces the standalone
+    coarse k-means codebook (original cluster ids preserved)."""
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_fit)
+    from nci_seronet_proc_data_validator_spark.operators.pq import (
+        pq_fit_fused)
+    X = _data()
+    df = _df(spark, X)
+    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    fused, cids = pq_fit_fused(df, DIM, m=M, ksub=KSUB, iters=2,
+                               include_full=True)
+    assert fused[:M] == books
+    by = {}
+    for r in kmeans_fit(df, k=KSUB, iters=2).collect():
+        by.setdefault(r["centroid_id"], []).append(int(r["cq"]))
+    assert fused[-1] == [by[c] for c in sorted(by)]
+    assert cids[-1] == sorted(by)
+
+
 def test_pq_oracle_sql_matches_spark(spark):
     """The DuckDB oracle generators reproduce the Spark ADC and IVF-PQ
     results bit for bit on a parquet snapshot of the test data."""
