@@ -158,6 +158,9 @@ BENCH_QUERIES = {
     # round-4: PQ codebook ANN (compressed-domain ADC + bounded-probe
     # IVF-PQ, integer-exact)
     "pq_ann": QUERIES["pq_ann"][0],
+    # round-4: mergeable sketches (HLL registers + CMS counters + exact
+    # twins + percentiles)
+    "sketch_profile": QUERIES["sketch_profile"][0],
 }
 
 

@@ -2400,6 +2400,93 @@ def q_c5_c8_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q_c7_c8_checks(spark, sf_dir))
 
 
+SKETCH_PROBE_WORDS = ["join", "hash", "data", "vector", "nosuchword"]
+
+
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch analytics (``operators/sketches.py``) in one
+    (sketch, key, value) tagged union: per-language HLL distinct-token
+    registers (harmonic estimate + zero-bucket count for the driver-side
+    LinearCounting correction), Count-Min point queries for a fixed probe
+    vocabulary, each sketch beside its EXACT twin so the approximation
+    error is part of the checked surface — plus the exact per-language
+    length percentiles the sketch tier replaces at 100 TB
+    (``approx_percentile``'s t-digest is the drop-in)."""
+    from nci_seronet_proc_data_validator_spark.operators.sketches import (
+        cms_build, cms_point_query, hll_distinct)
+    docs = read_table(spark, sf_dir, "documents")
+    hll = hll_distinct(docs, "lang")
+    h = hll.select(F.lit("hll_distinct_words").alias("sketch"),
+                   "key", F.col("hll_estimate").alias("value"))
+    z = hll.select(F.lit("hll_zero_buckets").alias("sketch"),
+                   "key", F.col("zero_buckets").cast("double")
+                   .alias("value"))
+    ex_d = (docs.select("lang", F.explode(
+                F.expr("filter(split(text, ' +'), x -> x != '')"))
+                .alias("tok"))
+            .groupBy(F.col("lang").alias("key"))
+            .agg(F.countDistinct("tok").cast("double").alias("value"))
+            .select(F.lit("exact_distinct_words").alias("sketch"),
+                    "key", "value"))
+    cms = (cms_point_query(cms_build(docs), spark, SKETCH_PROBE_WORDS)
+           .select(F.lit("cms_count").alias("sketch"),
+                   F.col("word").alias("key"),
+                   F.col("cms_count").cast("double").alias("value")))
+    ex_c = (docs.select(F.explode(
+                F.expr("filter(split(text, ' +'), x -> x != '')"))
+                .alias("tok"))
+            .filter(F.col("tok").isin(SKETCH_PROBE_WORDS))
+            .groupBy(F.col("tok").alias("key"))
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(F.lit("exact_count").alias("sketch"), "key", "value"))
+    pct = (q_length_percentiles(spark, sf_dir)
+           .selectExpr("lang AS key", "p10", "p50", "p90")
+           .selectExpr("key", "stack(3, 'p10', p10, 'p50', p50, "
+                              "'p90', p90) AS (sketch, value)")
+           .select("sketch", "key", "value"))
+    return (h.unionByName(z).unionByName(ex_d).unionByName(cms)
+            .unionByName(ex_c).unionByName(pct))
+
+
+def _sql_sketch_profile() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.sketches import (
+        cms_oracle_sql, hll_distinct_oracle_sql)
+    words = ", ".join(f"'{w}'" for w in SKETCH_PROBE_WORDS)
+    return f"""
+SELECT 'hll_distinct_words' AS sketch, key, hll_estimate AS value
+FROM ({hll_distinct_oracle_sql('lang').strip()})
+UNION ALL
+SELECT 'hll_zero_buckets' AS sketch, key,
+       CAST(zero_buckets AS DOUBLE) AS value
+FROM ({hll_distinct_oracle_sql('lang').strip()})
+UNION ALL
+SELECT 'exact_distinct_words' AS sketch, lang AS key,
+       CAST(count(DISTINCT tok) AS DOUBLE) AS value
+FROM (SELECT lang, unnest(list_filter(string_split_regex(text, ' +'),
+                                      x -> x <> '')) AS tok
+      FROM documents) GROUP BY 2
+UNION ALL
+SELECT 'cms_count' AS sketch, word AS key,
+       CAST(cms_count AS DOUBLE) AS value
+FROM ({cms_oracle_sql(SKETCH_PROBE_WORDS).strip()})
+UNION ALL
+SELECT 'exact_count' AS sketch, tok AS key,
+       CAST(count(*) AS DOUBLE) AS value
+FROM (SELECT unnest(list_filter(string_split_regex(text, ' +'),
+                                x -> x <> '')) AS tok
+      FROM documents)
+WHERE tok IN ({words}) GROUP BY 2
+UNION ALL
+SELECT p.sketch, p.key, p.value FROM (
+  SELECT lang AS key,
+         unnest(['p10', 'p50', 'p90']) AS sketch,
+         unnest([round(quantile_cont(n_chars, 0.1), 6),
+                 round(quantile_cont(n_chars, 0.5), 6),
+                 round(quantile_cont(n_chars, 0.9), 6)]) AS value
+  FROM documents GROUP BY lang) p
+"""
+
+
 _PQ_CFG = dict(dim=64, m=4, ksub=8, iters=2)
 
 
@@ -2708,6 +2795,9 @@ ORDER BY i.doc_id
         # learned tokenizer; slot freed by folding the per-doc lang-id
         # prediction into the text_stats profile scan
         "bpe_train": (q_bpe_train, _sql_bpe_train()),
+        # round-4: mergeable sketches (HLL + Count-Min + exact twins);
+        # absorbs length_percentiles as its exact-percentile arm
+        "sketch_profile": (q_sketch_profile, _sql_sketch_profile()),
     }
     absorbed = [
         # merged into the tagged unions above (c1_c2/c3_c4/a6 merged into
@@ -2741,6 +2831,8 @@ ORDER BY i.doc_id
         "lang_id",
         # round-4: fused into c5_c8_checks (slot freed for pq_ann)
         "c5_c6_checks", "c7_c8_checks",
+        # round-4: the sketch_profile pct arm (slot freed for the sketches)
+        "length_percentiles",
     ]
     for name in absorbed:
         QUERIES.pop(name, None)

@@ -156,13 +156,14 @@ def cms_build(df: DataFrame, text_col: str = "text") -> DataFrame:
 def cms_point_query(counters: DataFrame, spark, words: list[str]
                     ) -> DataFrame:
     """CMS estimate per probe word: min over the d salted rows of the
-    word's counter (absent counters read 0). The d·|words| probe side is
-    broadcast against the ≤ d·w counter table."""
+    word's counter (absent counters read 0, via LEFT join from the probe
+    side). The counter table — bounded at d·w rows by construction, the
+    sketch property — is the broadcast build side."""
     probe_rows = [(w, r) for w in words for r in range(CMS_D)]
     probes = (spark.createDataFrame(probe_rows, "word string, r int")
               .withColumn("bucket",
                           F.expr(_h32("concat(r, '-', word)")) % CMS_W))
-    joined = (counters.join(F.broadcast(probes), ["r", "bucket"], "right")
+    joined = (probes.join(F.broadcast(counters), ["r", "bucket"], "left")
               .select("word", F.coalesce("cnt", F.lit(0)).alias("cnt")))
     return joined.groupBy("word").agg(F.min("cnt").alias("cms_count"))
 

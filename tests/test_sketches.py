@@ -1,0 +1,85 @@
+"""HLL + Count-Min sketches: cross-engine register parity, sketch laws
+(HLL merge-by-max, CMS never undercounts), and plan shape."""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    cms_build,
+    cms_oracle_sql,
+    cms_point_query,
+    hll_distinct,
+    hll_distinct_oracle_sql,
+)
+
+DOCS = [
+    (0, "en", "the quick brown fox jumps over the lazy dog"),
+    (1, "en", "pack my box with five dozen liquor jugs"),
+    (2, "en", "the dog jumps  again   and again"),
+    (3, "de", "der schnelle braune fuchs springt"),
+    (4, "de", "der hund springt wieder und wieder und wieder"),
+]
+WORDS = ["the", "und", "jumps", "zebra"]
+
+
+def _spark_docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, lang string, text string")
+
+
+def _duck():
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        DOCS, columns=["doc_id", "lang", "text"]))
+    return con
+
+
+def test_hll_matches_duckdb_and_estimates_sanely(spark):
+    got = {r["key"]: (r["hll_estimate"], r["zero_buckets"], r["n_tokens"])
+           for r in hll_distinct(_spark_docs(spark), "lang").collect()}
+    want = {k: (e, z, n) for k, e, z, n in
+            _duck().execute(hll_distinct_oracle_sql("lang")).fetchall()}
+    assert got == want
+    # n_tokens is the exact token count; the raw harmonic estimate on a
+    # tiny set overestimates (no LinearCounting correction by design) but
+    # must stay positive and bounded
+    assert got["en"][2] == 23 and got["de"][2] == 13
+    assert all(0 < e and z <= 256 for e, z, _ in got.values())
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The sketch law that makes partial aggregation = sketch union:
+    splitting the corpus and max-merging registers gives the whole-corpus
+    estimate exactly."""
+    whole = {r["key"]: r["hll_estimate"]
+             for r in hll_distinct(_spark_docs(spark), "lang").collect()}
+    df = _spark_docs(spark)
+    merged = hll_distinct(
+        df.filter("doc_id < 2").unionByName(df.filter("doc_id >= 2")),
+        "lang")
+    got = {r["key"]: r["hll_estimate"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_cms_matches_duckdb_and_never_undercounts(spark):
+    docs = _spark_docs(spark)
+    got = {r["word"]: r["cms_count"]
+           for r in cms_point_query(cms_build(docs), spark,
+                                    WORDS).collect()}
+    want = dict(_duck().execute(cms_oracle_sql(WORDS)).fetchall())
+    assert got == want
+    exact = {"the": 3, "und": 2, "jumps": 2, "zebra": 0}
+    for w, e in exact.items():
+        assert got[w] >= e, w   # CMS one-sided error
+    # with 5 docs in a 4x512 table, collisions are absent: exact equality
+    assert got == exact
+
+
+def test_cms_counter_table_is_bounded_and_single_shuffle(spark):
+    counters = cms_build(_spark_docs(spark))
+    assert counters.count() <= CMS_D * CMS_W
+    plan = counters._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1   # one keyed count
+    assert "HashAggregate" in plan       # partial agg combines map-side
