@@ -62,15 +62,15 @@ def _h32_sql(col: str) -> str:
     return f"CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT)"
 
 
-def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text"
-                 ) -> DataFrame:
-    """Per-``key_col`` HLL distinct-token estimate:
-    ``(key, hll_estimate, zero_buckets, n_tokens)``.
-
-    Plan shape: explode tokens (map) → groupBy(key, bucket).max(rho)
-    (ONE shuffle, ≤ keys·m rows survive map-side combine) → groupBy(key)
-    harmonic sum (second shuffle over ≤ keys·m rows). ``n_tokens`` rides
-    the same aggregations for free."""
+def hll_registers(df: DataFrame, key_col: str, text_col: str = "text"
+                  ) -> DataFrame:
+    """The HLL register table ``(key, bucket, m_j, n)`` — the sketch's
+    ENTIRE state, built by one keyed max/count (≤ keys·m rows survive
+    map-side combine). This single-aggregation form is also the
+    streaming form: max/count are order-insensitive monotone updates, so
+    the same expression runs under ``readStream`` (complete/update mode)
+    and the register table after any prefix of micro-batches IS the
+    sketch of the data seen so far."""
     toks = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
@@ -79,10 +79,16 @@ def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text"
     rho = F.when(w == 0, F.lit(HLL_R)) \
         .otherwise(F.lit(HLL_R) - F.length(F.expr(
             f"bin({_h32('tok')} DIV {HLL_M})")))
-    regs = (toks.select("key", (h % HLL_M).alias("bucket"),
+    return (toks.select("key", (h % HLL_M).alias("bucket"),
                         rho.alias("rho"))
             .groupBy("key", "bucket")
             .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("n")))
+
+
+def hll_finalize(regs: DataFrame) -> DataFrame:
+    """Registers → ``(key, hll_estimate, zero_buckets, n_tokens)``; a
+    second tiny aggregation over ≤ keys·m rows (batch-side — streaming
+    deployments finalize the stored register table downstream)."""
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_R} - m_j)")
     agg = (regs.groupBy("key")
            .agg(F.sum(term).alias("s_present"),
@@ -99,6 +105,14 @@ def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text"
         (F.lit(HLL_M) - F.col("n_buckets")).cast("long")
         .alias("zero_buckets"),
         F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text"
+                 ) -> DataFrame:
+    """Per-``key_col`` HLL distinct-token estimate:
+    ``(key, hll_estimate, zero_buckets, n_tokens)`` —
+    ``hll_registers`` + ``hll_finalize`` composed for batch use."""
+    return hll_finalize(hll_registers(df, key_col, text_col))
 
 
 def hll_distinct_oracle_sql(key_col: str, text_col: str = "text",

@@ -83,3 +83,42 @@ def test_cms_counter_table_is_bounded_and_single_shuffle(spark):
     plan = counters._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1   # one keyed count
     assert "HashAggregate" in plan       # partial agg combines map-side
+
+
+def test_sketches_stream_as_single_agg_state(spark, tmp_path):
+    """The register/counter tables are single monotone aggregations, so
+    both sketches run unchanged on a stream: after all micro-batches the
+    streamed state equals the batch sketch of the full data."""
+    from nci_seronet_proc_data_validator_spark.operators.sketches import (
+        hll_finalize, hll_registers)
+    batch = _spark_docs(spark)
+    # two files -> at least the availableNow source can split batches
+    src = str(tmp_path / "docs")
+    batch.filter("doc_id < 2").write.parquet(src)
+    batch.filter("doc_id >= 2").write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, lang string, text string").parquet(src)
+
+    q1 = (hll_registers(stream, "lang")
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("hll_regs").trigger(availableNow=True).start())
+    q2 = (cms_build(stream)
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("cms_tab").trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    got_hll = {r["key"]: (r["hll_estimate"], r["zero_buckets"],
+                          r["n_tokens"])
+               for r in hll_finalize(
+                   spark.sql("SELECT * FROM hll_regs")).collect()}
+    want_hll = {r["key"]: (r["hll_estimate"], r["zero_buckets"],
+                           r["n_tokens"])
+                for r in hll_distinct(batch, "lang").collect()}
+    assert got_hll == want_hll
+
+    got_cms = {(r["r"], r["bucket"]): r["cnt"]
+               for r in spark.sql("SELECT * FROM cms_tab").collect()}
+    want_cms = {(r["r"], r["bucket"]): r["cnt"]
+                for r in cms_build(batch).collect()}
+    assert got_cms == want_cms
