@@ -2551,25 +2551,31 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three ANN tiers in one tagged union — brute-force cosine top-10
     (the exactness baseline), the k-means-trained IVF probe (the
     partition-pruning scale path), and int8 quantize-then-rerank (the
-    memory-bandwidth scale path); identical
-    (query_id, neighbor_id, sim6, rank) shapes."""
+    memory-bandwidth scale path) — plus their reciprocal-rank-fusion
+    ensemble ('rrf': for that arm the sim6 column carries the fused RRF
+    score); identical (query_id, neighbor_id, sim6, rank) shapes."""
+    from nci_seronet_proc_data_validator_spark.operators.search import (
+        rrf_fuse)
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         quantized_topk)
-    b = q_embedding_topk(spark, sf_dir) \
-        .select(F.lit("brute").alias("op"), "*")
-    i = q_ivf_topk_trained(spark, sf_dir) \
-        .select(F.lit("ivf").alias("op"), "*")
+    b = q_embedding_topk(spark, sf_dir)
+    i = q_ivf_topk_trained(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    q = quantized_topk(emb, queries, k=5, cand=20) \
-        .select(F.lit("quant").alias("op"), "*")
-    return b.unionByName(i).unionByName(q)
+    q = quantized_topk(emb, queries, k=5, cand=20)
+    r = rrf_fuse([b, i, q]).withColumnRenamed("rrf6", "sim6")
+    return (b.select(F.lit("brute").alias("op"), "*")
+            .unionByName(i.select(F.lit("ivf").alias("op"), "*"))
+            .unionByName(q.select(F.lit("quant").alias("op"), "*"))
+            .unionByName(r.select(F.lit("rrf").alias("op"), "*")))
 
 
 def _sql_embedding_ann() -> str:
     from nci_seronet_proc_data_validator_spark.operators.kmeans import (
         kmeans_centroid_vectors_cte, kmeans_ctes)
+    from nci_seronet_proc_data_validator_spark.operators.search import (
+        rrf_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         ivf_topk_oracle_sql, quantized_topk_oracle_sql)
     ivf = ivf_topk_oracle_sql(
@@ -2577,9 +2583,19 @@ def _sql_embedding_ann() -> str:
         prefix_ctes=kmeans_ctes(k=8, iters=2),
         cent_cte=kmeans_centroid_vectors_cte(k=8, iters=2))
     quant = quantized_topk_oracle_sql(n_queries=5, k=5, cand=20)
-    return (f"SELECT 'brute' AS op, * FROM ({SQL_EMB_TOPK.strip()})\n"
-            f"UNION ALL\nSELECT 'ivf' AS op, * FROM ({ivf.strip()})\n"
-            f"UNION ALL\nSELECT 'quant' AS op, * FROM ({quant.strip()})")
+    rrf = rrf_oracle_sql(["arm_b", "arm_i", "arm_q"])
+    return f"""
+WITH arm_b AS ({SQL_EMB_TOPK.strip()}),
+arm_i AS ({ivf.strip()}),
+arm_q AS ({quant.strip()})
+SELECT 'brute' AS op, * FROM arm_b
+UNION ALL
+SELECT 'ivf' AS op, * FROM arm_i
+UNION ALL
+SELECT 'quant' AS op, * FROM arm_q
+UNION ALL
+SELECT 'rrf' AS op, query_id, neighbor_id, rrf6 AS sim6, rank
+FROM ({rrf.strip()})"""
 
 
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:

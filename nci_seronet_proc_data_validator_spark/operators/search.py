@@ -126,3 +126,62 @@ FROM (SELECT doc_id, score,
 WHERE rank <= {top_n}
 ORDER BY rank
 """
+
+
+def rrf_fuse(rankings: list[DataFrame], k_const: int = 60,
+             max_rank: int = 10, top_k: int = 5,
+             qid_col: str = "query_id", id_col: str = "neighbor_id"
+             ) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over N retriever
+    rankings — the standard hybrid-retrieval ensemble (e.g. lexical +
+    dense + quantized channels): score(d) = Σ_r 1/(k + rank_r(d)),
+    re-ranked per query.
+
+    Exactness contract: the fractional sum is computed over a COMMON
+    integer denominator — numerator Σ lcm(k+1..k+max_rank)/(k+rank) as
+    int64 — so accumulation order (nondeterministic under partial
+    aggregation) cannot perturb ties; the single float op is one IEEE
+    division for the reported score. Docs surfaced by only some channels
+    score on those alone (standard RRF). Plan shape: union of the
+    (already tiny, ≤ Q·k-row) rankings → one keyed sum → per-query
+    window — never touches corpus-scale data."""
+    import math
+    from functools import reduce
+
+    from pyspark.sql import Window
+    lcm = math.lcm(*range(k_const + 1, k_const + max_rank + 1))
+    un = reduce(lambda a, b: a.unionByName(b),
+                [r.select(qid_col, id_col, "rank") for r in rankings])
+    fused = (un.withColumn("_num", F.expr(f"{lcm} DIV ({k_const} + rank)"))
+             .groupBy(qid_col, id_col)
+             .agg(F.sum("_num").alias("_num")))
+    w = Window.partitionBy(qid_col).orderBy(F.col("_num").desc(),
+                                            F.col(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select(qid_col, id_col,
+                    F.round(F.col("_num").cast("double") / float(lcm), 6)
+                    .alias("rrf6"), "rank"))
+
+
+def rrf_oracle_sql(ranking_ctes: list[str], k_const: int = 60,
+                   max_rank: int = 10, top_k: int = 5) -> str:
+    """DuckDB twin of ``rrf_fuse`` over named CTEs each exposing
+    (query_id, neighbor_id, rank). CAST the HUGEINT sum back to BIGINT
+    (the engine-parity contract)."""
+    import math
+    lcm = math.lcm(*range(k_const + 1, k_const + max_rank + 1))
+    un = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, rank FROM {c}"
+        for c in ranking_ctes)
+    return f"""
+SELECT query_id, neighbor_id, rrf6, rank FROM (
+  SELECT query_id, neighbor_id,
+         round(CAST(num AS DOUBLE) / {lcm}, 6) AS rrf6,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY num DESC, neighbor_id) AS rank
+  FROM (SELECT query_id, neighbor_id,
+               CAST(SUM({lcm} // ({k_const} + rank)) AS BIGINT) AS num
+        FROM ({un}) GROUP BY 1, 2))
+WHERE rank <= {top_k}
+"""

@@ -135,3 +135,27 @@ def test_temperature_sample_rarest_kept_when_w_not_divides(spark):
     k = {r["lang"]: r["count"] for r in
          temperature_sample(df, "lang").groupBy("lang").count().collect()}
     assert k["rare"] == 10  # exactly 100%, not "~100% minus 1bp"
+
+
+def test_rrf_fuse_exact_fractions_and_consensus(spark):
+    """RRF: consensus doc beats any single-channel #1; scores equal the
+    hand-computed Σ 1/(60+rank) via the exact common-denominator path."""
+    import math
+
+    from nci_seronet_proc_data_validator_spark.operators.search import (
+        rrf_fuse)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank int")
+    # doc 7 is rank 2 everywhere; docs 1/2/3 top one channel each
+    r1 = mk([(0, 1, 1), (0, 7, 2), (0, 4, 3)])
+    r2 = mk([(0, 2, 1), (0, 7, 2), (0, 5, 3)])
+    r3 = mk([(0, 3, 1), (0, 7, 2), (0, 6, 3)])
+    got = {r["neighbor_id"]: (r["rrf6"], r["rank"])
+           for r in rrf_fuse([r1, r2, r3], top_k=10).collect()}
+    assert got[7][1] == 1                      # consensus wins
+    assert got[7][0] == round(3 / 62, 6)
+    assert got[1][0] == round(1 / 61, 6)
+    lcm = math.lcm(*range(61, 71))
+    assert got[7][0] == round((3 * (lcm // 62)) / lcm, 6)
+    # single-channel docs tie on score; ties break by id
+    assert [got[i][1] for i in (1, 2, 3)] == [2, 3, 4]
