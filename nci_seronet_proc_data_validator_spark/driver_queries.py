@@ -2444,8 +2444,14 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            .selectExpr("key", "stack(3, 'p10', p10, 'p50', p50, "
                               "'p90', p90) AS (sketch, value)")
            .select("sketch", "key", "value"))
+    from nci_seronet_proc_data_validator_spark.operators.sketches import (
+        hist_quantiles)
+    hq = (hist_quantiles(docs, "n_chars", "lang")
+          .select(F.concat(F.lit("histq_"), F.col("q_num"),
+                           F.lit("_"), F.col("q_den")).alias("sketch"),
+                  "key", F.col("est").cast("double").alias("value")))
     return (h.unionByName(z).unionByName(ex_d).unionByName(cms)
-            .unionByName(ex_c).unionByName(pct))
+            .unionByName(ex_c).unionByName(pct).unionByName(hq))
 
 
 def _sql_sketch_profile() -> str:
@@ -2484,7 +2490,17 @@ SELECT p.sketch, p.key, p.value FROM (
                  round(quantile_cont(n_chars, 0.5), 6),
                  round(quantile_cont(n_chars, 0.9), 6)]) AS value
   FROM documents GROUP BY lang) p
+UNION ALL
+SELECT concat('histq_', q_num, '_', q_den) AS sketch, key,
+       CAST(est AS DOUBLE) AS value
+FROM ({_hist_quantiles_sql()})
 """
+
+
+def _hist_quantiles_sql() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.sketches import (
+        hist_quantiles_oracle_sql)
+    return hist_quantiles_oracle_sql("n_chars", "lang").strip()
 
 
 _PQ_CFG = dict(dim=64, m=4, ksub=8, iters=2)

@@ -204,3 +204,70 @@ SELECT p.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
 FROM probes p LEFT JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
 GROUP BY 1
 """
+
+
+def hist_quantiles(df: DataFrame, value_col: str, key_col: str,
+                   qs: list[tuple[int, int]] = ((1, 10), (1, 2), (9, 10)),
+                   bin_width: int = 16) -> DataFrame:
+    """Histogram-sketch quantiles ``(key, q_num, q_den, est)`` — the
+    fixed-bin stand-in for the t-digest/KLL tier (Spark's
+    ``approx_percentile``): per key a bounded bucket→count table (ONE
+    keyed count, map-side combinable — the mergeable-sketch shape), then
+    the q-quantile estimate is the lower bound of the first bucket whose
+    cumulative count reaches ceil(q·n). Everything is integer — targets
+    come from rational q as (num, den) via ceiling division, never a
+    float — so both engines agree exactly; estimate error is bounded by
+    ``bin_width`` by construction."""
+    # Spark DIV truncates, DuckDB // floors — identical on the
+    # non-negative domain this sketch targets (counts/lengths)
+    b = (df.select(F.col(key_col).alias("key"),
+                   F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}")
+                   .alias("bucket"))
+         .groupBy("key", "bucket")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    from pyspark.sql import Window as W
+    wcum = (W.partitionBy("key").orderBy("bucket")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wall = (W.partitionBy("key")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    c = (b.withColumn("cum", F.sum("cnt").over(wcum))
+         .withColumn("n", F.sum("cnt").over(wall)))
+    qdf = F.array(*[F.struct(F.lit(n).alias("q_num"),
+                             F.lit(d).alias("q_den"))
+                    for n, d in qs])
+    target = F.expr("(n * q_num + q_den - 1) DIV q_den")   # ceil(q*n)
+    return (c.select("key", "bucket", "cum", "n",
+                     F.explode(qdf).alias("q"))
+            .select("key", "bucket", "cum", "n",
+                    F.col("q.q_num").alias("q_num"),
+                    F.col("q.q_den").alias("q_den"))
+            .filter(F.col("cum") >= target)
+            .groupBy("key", "q_num", "q_den")
+            .agg((F.min("bucket") * bin_width).cast("long").alias("est")))
+
+
+def hist_quantiles_oracle_sql(value_col: str, key_col: str,
+                              qs: list[tuple[int, int]] =
+                              ((1, 10), (1, 2), (9, 10)),
+                              bin_width: int = 16,
+                              table: str = "documents") -> str:
+    """DuckDB twin of ``hist_quantiles``."""
+    qvals = ", ".join(f"({n}, {d})" for n, d in qs)
+    return f"""
+WITH b AS (
+  SELECT {key_col} AS key,
+         CAST(CAST({value_col} AS BIGINT) // {bin_width} AS BIGINT)
+           AS bucket,
+         count(*) AS cnt
+  FROM {table} GROUP BY 1, 2),
+c AS (
+  SELECT key, bucket,
+         SUM(cnt) OVER (PARTITION BY key ORDER BY bucket
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY key) AS n
+  FROM b)
+SELECT key, q_num, q_den, CAST(min(bucket) * {bin_width} AS BIGINT) AS est
+FROM c CROSS JOIN (SELECT * FROM (VALUES {qvals}) AS t(q_num, q_den))
+WHERE cum >= (n * q_num + q_den - 1) // q_den
+GROUP BY 1, 2, 3
+"""

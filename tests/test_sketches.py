@@ -122,3 +122,25 @@ def test_sketches_stream_as_single_agg_state(spark, tmp_path):
     want_cms = {(r["r"], r["bucket"]): r["cnt"]
                 for r in cms_build(batch).collect()}
     assert got_cms == want_cms
+
+
+def test_hist_quantiles_matches_duckdb_and_bounds_error(spark):
+    from nci_seronet_proc_data_validator_spark.operators.sketches import (
+        hist_quantiles, hist_quantiles_oracle_sql)
+    rows = [(i, "a" if i % 3 else "b", i * 7 % 400) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    got = {(r["key"], r["q_num"], r["q_den"]): r["est"]
+           for r in hist_quantiles(df, "n_chars", "lang").collect()}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        rows, columns=["doc_id", "lang", "n_chars"]))
+    want = {(k, n, d): e for k, n, d, e in con.execute(
+        hist_quantiles_oracle_sql("n_chars", "lang")).fetchall()}
+    assert got == want
+    # error bounded by bin_width vs the true quantile
+    import numpy as np
+    vals = {"a": sorted(v for _, l, v in rows if l == "a"),
+            "b": sorted(v for _, l, v in rows if l == "b")}
+    for (k, n, d), est in got.items():
+        true = np.percentile(vals[k], 100 * n / d, method="lower")
+        assert abs(est - true) <= 16, (k, n, d, est, true)
