@@ -2450,8 +2450,20 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.concat(F.lit("histq_"), F.col("q_num"),
                            F.lit("_"), F.col("q_den")).alias("sketch"),
                   "key", F.col("est").cast("double").alias("value")))
+    # top principal direction of the embedding table: ONE integer gram
+    # aggregation (data-scale, order-free) + model-scale power iteration
+    # mirroring the oracle's CTE chain bit for bit (operators/pca.py)
+    from nci_seronet_proc_data_validator_spark.operators.pca import (
+        POW_XSCALE, int_gram_fit, power_iteration_top_component)
+    emb = read_table(spark, sf_dir, "embeddings")
+    gn, gs, gg = int_gram_fit(emb, 64)
+    xv = power_iteration_top_component(gn, gs, gg, 64, iters=64)
+    pw = spark.createDataFrame(
+        [(f"power_iter", f"pos_{i:02d}", v / POW_XSCALE)
+         for i, v in enumerate(xv)], "sketch string, key string, value double")
     return (h.unionByName(z).unionByName(ex_d).unionByName(cms)
-            .unionByName(ex_c).unionByName(pct).unionByName(hq))
+            .unionByName(ex_c).unionByName(pct).unionByName(hq)
+            .unionByName(pw))
 
 
 def _sql_sketch_profile() -> str:
@@ -2494,7 +2506,18 @@ UNION ALL
 SELECT concat('histq_', q_num, '_', q_den) AS sketch, key,
        CAST(est AS DOUBLE) AS value
 FROM ({_hist_quantiles_sql()})
+UNION ALL
+SELECT 'power_iter' AS sketch,
+       concat('pos_', lpad(CAST(pos AS VARCHAR), 2, '0')) AS key,
+       CAST(val AS DOUBLE) / 1000000 AS value
+FROM ({_power_iter_sql()})
 """
+
+
+def _power_iter_sql() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.pca import (
+        power_iter_oracle_sql)
+    return power_iter_oracle_sql(64, iters=64).strip()
 
 
 def _hist_quantiles_sql() -> str:
