@@ -2698,8 +2698,13 @@ def _sql_semdedup() -> str:
 _HOUR_US = 3_600_000_000
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
 def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-hourly + hopping-window rollups in one tagged union; both
+    """Tumbling-hourly + hopping-window rollups + the sequential
+    view→click→purchase conversion funnel (``operators/funnel.py``;
+    window_start carries the step index) in one tagged union; all arms
     emit (window_kind, window_start, window_end, event_type, n_events,
     sum_value) with bounds as epoch micros per the timestamp contract."""
     h = (q_events_hourly(spark, sf_dir)
@@ -2714,7 +2719,16 @@ def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.lit("sliding").alias("window_kind"), "window_start",
                  "window_end", F.lit("").alias("event_type"), "n_events",
                  "sum_value"))
-    return h.unionByName(s)
+    from nci_seronet_proc_data_validator_spark.operators.funnel import (
+        funnel_counts)
+    f = (funnel_counts(read_events(spark, sf_dir), FUNNEL_STEPS)
+         .select(F.lit("funnel").alias("window_kind"),
+                 F.col("step").cast("long").alias("window_start"),
+                 F.lit(0).cast("long").alias("window_end"),
+                 F.col("step_name").alias("event_type"),
+                 F.col("n_users").alias("n_events"),
+                 F.lit(0.0).alias("sum_value")))
+    return h.unionByName(s).unionByName(f)
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -2730,7 +2744,19 @@ UNION ALL
 SELECT 'sliding' AS window_kind, window_start, window_end,
        '' AS event_type, n_events, sum_value
 FROM ({SQL_EVENTS_SLIDING.strip()})
+UNION ALL
+SELECT 'funnel' AS window_kind, CAST(step AS BIGINT) AS window_start,
+       CAST(0 AS BIGINT) AS window_end, step_name AS event_type,
+       n_users AS n_events, 0.0 AS sum_value
+FROM ({{funnel_sql}})
 """
+
+
+def _sql_events_windows() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.funnel import (
+        funnel_oracle_sql)
+    return SQL_EVENTS_WINDOWS.format(
+        funnel_sql=funnel_oracle_sql(FUNNEL_STEPS).strip())
 
 
 def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2813,7 +2839,7 @@ def _consolidate_registry() -> None:
         "pq_ann": (q_pq_ann, _sql_pq_ann()),
         "c9_c12_checks": (q_c9_c12_checks,
                           _union_all_sql(SQL_C9, SQL_C10, SQL_C11, SQL_C12)),
-        "events_windows": (q_events_windows, SQL_EVENTS_WINDOWS),
+        "events_windows": (q_events_windows, _sql_events_windows()),
         "skew_salted": (q_skew_salted, SQL_SKEW_SALTED),
         "chunk_and_split": (q_chunk_and_split, _sql_chunk_and_split()),
         # round-3 curation operators, slotted in by fusing the two

@@ -1,0 +1,57 @@
+"""Sequential funnel: strict-order conversion semantics vs a hand
+fixture, DuckDB parity, and the monotone-counts law."""
+
+import duckdb
+import pandas as pd
+
+from nci_seronet_proc_data_validator_spark.operators.funnel import (
+    funnel_counts,
+    funnel_oracle_sql,
+)
+
+EV = [
+    # user 1 converts fully in order
+    (1, "2024-01-01 10:00:00", "view"),
+    (1, "2024-01-01 10:01:00", "click"),
+    (1, "2024-01-01 10:02:00", "purchase"),
+    # user 2: clicked BEFORE viewing -> click doesn't count; no purchase
+    (2, "2024-01-01 09:00:00", "click"),
+    (2, "2024-01-01 09:30:00", "view"),
+    # user 3: view then click; purchase BEFORE click -> stops at click
+    (3, "2024-01-01 08:00:00", "view"),
+    (3, "2024-01-01 08:10:00", "purchase"),
+    (3, "2024-01-01 08:20:00", "click"),
+    # user 4: purchase only -> never enters the funnel
+    (4, "2024-01-01 07:00:00", "purchase"),
+    # user 2 clicks again after viewing -> now converts step 2
+    (2, "2024-01-01 09:45:00", "click"),
+]
+STEPS = ["view", "click", "purchase"]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(u, t, e) for u, t, e in EV],
+        "user_id long, ts_s string, event_type string").selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_type")
+
+
+def test_funnel_strict_order_semantics(spark):
+    got = {r["step"]: (r["step_name"], r["n_users"])
+           for r in funnel_counts(_df(spark), STEPS).collect()}
+    # viewers: 1,2,3; valid clicks after view: 1,2,3; purchases after
+    # a valid click: only user 1
+    assert got == {1: ("view", 3), 2: ("click", 3), 3: ("purchase", 1)}
+
+
+def test_funnel_matches_duckdb_and_is_monotone(spark):
+    got = sorted((r["step"], r["step_name"], r["n_users"])
+                 for r in funnel_counts(_df(spark), STEPS).collect())
+    con = duckdb.connect()
+    pdf = pd.DataFrame(EV, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    con.register("events", pdf)
+    want = sorted(con.execute(funnel_oracle_sql(STEPS)).fetchall())
+    assert got == want
+    counts = [n for _, _, n in got]
+    assert counts == sorted(counts, reverse=True)   # funnels shrink
