@@ -38,6 +38,14 @@ def q_classifier_score(spark, sf_dir):
         demo_weights, hashed_linear_score)
     docs = read_table(spark, sf_dir, "documents")
     return hashed_linear_score(docs, demo_weights(4096))
+
+
+def q_funnel_conversion(spark, sf_dir):
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        FUNNEL_STEPS, read_events)
+    from nci_seronet_proc_data_validator_spark.operators.funnel import (
+        funnel_counts)
+    return funnel_counts(read_events(spark, sf_dir), FUNNEL_STEPS)
 from nci_seronet_proc_data_validator_spark.functions.checks import (
     check_date,
     check_if_number,
@@ -161,6 +169,8 @@ BENCH_QUERIES = {
     # round-4: mergeable sketches (HLL registers + CMS counters + exact
     # twins + percentiles)
     "sketch_profile": QUERIES["sketch_profile"][0],
+    # round-4: sequential conversion funnel over events
+    "funnel_conversion": q_funnel_conversion,
 }
 
 

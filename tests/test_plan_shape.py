@@ -196,14 +196,24 @@ def test_bm25_filters_terms_before_shuffle(spark, sf_dir):
 
 
 def _global_window_lines(plan: str) -> list[str]:
-    """Lines for partition-less WindowExec nodes: ``Window [funcs],
-    [ordering]`` (2 bracket groups) vs partitioned ``Window [funcs],
-    [partition], [ordering]`` (3). A global window moves every row to ONE
-    task — the single worst scale hazard a plan can silently grow."""
+    """Lines for partition-less WindowExec nodes. Bracket groups:
+    partitioned+ordered prints ``Window [funcs], [partition], [ordering]``
+    (3 groups — fine); 2 groups is EITHER ``[funcs], [ordering]`` (global
+    ordered — the hazard) or ``[funcs], [partition]`` (partitioned,
+    unordered frame — fine): the ordering group is recognizable by its
+    ASC/DESC sort directions. <2 groups is global unconditionally. A
+    global window moves every row to ONE task — the single worst scale
+    hazard a plan can silently grow."""
     out = []
     for line in plan.splitlines():
         stripped = line.strip().lstrip("+-: ").lstrip()
-        if stripped.startswith("Window ") and stripped.count("], [") < 2:
+        if not stripped.startswith("Window "):
+            continue
+        groups = stripped.count("], [")
+        if groups >= 2:
+            continue
+        last = stripped.rsplit("], [", 1)[-1] if groups == 1 else ""
+        if groups == 0 or " ASC" in last or " DESC" in last:
             out.append(line)
     return out
 
