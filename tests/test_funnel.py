@@ -55,3 +55,20 @@ def test_funnel_matches_duckdb_and_is_monotone(spark):
     assert got == want
     counts = [n for _, _, n in got]
     assert counts == sorted(counts, reverse=True)   # funnels shrink
+
+
+def test_funnel_pushes_step_filter_to_scan(spark, tmp_path, sf_dir):
+    """Each step's event-type predicate must reach the parquet scan
+    (PushedFilters), so a 100 TB event log reads only the funnel's
+    event types per stage."""
+    import os
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lvl1 = funnel_levels_first(ev)
+    plan = lvl1._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(event_type,view)" in plan
+
+
+def funnel_levels_first(ev):
+    from nci_seronet_proc_data_validator_spark.operators.funnel import (
+        funnel_levels)
+    return funnel_levels(ev, ["view", "click"])[0]
