@@ -2542,27 +2542,25 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.pq import (
         ivfpq_topk, pq_adc_topk, pq_encode, pq_fit_fused)
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
-        ivf_assign)
+        ivf_assign_literal)
     emb = read_table(spark, sf_dir, "embeddings")
     # one fused Lloyd chain trains the m subspace codebooks AND the
     # coarse IVF centroids (the full vector rides as slice m+1)
     all_books, all_cids = pq_fit_fused(emb, **_PQ_CFG, include_full=True)
     books, coarse, coarse_cids = \
         all_books[:_PQ_CFG["m"]], all_books[-1], all_cids[-1]
-    centroids = spark.createDataFrame(
-        [(int(c), [x / QUANT for x in vec])
-         for c, vec in zip(coarse_cids, coarse)],
-        "centroid_id int, ce array<double>")
-    # one assign+encode pass serves both arms (the persisted code index
-    # a deployment would read back); persist so the union's two branches
-    # share one build
-    codes = pq_encode(ivf_assign(emb, centroids), books).persist()
+    cent_list = [(int(c), [x / QUANT for x in vec])
+                 for c, vec in zip(coarse_cids, coarse)]
+    # one MAP-ONLY assign+encode pass (centroids ride as literals — no
+    # crossJoin, no window) serves both arms; persist so the union's two
+    # branches share one build of the code index
+    codes = pq_encode(ivf_assign_literal(emb, cent_list), books).persist()
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     adc = (pq_adc_topk(codes, queries, books, k=5)
            .select(F.lit("adc").alias("op"), "*"))
-    ivf = (ivfpq_topk(emb, centroids, books, queries, k=5, nprobe=2,
-                      codes=codes)
+    ivf = (ivfpq_topk(None, None, books, queries, k=5, nprobe=2,
+                      codes=codes, centroid_list=cent_list)
            .select(F.lit("ivfpq").alias("op"), "*"))
     return adc.unionByName(ivf)
 

@@ -229,7 +229,9 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
                k: int = 5, nprobe: int = 2, id_col: str = "vec_id",
                vec_col: str = "embedding", query_id: str = "query_id",
                query_vec: str = "qe",
-               codes: DataFrame | None = None) -> DataFrame:
+               codes: DataFrame | None = None,
+               centroid_list: list[tuple[int, list[float]]] | None = None
+               ) -> DataFrame:
     """Bounded-probe PQ search — the FAISS IVF-PQ shape (codes quantize
     raw vectors; residual encoding is the drop-in refinement): coarse IVF
     routing picks ``nprobe`` clusters per query, ADC runs ONLY over the
@@ -242,27 +244,38 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
 
     Pass a prebuilt ``codes`` frame (id, cluster_id, pq_code — e.g. the
     persisted index a production deployment reads back) to skip the
-    in-line assign+encode build."""
+    in-line assign+encode build. Pass ``centroid_list`` — driver-known
+    ``(cid, ce)`` pairs, e.g. from the fused fit — to route probes
+    MAP-ONLY (``similarity.ivf_probes_literal``) instead of via the
+    broadcast crossJoin + per-query window; identical values."""
     from pyspark.sql import Window as W
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
-        _dot, _norm, ivf_assign)
+        _dot, _norm, ivf_assign, ivf_probes_literal)
     if codes is None:
         codes = pq_encode(
             ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col),
             codebooks, vec_col=vec_col)
     codes = codes.select(id_col, "cluster_id", "pq_code")
-    qsim = (_dot(F.col(query_vec), F.col("ce"))
-            / (_norm(F.col(query_vec)) * _norm(F.col("ce"))))
-    wq = W.partitionBy(query_id).orderBy(
-        F.round(F.col("_qsim"), 12).desc(), F.col("centroid_id"))
-    probes = (queries.crossJoin(F.broadcast(centroids))
-              .withColumn("_qsim", qsim)
-              .withColumn("_rn", F.row_number().over(wq))
-              .filter(F.col("_rn") <= nprobe)
-              .select(query_id,
-                      _lut_col(quantize(F.col(query_vec)), codebooks)
-                      .alias("_lut"),
-                      F.col("centroid_id").alias("cluster_id")))
+    if centroid_list is not None:
+        probes = (ivf_probes_literal(queries, centroid_list, nprobe,
+                                     qid_col=query_id, qvec_col=query_vec)
+                  .select(query_id,
+                          _lut_col(quantize(F.col(query_vec)), codebooks)
+                          .alias("_lut"),
+                          "cluster_id"))
+    else:
+        qsim = (_dot(F.col(query_vec), F.col("ce"))
+                / (_norm(F.col(query_vec)) * _norm(F.col("ce"))))
+        wq = W.partitionBy(query_id).orderBy(
+            F.round(F.col("_qsim"), 12).desc(), F.col("centroid_id"))
+        probes = (queries.crossJoin(F.broadcast(centroids))
+                  .withColumn("_qsim", qsim)
+                  .withColumn("_rn", F.row_number().over(wq))
+                  .filter(F.col("_rn") <= nprobe)
+                  .select(query_id,
+                          _lut_col(quantize(F.col(query_vec)), codebooks)
+                          .alias("_lut"),
+                          F.col("centroid_id").alias("cluster_id")))
     w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (probes.join(codes, "cluster_id")
             .select(query_id, F.col(id_col).alias("neighbor_id"),

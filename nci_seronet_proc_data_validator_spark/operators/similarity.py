@@ -310,3 +310,74 @@ SELECT query_id, neighbor_id, sim6, rank FROM (
 WHERE rank <= {k}
 ORDER BY query_id, rank
 """
+
+
+def _py_norm(ce: list[float]) -> float:
+    """Driver-side mirror of the ``_norm`` fold over a literal — same
+    left-to-right IEEE accumulation, so the value is the bit the SQL
+    oracle computes for the same centroid."""
+    import math
+    acc = 0.0
+    for x in ce:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cos_lit(vec: Column, nrm: Column, ce: list[float]) -> Column:
+    """Cosine of a vector column (norm pre-staged in ``nrm`` — computed
+    once per row, not once per centroid) against a centroid LITERAL —
+    dot is the same left-to-right double fold as ``_dot``, the centroid
+    norm is the driver-side mirror fold, so values are bit-identical to
+    the broadcast-join path."""
+    lit = F.array(*[F.lit(float(x)) for x in ce])
+    return _dot(vec, lit) / (nrm * F.lit(_py_norm(ce)))
+
+
+def ivf_assign_literal(emb: DataFrame,
+                       centroids: list[tuple[int, list[float]]],
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """MAP-ONLY IVF assignment against driver-known centroids (the
+    k-means model-as-literal idiom): per-row argmax over K cosine
+    expressions — no crossJoin row inflation, no per-row window, no
+    shuffle at all; streaming-safe. Bit-equal to ``ivf_assign`` (same
+    fold arithmetic; ties on round(sim, 12) go to the lowest centroid
+    id — the literal is in ascending-cid order and ``array_position``
+    takes the FIRST maximum). Prefer this form whenever the centroids
+    came from a driver-side fit; the broadcast-join ``ivf_assign``
+    remains for centroid TABLES that never touch the driver."""
+    cents = sorted(centroids)
+    sims = F.array(*[F.round(_cos_lit(F.col(vec_col), F.col("_nrm"), ce),
+                             12)
+                     for _, ce in cents])
+    cid_lit = F.array(*[F.lit(int(c)) for c, _ in cents])
+    return (spread_small_input(emb)
+            .withColumn("_nrm", _norm(F.col(vec_col)))
+            .withColumn("_sims", sims)
+            .select(id_col, vec_col,
+                    F.element_at(
+                        cid_lit,
+                        F.array_position("_sims", F.array_max("_sims"))
+                        .cast("int")).alias("cluster_id")))
+
+
+def ivf_probes_literal(queries: DataFrame,
+                       centroids: list[tuple[int, list[float]]],
+                       nprobe: int = 2, qid_col: str = "query_id",
+                       qvec_col: str = "qe") -> DataFrame:
+    """MAP-ONLY probe routing: the ``nprobe`` nearest centroids per
+    query via an array_sort over (−round(sim,12), cid) structs — the
+    exact (sim DESC, cid ASC) ranking of the window path, one row out
+    per (query, probe)."""
+    cents = sorted(centroids)
+    ranked = F.array_sort(F.array(*[
+        F.struct((-F.round(_cos_lit(F.col(qvec_col), F.col("_qnrm"), ce),
+                           12)).alias("negsim"),
+                 F.lit(int(c)).alias("cid"))
+        for c, ce in cents]))
+    return (queries
+            .withColumn("_qnrm", _norm(F.col(qvec_col)))
+            .withColumn("_probe",
+                        F.explode(F.slice(ranked, 1, nprobe)))
+            .select(qid_col, qvec_col,
+                    F.col("_probe.cid").alias("cluster_id")))

@@ -61,3 +61,46 @@ def test_quantized_candidates_recall_narrow_cand(spark):
         F.col("embedding").alias("qe"))
     top = quantized_topk(emb, queries, k=1, cand=2).collect()
     assert len(top) == 1 and top[0]["neighbor_id"] == 1
+
+
+def test_ivf_assign_literal_matches_broadcast_join_path(spark):
+    """Map-only literal assignment/probing is value-identical to the
+    broadcast-join + window path, and plans with no content shuffle."""
+    import numpy as np
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_assign, ivf_assign_literal, ivf_probes_literal)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    rng = np.random.RandomState(7)
+    X = rng.randn(80, 8)
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>")
+    cents = [(int(i), [float(v) for v in X[i]]) for i in (3, 11, 40)]
+    cdf = spark.createDataFrame(cents, "centroid_id int, ce array<double>")
+    a = {r["vec_id"]: r["cluster_id"]
+         for r in ivf_assign(emb, cdf).collect()}
+    b = {r["vec_id"]: r["cluster_id"]
+         for r in ivf_assign_literal(emb, cents).collect()}
+    assert a == b
+    plan = (ivf_assign_literal(emb, cents)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and "Window" not in plan
+
+    qs = emb.filter("vec_id < 4").selectExpr(
+        "vec_id AS query_id", "embedding AS qe")
+    lit = {(r["query_id"], r["cluster_id"])
+           for r in ivf_probes_literal(qs, cents, nprobe=2).collect()}
+    # window-path twin (the ivf_topk probe block)
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        _dot, _norm)
+    qsim = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe"))
+                                             * _norm(F.col("ce")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("_qsim"), 12).desc(), F.col("centroid_id"))
+    win = {(r["query_id"], r["centroid_id"]) for r in
+           (qs.crossJoin(F.broadcast(cdf)).withColumn("_qsim", qsim)
+            .withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= 2)
+            .select("query_id", "centroid_id")).collect()}
+    assert lit == win
