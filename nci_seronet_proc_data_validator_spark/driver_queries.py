@@ -2718,15 +2718,24 @@ def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "window_end", F.lit("").alias("event_type"), "n_events",
                  "sum_value"))
     from nci_seronet_proc_data_validator_spark.operators.funnel import (
-        funnel_counts)
-    f = (funnel_counts(read_events(spark, sf_dir), FUNNEL_STEPS)
+        funnel_counts, funnel_lags)
+    ev = read_events(spark, sf_dir)
+    f = (funnel_counts(ev, FUNNEL_STEPS)
          .select(F.lit("funnel").alias("window_kind"),
                  F.col("step").cast("long").alias("window_start"),
                  F.lit(0).cast("long").alias("window_end"),
                  F.col("step_name").alias("event_type"),
                  F.col("n_users").alias("n_events"),
                  F.lit(0.0).alias("sum_value")))
-    return h.unionByName(s).unionByName(f)
+    # time-to-convert: median lag rides sum_value (micros, rounded 6)
+    g = (funnel_lags(ev, FUNNEL_STEPS)
+         .select(F.lit("funnel_lag").alias("window_kind"),
+                 F.col("step").cast("long").alias("window_start"),
+                 F.lit(0).cast("long").alias("window_end"),
+                 F.col("step_name").alias("event_type"),
+                 F.col("n_users").alias("n_events"),
+                 F.col("median_lag_us").alias("sum_value")))
+    return h.unionByName(s).unionByName(f).unionByName(g)
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -2747,14 +2756,20 @@ SELECT 'funnel' AS window_kind, CAST(step AS BIGINT) AS window_start,
        CAST(0 AS BIGINT) AS window_end, step_name AS event_type,
        n_users AS n_events, 0.0 AS sum_value
 FROM ({{funnel_sql}})
+UNION ALL
+SELECT 'funnel_lag' AS window_kind, CAST(step AS BIGINT) AS window_start,
+       CAST(0 AS BIGINT) AS window_end, step_name AS event_type,
+       n_users AS n_events, median_lag_us AS sum_value
+FROM ({{funnel_lag_sql}})
 """
 
 
 def _sql_events_windows() -> str:
     from nci_seronet_proc_data_validator_spark.operators.funnel import (
-        funnel_oracle_sql)
+        funnel_lags_oracle_sql, funnel_oracle_sql)
     return SQL_EVENTS_WINDOWS.format(
-        funnel_sql=funnel_oracle_sql(FUNNEL_STEPS).strip())
+        funnel_sql=funnel_oracle_sql(FUNNEL_STEPS).strip(),
+        funnel_lag_sql=funnel_lags_oracle_sql(FUNNEL_STEPS).strip())
 
 
 def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:

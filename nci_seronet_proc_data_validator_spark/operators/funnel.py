@@ -81,3 +81,51 @@ def funnel_oracle_sql(steps: list[str], table: str = "events",
         f"CAST(count(*) AS BIGINT) AS n_users FROM f{k}"
         for k, st in enumerate(steps, start=1))
     return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def funnel_lags(events: DataFrame, steps: list[str],
+                user_col: str = "user_id",
+                type_col: str = "event_type",
+                ts_col: str = "ts") -> DataFrame:
+    """Time-to-convert per step: ``(step, step_name, n_users,
+    median_lag_us)`` for steps 2..K — the median over converting users
+    of (step-k frontier time − step-(k−1) frontier time), in exact
+    micros. Same user-keyed join shape as the counts; the median is one
+    tiny per-step aggregation over the (already shrunk) frontier."""
+    levels = funnel_levels(events, steps, user_col, type_col, ts_col)
+    parts = []
+    for k in range(1, len(levels)):
+        prev = levels[k - 1].select("user", F.col("t").alias("_t0"))
+        lag = (levels[k].join(prev, "user")
+               .select((F.unix_micros("t")
+                        - F.unix_micros("_t0")).alias("lag_us")))
+        parts.append(lag.groupBy().agg(
+            F.lit(k + 1).alias("step"),
+            F.lit(steps[k]).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.expr("percentile(lag_us, 0.5)"), 6)
+            .alias("median_lag_us")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def funnel_lags_oracle_sql(steps: list[str], table: str = "events",
+                           user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           ts_col: str = "ts") -> str:
+    """DuckDB twin of ``funnel_lags`` (continuous median, rounded 6 —
+    the length_percentiles parity contract)."""
+    base = funnel_oracle_sql(steps, table, user_col, type_col, ts_col)
+    # reuse the f1..fK frontier CTE chain; swap the count union for lags
+    with_part = base.split("SELECT 1 AS step")[0].rstrip().rstrip("\n")
+    sels = []
+    for k in range(2, len(steps) + 1):
+        sels.append(
+            f"SELECT {k} AS step, '{steps[k - 1]}' AS step_name,\n"
+            f"       CAST(count(*) AS BIGINT) AS n_users,\n"
+            f"       round(quantile_cont(epoch_us(c.t) - epoch_us(p.t),"
+            f" 0.5), 6) AS median_lag_us\n"
+            f"FROM f{k} c JOIN f{k - 1} p ON p.u = c.u")
+    return with_part + "\n" + "\nUNION ALL\n".join(sels)

@@ -72,3 +72,22 @@ def funnel_levels_first(ev):
     from nci_seronet_proc_data_validator_spark.operators.funnel import (
         funnel_levels)
     return funnel_levels(ev, ["view", "click"])[0]
+
+
+def test_funnel_lags_matches_duckdb_and_fixture(spark):
+    from nci_seronet_proc_data_validator_spark.operators.funnel import (
+        funnel_lags, funnel_lags_oracle_sql)
+    got = sorted((r["step"], r["step_name"], r["n_users"],
+                  r["median_lag_us"])
+                 for r in funnel_lags(_df(spark), STEPS).collect())
+    con = duckdb.connect()
+    pdf = pd.DataFrame(EV, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    con.register("events", pdf)
+    want = sorted(con.execute(funnel_lags_oracle_sql(STEPS)).fetchall())
+    assert got == want
+    by_step = {s: (n, m) for s, _, n, m in got}
+    # click lags: u1 60s, u2 15min, u3 20min -> median 15min; purchase:
+    # only u1, 60s after its click
+    assert by_step[2] == (3, 15 * 60 * 1_000_000.0)
+    assert by_step[3] == (1, 60 * 1_000_000.0)
