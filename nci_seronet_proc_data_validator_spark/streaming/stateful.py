@@ -70,3 +70,58 @@ def track_sessions(events_stream, gap_seconds: int = 1800):
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf="ProcessingTimeTimeout"))
+
+
+# ------------------------------------------------------------ funnel
+FUNNEL_OUTPUT_SCHEMA = ("user_id long, reached_step long, "
+                        "frontier_us long")
+FUNNEL_STATE_SCHEMA = "reached_step long, frontier_us long"
+
+
+def funnel_tracker(steps: list):
+    """Streaming twin of ``operators/funnel``: a per-user conversion
+    state machine ``(reached_step, frontier_us)``. Events are applied in
+    ascending event-time; an event advances the user iff it is the NEXT
+    step's type and strictly later than the current frontier — exactly
+    the batch operator's min-qualifying-time recursion, provided events
+    arrive time-ordered across micro-batches (pair with a watermark +
+    in-order source; late stragglers would need retraction, which
+    funnels — like all monotone frontiers — cannot express in append
+    mode). Emits one row per user per batch in which the user advanced.
+    """
+
+    def fn(key, batches, state):
+        (user_id,) = key
+        if state.hasTimedOut:          # funnels never time out; guard
+            return
+        reached, frontier = state.get if state.exists else (0, -1)
+        before = reached
+        evs = []
+        for pdf in batches:
+            evs.extend(zip((int(t) for t in pdf["ts_us"]),
+                           (str(e) for e in pdf["event_type"])))
+        for ts, et in sorted(evs):
+            if reached < len(steps) and et == steps[reached] \
+                    and ts > frontier:
+                reached += 1
+                frontier = ts
+        if reached != before:
+            state.update((reached, frontier))
+            yield pd.DataFrame([{"user_id": user_id,
+                                 "reached_step": reached,
+                                 "frontier_us": frontier}])
+
+    return fn
+
+
+def track_funnel(events_stream, steps: list):
+    """Wire the funnel tracker onto a stream with
+    (user_id, ts_us long, event_type) columns."""
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                funnel_tracker(steps),
+                outputStructType=FUNNEL_OUTPUT_SCHEMA,
+                stateStructType=FUNNEL_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="NoTimeout"))

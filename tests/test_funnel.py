@@ -91,3 +91,40 @@ def test_funnel_lags_matches_duckdb_and_fixture(spark):
     # only u1, 60s after its click
     assert by_step[2] == (3, 15 * 60 * 1_000_000.0)
     assert by_step[3] == (1, 60 * 1_000_000.0)
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The stateful streaming funnel, fed time-ordered micro-batches,
+    converges to the batch funnel's per-step conversion counts."""
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.streaming.stateful import (
+        track_funnel)
+    ev = _df(spark).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    # two time-ordered files -> time-ordered micro-batches
+    cut = "2024-01-01 09:00:00"
+    src = str(tmp_path / "ev")
+    ev.filter(f"ts_us < unix_micros(TIMESTAMP '{cut}')") \
+        .coalesce(1).write.parquet(src)
+    ev.filter(f"ts_us >= unix_micros(TIMESTAMP '{cut}')") \
+        .coalesce(1).write.mode("append").parquet(src)
+    # maxFilesPerTrigger=1: each file is its own micro-batch, so the
+    # cross-batch state path (state.exists) is genuinely exercised
+    stream = (spark.readStream.schema(
+        "user_id long, ts_us long, event_type string")
+        .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (track_funnel(stream, STEPS)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("funnel_out").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM funnel_out").collect()
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0),
+                                  r["reached_step"])
+    got = {k: sum(1 for v in final.values() if v >= k)
+           for k in (1, 2, 3)}
+    want = {r["step"]: r["n_users"]
+            for r in funnel_counts(_df(spark), STEPS).collect()}
+    assert got == want
