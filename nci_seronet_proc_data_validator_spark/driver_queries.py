@@ -2459,7 +2459,7 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     gn, gs, gg = int_gram_fit(emb, 64)
     xv = power_iteration_top_component(gn, gs, gg, 64, iters=64)
     pw = spark.createDataFrame(
-        [(f"power_iter", f"pos_{i:02d}", v / POW_XSCALE)
+        [("power_iter", f"pos_{i:02d}", v / POW_XSCALE)
          for i, v in enumerate(xv)], "sketch string, key string, value double")
     return (h.unionByName(z).unionByName(ex_d).unionByName(cms)
             .unionByName(ex_c).unionByName(pct).unionByName(hq)

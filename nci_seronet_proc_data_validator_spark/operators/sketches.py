@@ -48,6 +48,8 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 CMS_D = 4
 CMS_W = 512
 
+#: the package-wide token contract (mirrors ``text_quality._WS`` and its
+#: oracle twin — keep all three in sync)
 _WS = "filter(split({c}, ' +'), x -> x != '')"
 _WS_SQL = "list_filter(string_split_regex({c}, ' +'), x -> x <> '')"
 
@@ -74,13 +76,15 @@ def hll_registers(df: DataFrame, key_col: str, text_col: str = "text"
     toks = df.select(
         F.col(key_col).alias("key"),
         F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
-    h = F.expr(_h32("tok"))
-    w = F.expr(f"{_h32('tok')} DIV {HLL_M}")
+    # stage the hash once: bucket and rho both derive from _h, so the
+    # md5 runs once per token, not three times
+    hashed = toks.select("key", F.expr(_h32("tok")).alias("_h"))
+    w = F.expr(f"_h DIV {HLL_M}")
     rho = F.when(w == 0, F.lit(HLL_R)) \
         .otherwise(F.lit(HLL_R) - F.length(F.expr(
-            f"bin({_h32('tok')} DIV {HLL_M})")))
-    return (toks.select("key", (h % HLL_M).alias("bucket"),
-                        rho.alias("rho"))
+            f"bin(_h DIV {HLL_M})")))
+    return (hashed.select("key", (F.col("_h") % HLL_M).alias("bucket"),
+                          rho.alias("rho"))
             .groupBy("key", "bucket")
             .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("n")))
 
