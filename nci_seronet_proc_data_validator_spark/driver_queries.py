@@ -2415,7 +2415,9 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.sketches import (
         cms_build, cms_point_query, hll_distinct)
     docs = read_table(spark, sf_dir, "documents")
-    hll = hll_distinct(docs, "lang")
+    # persist: the estimate and zero-bucket arms both read this tiny
+    # (one row per lang) frame — one token scan, not two
+    hll = hll_distinct(docs, "lang").persist()
     h = hll.select(F.lit("hll_distinct_words").alias("sketch"),
                    "key", F.col("hll_estimate").alias("value"))
     z = hll.select(F.lit("hll_zero_buckets").alias("sketch"),
@@ -2471,12 +2473,13 @@ def _sql_sketch_profile() -> str:
         cms_oracle_sql, hll_distinct_oracle_sql)
     words = ", ".join(f"'{w}'" for w in SKETCH_PROBE_WORDS)
     return f"""
+WITH hllr AS MATERIALIZED ({hll_distinct_oracle_sql('lang').strip()})
 SELECT 'hll_distinct_words' AS sketch, key, hll_estimate AS value
-FROM ({hll_distinct_oracle_sql('lang').strip()})
+FROM hllr
 UNION ALL
 SELECT 'hll_zero_buckets' AS sketch, key,
        CAST(zero_buckets AS DOUBLE) AS value
-FROM ({hll_distinct_oracle_sql('lang').strip()})
+FROM hllr
 UNION ALL
 SELECT 'exact_distinct_words' AS sketch, lang AS key,
        CAST(count(DISTINCT tok) AS DOUBLE) AS value
@@ -2553,7 +2556,9 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for c, vec in zip(coarse_cids, coarse)]
     # one MAP-ONLY assign+encode pass (centroids ride as literals — no
     # crossJoin, no window) serves both arms; persist so the union's two
-    # branches share one build of the code index
+    # branches share one build of the code index (no unpersist hook — the
+    # frame outlives this lazy function; bench/driver clearCache() between
+    # runs, the same lifetime contract as rulebook_full's per-sheet persist)
     codes = pq_encode(ivf_assign_literal(emb, cent_list), books).persist()
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))

@@ -83,9 +83,11 @@ def bloom_probe(probes: DataFrame, bloom: DataFrame, h_col: str = "h",
                        (F.col("bits").isNotNull()
                         & (F.expr("bits & mask") == F.col("mask")))
                        .alias("bit_set")))
+    # bool_and, not sum == j: a duplicated probe row would double the
+    # sum and turn a true hit into a FALSE NEGATIVE — the one error
+    # class a Bloom filter's contract forbids
     return (checked.groupBy(*keys)
-            .agg((F.sum(F.col("bit_set").cast("long")) == j)
-                 .alias("bloom_hit")))
+            .agg(F.expr("bool_and(bit_set)").alias("bloom_hit")))
 
 
 def bloom_contaminated(corpus: DataFrame, bench: DataFrame, n: int = 5,
@@ -147,9 +149,7 @@ checked AS (
             = CAST(pow(2, p.pos % 32) AS BIGINT)) AS bit_set
   FROM ppos p LEFT JOIN words w ON w.word_idx = p.pos // 32),
 per_h AS (
-  SELECT doc_id, h,
-         (CAST(sum(CASE WHEN bit_set THEN 1 ELSE 0 END) AS BIGINT) = {j})
-           AS bloom_hit
+  SELECT doc_id, h, bool_and(bit_set) AS bloom_hit
   FROM checked GROUP BY 1, 2)
 SELECT doc_id,
        CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)

@@ -92,6 +92,8 @@ def funnel_lags(events: DataFrame, steps: list[str],
     of (step-k frontier time − step-(k−1) frontier time), in exact
     micros. Same user-keyed join shape as the counts; the median is one
     tiny per-step aggregation over the (already shrunk) frontier."""
+    if len(steps) < 2:
+        raise ValueError("funnel lags need at least 2 steps")
     levels = funnel_levels(events, steps, user_col, type_col, ts_col)
     parts = []
     for k in range(1, len(levels)):
@@ -117,6 +119,8 @@ def funnel_lags_oracle_sql(steps: list[str], table: str = "events",
                            ts_col: str = "ts") -> str:
     """DuckDB twin of ``funnel_lags`` (continuous median, rounded 6 —
     the length_percentiles parity contract)."""
+    if len(steps) < 2:
+        raise ValueError("funnel lags need at least 2 steps")
     base = funnel_oracle_sql(steps, table, user_col, type_col, ts_col)
     # reuse the f1..fK frontier CTE chain; swap the count union for lags
     with_part = base.split("SELECT 1 AS step")[0].rstrip().rstrip("\n")

@@ -238,11 +238,15 @@ def keep_best_in_cluster(corpus: DataFrame, components: DataFrame,
     membership = (components
                   .join(corpus.select(F.col(id_col).alias("id"), score_col),
                         "id"))
+    # negate the (numeric-by-contract) SCORE, never the id: ids may be
+    # strings, and -string is NULL, which would silently drop every
+    # clustered doc. min(struct(-score, id)) = max score, ties -> min id
+    # under struct's lexicographic ordering — works for any orderable id.
     best = (membership.groupBy("cluster_id")
-            .agg(F.max(F.struct(F.col(score_col).alias("s"),
-                                (-F.col("id")).alias("neg_id")))
+            .agg(F.min(F.struct((-F.col(score_col)).alias("ns"),
+                                F.col("id").alias("keep_id")))
                  .alias("b"))
-            .select((-F.col("b.neg_id")).alias("keep_id")))
+            .select(F.col("b.keep_id").alias("keep_id")))
     losers = (components.join(
         F.broadcast(best), components["id"] == best["keep_id"],
         "left_anti").select("id"))

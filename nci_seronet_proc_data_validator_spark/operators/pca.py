@@ -137,10 +137,11 @@ def pca_transform(df: DataFrame, mean: list[float],
 
 # --------------------------- integer-exact power iteration (oracle-able)
 #: Input quantization for the power-iteration gram (coarser than the
-#: k-means 1e6 so n·Σqv_i·qv_j and s_i·s_j stay far inside int64 —
-#: bound: n² · (max|x|·POW_QUANT)⁴ terms never materialize; the binding
-#: products are n·g ≤ n²·(qmax)² and s_i·s_j ≤ (n·qmax)², safe to
-#: n ≈ 5·10⁴ at |x| ≤ 1; shrink POW_QUANT for bigger corpora.
+#: k-means 1e6 so n·Σqv_i·qv_j and s_i·s_j stay inside int64 — the
+#: binding products are n·g ≤ n²·qmax² and s_i·s_j ≤ (n·qmax)², both
+#: (n·qmax)² ≤ 2^63−1, so with qmax = |x|·POW_QUANT ≤ 1e5 the safe
+#: bound is n ≤ ⌊√(2^63−1)⌋/1e5 ≈ 3.0·10⁴ rows; shrink POW_QUANT
+#: quadratically-in-1/n for bigger corpora (1e4 → n ≈ 3·10⁵).
 POW_QUANT = 100_000
 #: Iterate-vector scale (components reported as val / POW_XSCALE).
 POW_XSCALE = 1_000_000
@@ -174,6 +175,7 @@ def int_gram_fit(emb: DataFrame, dim: int, vec_col: str = "embedding"
         import numpy as _np
         import pandas as _pd
         n = 0
+        mq = 0
         s = _np.zeros(dim, dtype=_np.int64)
         g = _np.zeros((dim, dim), dtype=_np.int64)
         for pdf in batches:
@@ -182,16 +184,24 @@ def int_gram_fit(emb: DataFrame, dim: int, vec_col: str = "embedding"
             X = _np.asarray([list(v) for v in pdf[vec_col]], dtype=float)
             Q = _np.floor(X * POW_QUANT + 0.5).astype(_np.int64)
             n += len(Q)
+            mq = max(mq, int(_np.abs(Q).max()))
             s += Q.sum(axis=0)
             g += Q.T @ Q
-        yield _pd.DataFrame({"n": [n], "s": [s.tolist()],
+        yield _pd.DataFrame({"n": [n], "mq": [mq], "s": [s.tolist()],
                              "g": [g.flatten().tolist()]})
 
     parts = (emb.select(vec_col)
              .mapInPandas(gram_partial,
-                          "n long, s array<long>, g array<long>")
+                          "n long, mq long, s array<long>, g array<long>")
              .collect())
     n = sum(int(r["n"]) for r in parts)
+    mq = max((int(r["mq"]) for r in parts), default=0)
+    # int64 envelope (exact python-int check): the binding products are
+    # n·g ≤ (n·mq)² and s_i·s_j ≤ (n·mq)²; numpy would WRAP silently
+    if (n * mq) ** 2 > (1 << 63) - 1:
+        raise ValueError(
+            f"int_gram_fit int64 overflow risk: n={n}, max|q|={mq} — "
+            f"lower POW_QUANT (currently {POW_QUANT})")
     s = np.sum([r["s"] for r in parts], axis=0, dtype=np.int64)
     g = np.sum([np.asarray(r["g"], dtype=np.int64).reshape(dim, dim)
                 for r in parts], axis=0, dtype=np.int64)

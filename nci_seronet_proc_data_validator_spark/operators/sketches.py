@@ -48,9 +48,12 @@ HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 CMS_D = 4
 CMS_W = 512
 
-#: the package-wide token contract (mirrors ``text_quality._WS`` and its
-#: oracle twin — keep all three in sync)
-_WS = "filter(split({c}, ' +'), x -> x != '')"
+from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+    _WS,  # the package-wide token contract — single source
+)
+
+#: DuckDB twin of ``text_quality._WS`` (its oracles inline the same
+#: expression; this is the one named copy)
 _WS_SQL = "list_filter(string_split_regex({c}, ' +'), x -> x <> '')"
 
 
@@ -223,10 +226,14 @@ def hist_quantiles(df: DataFrame, value_col: str, key_col: str,
     float — so both engines agree exactly; estimate error is bounded by
     ``bin_width`` by construction."""
     # Spark DIV truncates, DuckDB // floors — identical on the
-    # non-negative domain this sketch targets (counts/lengths)
-    b = (df.select(F.col(key_col).alias("key"),
-                   F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}")
-                   .alias("bucket"))
+    # non-negative domain this sketch targets (counts/lengths).
+    # NULL values are excluded explicitly: the engines disagree on NULL
+    # bucket ordering (Spark sorts NULLS FIRST, DuckDB LAST), which
+    # would shift every cumulative count.
+    b = (df.filter(F.col(value_col).isNotNull())
+         .select(F.col(key_col).alias("key"),
+                 F.expr(f"CAST({value_col} AS BIGINT) DIV {bin_width}")
+                 .alias("bucket"))
          .groupBy("key", "bucket")
          .agg(F.count(F.lit(1)).alias("cnt")))
     from pyspark.sql import Window as W
@@ -263,7 +270,7 @@ WITH b AS (
          CAST(CAST({value_col} AS BIGINT) // {bin_width} AS BIGINT)
            AS bucket,
          count(*) AS cnt
-  FROM {table} GROUP BY 1, 2),
+  FROM {table} WHERE {value_col} IS NOT NULL GROUP BY 1, 2),
 c AS (
   SELECT key, bucket,
          SUM(cnt) OVER (PARTITION BY key ORDER BY bucket

@@ -61,7 +61,11 @@ _INVALID_SHEETNAME = re.compile(r"[\[\]:*?/\\\x00-\x1f]")
 # to _x005F_ so the reader can't mis-decode it. CR (0x0D) must be
 # escaped too — XML parsers normalize \r / \r\n to \n in text content
 # even under xml:space="preserve".
-_X_LITERAL = re.compile(r"_(x[0-9A-Fa-f]{4}_)")
+#: lookahead, not capture, for the trailing underscore: OVERLAPPING
+#: literals like ``_x005F_x0041_`` share it, and a consuming match would
+#: hide the second literal from the non-overlapping scan (the first
+#: escape's trailing ``_`` doubles as the second's lead).
+_X_LITERAL = re.compile(r"_(x[0-9A-Fa-f]{4})(?=_)")
 _X_DECODE = re.compile(r"_x([0-9A-Fa-f]{4})_")
 _XML_INVALID = re.compile(
     "[\x00-\x08\x0b-\x1f\ud800-\udfff\ufffe\uffff]")

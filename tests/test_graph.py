@@ -78,3 +78,21 @@ def test_keep_best_in_cluster_prefers_quality(spark):
                   keep_best_in_cluster(corpus, components, "quality")
                   .collect())
     assert kept == [2, 4, 9]
+
+
+def test_keep_best_in_cluster_string_ids(spark):
+    """Regression (review r4): the tie-break must not negate the id —
+    string ids would cast to NULL and silently drop every clustered doc."""
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        keep_best_in_cluster)
+    corpus = spark.createDataFrame(
+        [("doc-a", 10.0), ("doc-b", 99.0), ("doc-c", 7.0), ("doc-d", 7.0)],
+        "doc_id string, quality double")
+    components = spark.createDataFrame(
+        [("doc-a", "doc-a"), ("doc-b", "doc-a"),
+         ("doc-c", "doc-c"), ("doc-d", "doc-c")],
+        "id string, cluster_id string")
+    kept = sorted(r["doc_id"] for r in
+                  keep_best_in_cluster(corpus, components, "quality")
+                  .collect())
+    assert kept == ["doc-b", "doc-c"]   # max score; tie -> smaller id
