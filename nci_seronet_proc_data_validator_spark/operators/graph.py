@@ -252,3 +252,107 @@ def keep_best_in_cluster(corpus: DataFrame, components: DataFrame,
         "left_anti").select("id"))
     return corpus.join(F.broadcast(losers),
                        corpus[id_col] == losers["id"], "left_anti")
+
+
+def knn_graph(pairs: DataFrame, k: int, src: str = "a", dst: str = "b",
+              weight: str = "w") -> DataFrame:
+    """k-NN graph construction: from a weighted candidate pair list
+    (undirected, one row per unordered pair) keep, per node, its top-k
+    strongest partners (weight desc, partner id asc — deterministic),
+    then re-symmetrize to an undirected edge set. The standard sparsifier
+    in front of graph clustering / label propagation over similarity
+    pairs (and the step that makes triangle counting tractable: degrees
+    are bounded by 2k by construction, so downstream joins can't blow up
+    on a hub).
+
+    Shape: one explode to both directions (map-only), one partitioned
+    window top-k (single shuffle on the node id), one distinct over the
+    canonicalized survivors. Returns ``(a, b)`` with a < b.
+    """
+    from pyspark.sql import Window
+    directed = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"),
+                            F.col(weight).alias("w"))
+    directed = directed.union(directed.select(
+        F.col("d").alias("s"), F.col("s").alias("d"), "w"))
+    win = Window.partitionBy("s").orderBy(F.col("w").desc(),
+                                          F.col("d").asc())
+    kept = (directed.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k))
+    return (kept.select(F.least("s", "d").alias(src),
+                        F.greatest("s", "d").alias(dst))
+            .distinct())
+
+
+def knn_graph_oracle_sql(pairs_sql: str, k: int, src: str = "a",
+                         dst: str = "b", weight: str = "w") -> str:
+    """DuckDB twin of ``knn_graph`` (same rank contract)."""
+    return f"""
+WITH knn_pairs AS ({pairs_sql}),
+directed AS (
+  SELECT {src} AS s, {dst} AS d, {weight} AS w FROM knn_pairs
+  UNION ALL
+  SELECT {dst} AS s, {src} AS d, {weight} AS w FROM knn_pairs),
+ranked AS (
+  SELECT s, d, row_number() OVER (PARTITION BY s
+                                  ORDER BY w DESC, d ASC) AS rn
+  FROM directed)
+SELECT DISTINCT least(s, d) AS {src}, greatest(s, d) AS {dst}
+FROM ranked WHERE rn <= {k}
+"""
+
+
+def triangle_counts(edges: DataFrame, src: str = "a",
+                    dst: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected edge set (rows
+    canonical ``src < dst``, no duplicates — ``knn_graph`` output
+    qualifies). Node-iterator shape: wedges from one self-equi-join on
+    the middle node, closed by a second equi-join against the edge set —
+    two hash joins, no cartesian anywhere. On degree-skewed graphs the
+    classic refinement is degree-ordered orientation (orient each edge
+    low-degree → high-degree before the wedge join) to bound per-node
+    work; with k-NN input, degrees are already ≤ 2k so the plain
+    orientation by id is within a constant of optimal.
+
+    Returns ``(node_id, triangles)`` for every node incident to at least
+    one edge (0 for nodes in edges but in no triangle).
+    """
+    e = (edges.select(F.col(src).cast("long").alias("x"),
+                      F.col(dst).cast("long").alias("y"))
+         .localCheckpoint())
+    w = (e.alias("e1")
+         .join(e.alias("e2"), F.col("e1.y") == F.col("e2.x"))
+         .select(F.col("e1.x").alias("ta"), F.col("e1.y").alias("tb"),
+                 F.col("e2.y").alias("tc")))
+    tri = w.join(e.alias("e3"), (F.col("ta") == F.col("e3.x"))
+                 & (F.col("tc") == F.col("e3.y")))
+    per_node = (tri.select(F.explode(F.array("ta", "tb", "tc"))
+                           .alias("node_id"))
+                .groupBy("node_id").agg(F.count(F.lit(1))
+                                        .alias("triangles")))
+    nodes = (e.select(F.col("x").alias("node_id"))
+             .union(e.select(F.col("y").alias("node_id"))).distinct())
+    return (nodes.join(per_node, "node_id", "left")
+            .select("node_id", F.coalesce("triangles", F.lit(0))
+                    .cast("long").alias("triangles")))
+
+
+def triangle_counts_oracle_sql(edges_sql: str, src: str = "a",
+                               dst: str = "b") -> str:
+    """DuckDB twin of ``triangle_counts``."""
+    return f"""
+WITH e AS (SELECT {src} AS x, {dst} AS y FROM ({edges_sql})),
+tri AS (
+  SELECT e1.x AS ta, e1.y AS tb, e2.y AS tc
+  FROM e e1
+  JOIN e e2 ON e1.y = e2.x
+  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+per_node AS (
+  SELECT node_id, count(*) AS triangles
+  FROM (SELECT ta AS node_id FROM tri
+        UNION ALL SELECT tb FROM tri
+        UNION ALL SELECT tc FROM tri)
+  GROUP BY node_id),
+nodes AS (SELECT x AS node_id FROM e UNION SELECT y FROM e)
+SELECT n.node_id, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles
+FROM nodes n LEFT JOIN per_node p USING (node_id)
+"""
