@@ -19,12 +19,14 @@ from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.driver_queries import (
     QUERIES,
+    q_asof_join,
     q_c6_dup_ids,
     q_dedup_clusters,
     q_dsir_importance,
     q_events_hourly,
     q_embedding_topk,
     q_events_sliding,
+    q_interval_join,
     q_ivf_topk,
     q_kmeans,
     q_quality_score,
@@ -133,7 +135,9 @@ BENCH_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "events_hourly": q_events_hourly,
     "sessionize": QUERIES["sessionize"][0],
-    "asof_join": QUERIES["asof_join"][0],
+    # absorbed into temporal_joins in the registry; standalone function
+    # keeps the timing series unbroken
+    "asof_join": q_asof_join,
     # round-2 additions (new keys only — r1 keys above are unchanged so
     # per-query timings stay comparable across rounds; registry-
     # consolidated queries keep their standalone functions here so the
@@ -141,7 +145,7 @@ BENCH_QUERIES = {
     "quality_score": q_quality_score,
     "bm25_topk": QUERIES["bm25_topk"][0],
     "dedup_clusters": q_dedup_clusters,
-    "interval_join": QUERIES["interval_join"][0],
+    "interval_join": q_interval_join,
     "kmeans_centroids": q_kmeans,
     "vocab_topn": q_vocab_topn,
     "events_sliding": q_events_sliding,
@@ -171,6 +175,11 @@ BENCH_QUERIES = {
     "sketch_profile": QUERIES["sketch_profile"][0],
     # round-4: sequential conversion funnel over events
     "funnel_conversion": q_funnel_conversion,
+    # round-4 continuations: blocked edit-distance record linkage, ANSI
+    # MERGE snapshot upsert, k-NN graph + triangle counting (w/ pagerank)
+    "fuzzy_join": QUERIES["fuzzy_join"][0],
+    "merge_upsert": QUERIES["merge_upsert"][0],
+    "graph_metrics": QUERIES["graph_metrics"][0],
 }
 
 

@@ -264,7 +264,21 @@ def q_a2_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # segment column) so the oracle proves the engine, not a re-implementation.
     findings = compile_sheet_findings(
         sheet, F.col("seg"), [ColumnRules("c_acctbal", checks)])
-    return findings_summary(findings).orderBy("CSV_Sheet_Name")
+    wide = findings_summary(findings)
+    # Round-trip through unpivot (relational melt) and re-pivot via
+    # conditional aggregation: the output schema/values are unchanged
+    # (the oracle below is untouched) but the unpivot operator now sits
+    # in the value path — if it mangled rows the hashes would diverge.
+    long = wide.unpivot("CSV_Sheet_Name", ["Errors", "Warnings"],
+                        "severity", "n")
+    back = (long.groupBy("CSV_Sheet_Name")
+            .agg(F.coalesce(F.sum(F.when(F.col("severity") == "Errors",
+                                         F.col("n"))), F.lit(0))
+                 .alias("Errors"),
+                 F.coalesce(F.sum(F.when(F.col("severity") == "Warnings",
+                                         F.col("n"))), F.lit(0))
+                 .alias("Warnings")))
+    return back.orderBy("CSV_Sheet_Name")
 
 
 SQL_A2 = """
@@ -1418,26 +1432,71 @@ WHERE rank <= 3 ORDER BY o_orderpriority, rank
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical rollup (segment → priority → grand total) — grouping
-    sets the reference never had; decimal-routed sums for oracle parity."""
+    """Grouping-sets suite: CUBE with ``grouping_id()`` null-safe
+    full-joined against ROLLUP over the same enrichment — one row per
+    cube cell carrying both aggregates, with the rollup side NULL
+    exactly on the (·, priority) cells rollup doesn't produce (gid 2).
+    Proves cube, rollup, grouping_id and the null-safe (<=>) join in one
+    driver row; the grouping-NULL vs data-NULL distinction is what
+    grouping_id exists for, and the join keys use <=> precisely because
+    grouping rows carry NULLs."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     joined = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
                          orders.o_custkey == F.col("c_custkey"), "left")
-    return (joined.rollup("c_mktsegment", "o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-                 .cast("double").alias("total_price"))
-            .orderBy(F.col("c_mktsegment").asc_nulls_first(),
+    aggs = [F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").alias("total_price")]
+    cube = (joined.cube("c_mktsegment", "o_orderpriority")
+            .agg(F.grouping_id().alias("gid"), *aggs))
+    # the rollup side carries ITS grouping id into the join key: a
+    # data-NULL segment groups at gid 0 in both shapes, and without gid
+    # in the key cube's gid-2 (·, priority) cells would collide with it
+    roll = (joined.rollup("c_mktsegment", "o_orderpriority")
+            .agg(F.grouping_id().alias("r_gid"), *aggs)
+            .select("r_gid",
+                    F.col("c_mktsegment").alias("r_seg"),
+                    F.col("o_orderpriority").alias("r_pri"),
+                    F.col("n_orders").alias("n_orders_rollup"),
+                    F.col("total_price").alias("total_price_rollup")))
+    return (cube.join(roll,
+                      (cube["gid"] == F.col("r_gid"))
+                      & cube["c_mktsegment"].eqNullSafe(F.col("r_seg"))
+                      & cube["o_orderpriority"].eqNullSafe(F.col("r_pri")),
+                      "left")
+            .select("c_mktsegment", "o_orderpriority", "gid", "n_orders",
+                    "total_price", "n_orders_rollup", "total_price_rollup")
+            .orderBy(F.col("gid"),
+                     F.col("c_mktsegment").asc_nulls_first(),
                      F.col("o_orderpriority").asc_nulls_first()))
 
 
 SQL_ROLLUP = """
-SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
-FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
-ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+WITH j AS (
+  SELECT c_mktsegment, o_orderpriority, o_totalprice
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+cube_side AS (
+  SELECT c_mktsegment, o_orderpriority,
+         CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+  FROM j GROUP BY CUBE (c_mktsegment, o_orderpriority)),
+roll_side AS (
+  SELECT CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS r_gid,
+         c_mktsegment AS r_seg, o_orderpriority AS r_pri,
+         count(*) AS n_orders_rollup,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price_rollup
+  FROM j GROUP BY ROLLUP (c_mktsegment, o_orderpriority))
+SELECT c.c_mktsegment, c.o_orderpriority, c.gid, c.n_orders,
+       c.total_price, r.n_orders_rollup, r.total_price_rollup
+FROM cube_side c LEFT JOIN roll_side r
+  ON c.gid = r.r_gid
+ AND c.c_mktsegment IS NOT DISTINCT FROM r.r_seg
+ AND c.o_orderpriority IS NOT DISTINCT FROM r.r_pri
+ORDER BY c.gid, c.c_mktsegment ASC NULLS FIRST,
+         c.o_orderpriority ASC NULLS FIRST
 """
 
 
@@ -2740,7 +2799,17 @@ def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("step_name").alias("event_type"),
                  F.col("n_users").alias("n_events"),
                  F.col("median_lag_us").alias("sum_value")))
-    return h.unionByName(s).unionByName(f).unionByName(g)
+    # cohort retention (the former standalone user_retention query):
+    # window bounds carry (cohort_week, active_week)
+    r = (q_user_retention(spark, sf_dir)
+         .select(F.lit("retention").alias("window_kind"),
+                 F.col("cohort_week").alias("window_start"),
+                 F.col("week").alias("window_end"),
+                 F.lit("").alias("event_type"),
+                 F.col("n_users").alias("n_events"),
+                 F.lit(0.0).alias("sum_value")))
+    return (h.unionByName(s).unionByName(f).unionByName(g)
+            .unionByName(r))
 
 
 SQL_EVENTS_WINDOWS = f"""
@@ -2766,6 +2835,11 @@ SELECT 'funnel_lag' AS window_kind, CAST(step AS BIGINT) AS window_start,
        CAST(0 AS BIGINT) AS window_end, step_name AS event_type,
        n_users AS n_events, median_lag_us AS sum_value
 FROM ({{funnel_lag_sql}})
+UNION ALL
+SELECT 'retention' AS window_kind, cohort_week AS window_start,
+       week AS window_end, '' AS event_type, n_users AS n_events,
+       0.0 AS sum_value
+FROM ({SQL_USER_RETENTION.strip()})
 """
 
 
@@ -2830,6 +2904,201 @@ FROM ({chunk_documents_oracle_sql(500, 100).strip()}) c
 JOIN ({train_val_split_oracle_sql(val_pct=10).strip()}) s
   ON c.doc_id = s.doc_id
 ORDER BY c.doc_id, c.chunk_idx
+"""
+
+
+# ------------------------------------------------- round-4 continuations
+
+
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both temporal-join operators in one tagged union: the as-of join
+    (composed union+window) and the bucketed interval join — each arm is
+    the previously-standalone driver query, unchanged."""
+    a = (q_asof_join(spark, sf_dir)
+         .select(F.lit("asof").alias("op"),
+                 F.col("event_id").alias("id"),
+                 F.lit(0).cast("long").alias("n_events"),
+                 F.col("err_value").cast("double").alias("sum_value")))
+    i = (q_interval_join(spark, sf_dir)
+         .select(F.lit("interval").alias("op"),
+                 F.col("interval_id").alias("id"), "n_events",
+                 "sum_value"))
+    return a.unionByName(i)
+
+
+SQL_TEMPORAL_JOINS = f"""
+SELECT 'asof' AS op, event_id AS id, CAST(0 AS BIGINT) AS n_events,
+       CAST(err_value AS DOUBLE) AS sum_value
+FROM ({SQL_ASOF.strip()})
+UNION ALL
+SELECT 'interval' AS op, interval_id AS id, n_events, sum_value
+FROM ({SQL_INTERVAL_JOIN.strip()})
+"""
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: part names with one deterministic character
+    deletion (position 5) linked back to the clean catalog by the
+    blocked edit-distance join (``operators/linkage.py``). Every dirty
+    row must find its source at distance 1; near-twin names may add
+    further pairs — both engines derive the same candidate set from the
+    same block keys."""
+    from nci_seronet_proc_data_validator_spark.operators.linkage import (
+        fuzzy_join)
+    part = read_table(spark, sf_dir, "part")
+    # link DISTINCT name strings (canonical id = min part key per name),
+    # the textbook shape: the synthetic catalog repeats each name ~30x,
+    # and linking raw rows would square that multiplicity into the pair
+    # count — dedup-then-link keeps candidate volume ∝ distinct names
+    clean = (part.groupBy(F.col("p_name").alias("name"))
+             .agg(F.min("p_partkey").cast("long").alias("pid")))
+    dirty = clean.select(
+        (F.col("pid") + 50_000_000).alias("did"),
+        F.concat(F.substring("name", 1, 4),
+                 F.expr("substring(name, 6)")).alias("name"))
+    return (fuzzy_join(dirty, clean, "did", "name", "pid", "name",
+                       max_dist=2)
+            .orderBy("did", "pid"))
+
+
+def _sql_fuzzy_join() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.linkage import (
+        fuzzy_join_oracle_sql)
+    clean = ("SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS pid "
+             "FROM part GROUP BY p_name")
+    dirty = (f"SELECT pid + 50000000 AS did, "
+             f"substr(name, 1, 4) || substr(name, 6) AS name "
+             f"FROM ({clean})")
+    inner = fuzzy_join_oracle_sql(dirty, clean, "did", "name",
+                                  "pid", "name", max_dist=2)
+    return f"SELECT * FROM ({inner}) ORDER BY did, pid"
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE over the orders snapshot: a CDC batch of updates
+    (keys ending 0-2: status 'U', +5% price), inserts (keys ending 7
+    re-keyed +1e8, status 'N') and deletes (keys ≡ 0 mod 97), applied by
+    ``operators/mergeop.merge_upsert`` — one full-outer sort-merge join.
+    The next snapshot is summarized by (status, key mod 7) so the
+    driver's value hash covers every row's fate without shipping the
+    whole table."""
+    from nci_seronet_proc_data_validator_spark.operators.mergeop import (
+        merge_upsert)
+    snap = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    ups = (snap.filter(F.col("k") % 10 < 3)
+           .select("k", F.lit("U").alias("s"),
+                   F.expr("cents * 105 div 100").alias("cents")))
+    ins = (snap.filter(F.col("k") % 10 == 7)
+           .select((F.col("k") + 100_000_000).alias("k"),
+                   F.lit("N").alias("s"), "cents"))
+    dels = snap.filter(F.col("k") % 97 == 0).select("k")
+    merged = merge_upsert(snap, ups.unionByName(ins), "k", deletes=dels)
+    return (merged.groupBy("s", (F.col("k") % 7).alias("kmod"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+            .orderBy("s", "kmod"))
+
+
+def _sql_merge_upsert() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.mergeop import (
+        merge_upsert_oracle_sql)
+    snap = ("SELECT o_orderkey AS k, o_orderstatus AS s, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders")
+    ups = (f"SELECT k, 'U' AS s, (cents * 105) // 100 AS cents "
+           f"FROM ({snap}) WHERE k % 10 < 3")
+    ins = (f"SELECT k + 100000000 AS k, 'N' AS s, cents "
+           f"FROM ({snap}) WHERE k % 10 = 7")
+    dels = f"SELECT k FROM ({snap}) WHERE k % 97 = 0"
+    inner = merge_upsert_oracle_sql(snap, f"{ups} UNION ALL {ins}", "k",
+                                    ["s", "cents"], deletes_sql=dels)
+    return f"""
+SELECT s, k % 7 AS kmod, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(k) AS min_k, max(k) AS max_k
+FROM ({inner}) GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_KNN_K = 6
+
+_SUPP_PAIRS_SQL = """
+SELECT a.l_suppkey AS a, b.l_suppkey AS b, count(*) AS w
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+GROUP BY 1, 2
+"""
+
+
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics suite in one tagged union of (arm, node_id, val):
+
+    - ``pagerank``: integer fixed-point PageRank over the bipartite
+      customer↔supplier purchase graph (the former standalone query);
+    - ``knn_degree``: node degrees of the k-NN graph (k=6) built from
+      supplier co-occurrence weights (shared-order counts) — the
+      sparsifier that bounds every downstream degree by 2k;
+    - ``triangles``: per-node triangle counts over that k-NN graph
+      (node-iterator, two equi-joins, no cartesian).
+    """
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        knn_graph, pagerank, triangle_counts)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    edges = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    pr = (pagerank(edges, iters=3)
+          .select(F.lit("pagerank").alias("arm"), "node_id",
+                  F.col("rank").alias("val")))
+    el = li.distinct()
+    pairs = (el.alias("x")
+             .join(el.alias("y"),
+                   (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                   & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
+             .groupBy(F.col("x.l_suppkey").alias("a"),
+                      F.col("y.l_suppkey").alias("b"))
+             .agg(F.count(F.lit(1)).alias("w")))
+    # the two downstream arms share the materialized sparse graph (the
+    # same contract as triangle_counts' own checkpoint of its edges)
+    knn = knn_graph(pairs, k=_KNN_K).localCheckpoint()
+    deg = (knn.select(F.col("a").alias("node_id"))
+           .union(knn.select(F.col("b").alias("node_id")))
+           .groupBy("node_id").agg(F.count(F.lit(1)).alias("val"))
+           .select(F.lit("knn_degree").alias("arm"), "node_id", "val"))
+    tri = (triangle_counts(knn)
+           .select(F.lit("triangles").alias("arm"), "node_id",
+                   F.col("triangles").alias("val")))
+    return (pr.unionByName(deg).unionByName(tri)
+            .orderBy("arm", "node_id"))
+
+
+def _sql_graph_metrics() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        knn_graph_oracle_sql, pagerank_oracle_sql, triangle_counts_oracle_sql)
+    pr = pagerank_oracle_sql(_PR_EDGES_SQL, iters=3)
+    knn = knn_graph_oracle_sql(_SUPP_PAIRS_SQL, k=_KNN_K)
+    tri = triangle_counts_oracle_sql("SELECT * FROM knn_edges")
+    return f"""
+WITH knn_edges AS ({knn})
+SELECT * FROM (
+  SELECT 'pagerank' AS arm, node_id, rank AS val FROM ({pr})
+  UNION ALL
+  SELECT 'knn_degree' AS arm, node_id, count(*) AS val
+  FROM (SELECT a AS node_id FROM knn_edges
+        UNION ALL SELECT b FROM knn_edges)
+  GROUP BY node_id
+  UNION ALL
+  SELECT 'triangles' AS arm, node_id, triangles AS val FROM ({tri})
+) ORDER BY arm, node_id
 """
 
 
@@ -2932,7 +3201,19 @@ ORDER BY i.doc_id
         "c5_c6_checks", "c7_c8_checks",
         # round-4: the sketch_profile pct arm (slot freed for the sketches)
         "length_percentiles",
+        # round-4 continuations: the two temporal joins fuse into
+        # temporal_joins; pagerank grows into the graph_metrics union;
+        # user_retention rides events_windows as its 'retention' arm —
+        # the three freed slots take fuzzy_join, merge_upsert and the
+        # graph_metrics rename
+        "asof_join", "interval_join", "pagerank", "user_retention",
     ]
+    merged.update({
+        "temporal_joins": (q_temporal_joins, SQL_TEMPORAL_JOINS),
+        "fuzzy_join": (q_fuzzy_join, _sql_fuzzy_join()),
+        "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),
+        "graph_metrics": (q_graph_metrics, _sql_graph_metrics()),
+    })
     for name in absorbed:
         QUERIES.pop(name, None)
     QUERIES.update(merged)

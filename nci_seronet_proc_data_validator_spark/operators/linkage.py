@@ -70,7 +70,12 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     r = (right.select(F.col(right_id).alias("__rid"),
                       F.col(right_col).alias("__rval"))
          .withColumn("__bk", F.explode(_block_keys(F.col("__rval")))))
+    # length guard BEFORE the pair-level distinct: |len(a)-len(b)| is a
+    # lower bound on edit distance, and cutting here shrinks the only
+    # wide shuffle (the dedup) rather than just the final filter.
     cand = (l.join(r, "__bk")
+            .filter(F.abs(F.length("__lval") - F.length("__rval"))
+                    <= max_dist)
             .select("__lid", "__lval", "__rid", "__rval")
             .distinct())
     return (cand
@@ -102,7 +107,8 @@ rk AS ({keys(right_sql, right_id, right_col)}),
 cand AS (
   SELECT DISTINCT lk.id AS lid, lk.val AS lval, rk.id AS rid,
          rk.val AS rval
-  FROM lk JOIN rk USING (bk))
+  FROM lk JOIN rk USING (bk)
+  WHERE abs(length(lk.val) - length(rk.val)) <= {max_dist})
 SELECT lid AS {left_id}, rid AS {right_id},
        levenshtein(lval, rval) AS dist
 FROM cand
