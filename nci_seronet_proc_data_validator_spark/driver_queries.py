@@ -3274,7 +3274,13 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         sheet_dfs[spec.sheet] = df
         for col in bound.icd10_columns:
             df = icd10_flag_join(df, col, icd, col + "__icd10_valid")
-        parts.append(_compile(df, spec.sheet, bound.column_rules))
+        # codegen_chunk=9: the persisted base makes repeated (pruned)
+        # cache scans cheap, and 9-rule-group projections (3 chunks on
+        # the widest sheet) stay under the JIT size ceiling — ~2x on
+        # the widest sheets; fewer jobs than chunk=3 also wins under
+        # CPU contention (see rules.py docstring for the sweep)
+        parts.append(_compile(df, spec.sheet, bound.column_rules,
+                              codegen_chunk=9))
         for c in bound.dup_id_columns:
             parts.append(_dups(df, spec.sheet, c))
 
