@@ -1,0 +1,294 @@
+"""Deequ-style table profiler: one-pass column metrics, constraint
+suggestion, and constraint verification — the "unit tests for data"
+tier (Schelter et al., *Automating Large-Scale Data Quality
+Verification*, VLDB 2018) that a 100 TB ingest pipeline runs before
+anything else touches a new snapshot.
+
+This generalizes the reference's hand-written per-sheet checks
+(`/root/reference/Validation_Rules.py` hard-codes every column's rule;
+`File_Submission_Object.py:151-168` evaluates them per-row in pandas)
+into a schema-driven profiler: metrics are derived from the DataFrame
+schema, constraints are suggested from the measured profile, and
+verification compiles every constraint into ONE aggregation pass.
+
+Why these shapes at scale:
+
+- **profile_table** is a single global aggregate — partial (map-side)
+  aggregation reduces each input split to one tiny state row, so the
+  shuffle carries #partitions rows regardless of input size. The only
+  scale caveat is ``count(DISTINCT ...)`` over k columns, which Spark
+  plans as an Expand (k+1 rows per input row) before the partial agg;
+  at 100 TB swap the exact-distinct metric for
+  ``approx_count_distinct`` / the HLL register sketch
+  (``operators/sketches.py``) — one pass, mergeable, no Expand. The
+  exact form is kept here because it is oracle-checkable bit-for-bit.
+- **verify_constraints** is conditional-count algebra: every
+  constraint becomes a ``sum(CASE WHEN violated THEN 1 END)`` column in
+  the same single-pass aggregate — adding a constraint adds zero scans
+  and zero shuffles.
+- **fk_violations** (referential integrity) is the one constraint that
+  genuinely needs a second table: a broadcast LEFT ANTI join against
+  the dimension's key column — map-only when the dimension fits the
+  broadcast threshold, a keyed shuffle join otherwise (Catalyst picks).
+- **profile_drift** compares two snapshot profiles — profile outputs
+  are O(columns×metrics) rows, so the comparison is model-scale.
+
+Exactness contract: every metric value is BIGINT (counts, integer
+min/max/sums, floor-quantized centi-units for doubles, floored epoch
+seconds for timestamps, lengths for strings), so partial-aggregation
+order cannot perturb a bit and the DuckDB oracle matches exactly.
+Metric/constraint expressions are written in the SQL dialect subset
+both engines share and templated per column; the two per-engine
+variants (timestamp epoch, regex match) are explicit named pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- metrics
+# (metric_name, spark_template, duckdb_template); {c} is the column.
+# DuckDB integer sum() returns HUGEINT — always CAST ... AS BIGINT there.
+_COMMON = [
+    ("nonnull", "count({c})", "count({c})"),
+    ("nulls", "count(*) - count({c})", "count(*) - count({c})"),
+    ("distinct", "count(DISTINCT {c})", "count(DISTINCT {c})"),
+]
+_INTEGRAL = [
+    ("min", "min({c})", "min({c})"),
+    ("max", "max({c})", "max({c})"),
+    ("sum", "CAST(sum({c}) AS BIGINT)", "CAST(sum({c}) AS BIGINT)"),
+]
+# doubles: floor-quantize to centi-units FIRST (floor is monotone, so
+# min/max commute with it; the sum is then an exact integer sum)
+_FLOATING = [
+    ("min_c100", "min(CAST(floor({c} * 100) AS BIGINT))",
+     "min(CAST(floor({c} * 100) AS BIGINT))"),
+    ("max_c100", "max(CAST(floor({c} * 100) AS BIGINT))",
+     "max(CAST(floor({c} * 100) AS BIGINT))"),
+    ("sum_c100", "CAST(sum(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT)",
+     "CAST(sum(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT)"),
+]
+# timestamps: floored epoch seconds (Spark's long cast truncates toward
+# zero; floor() in DuckDB matches it for the non-negative epochs here)
+_TIMESTAMP = [
+    ("min_epoch", "min(CAST({c} AS BIGINT))",
+     "min(CAST(floor(epoch({c})) AS BIGINT))"),
+    ("max_epoch", "max(CAST({c} AS BIGINT))",
+     "max(CAST(floor(epoch({c})) AS BIGINT))"),
+]
+_STRING = [
+    ("min_len", "min(length({c}))", "CAST(min(length({c})) AS BIGINT)"),
+    ("max_len", "max(length({c}))", "CAST(max(length({c})) AS BIGINT)"),
+    ("sum_len", "CAST(sum(length({c})) AS BIGINT)",
+     "CAST(sum(length({c})) AS BIGINT)"),
+]
+
+_BY_CLASS = {"integral": _INTEGRAL, "floating": _FLOATING,
+             "timestamp": _TIMESTAMP, "string": _STRING, "other": []}
+
+
+def _type_class(spark_dtype: str) -> str:
+    t = spark_dtype.lower()
+    if t in ("tinyint", "smallint", "int", "bigint") or t.startswith("decimal"):
+        return "integral" if not t.startswith("decimal") else "floating"
+    if t in ("float", "double"):
+        return "floating"
+    if t in ("timestamp", "timestamp_ntz", "date"):
+        return "timestamp"
+    if t in ("string", "varchar"):
+        return "string"
+    return "other"
+
+
+def _metric_plan(dtypes: list[tuple[str, str]],
+                 columns: list[str] | None = None):
+    """[(col, metric, spark_sql, duck_sql)] in deterministic order."""
+    cols = columns or [c for c, _ in dtypes]
+    tmap = dict(dtypes)
+    plan = []
+    for c in cols:
+        for name, s_tpl, d_tpl in _COMMON + _BY_CLASS[_type_class(tmap[c])]:
+            plan.append((c, name, s_tpl.format(c=c), d_tpl.format(c=c)))
+    return plan
+
+
+def profile_table(df: DataFrame,
+                  columns: list[str] | None = None) -> DataFrame:
+    """One-pass schema-driven profile → long form
+    ``(col_name, metric, value BIGINT)``.
+
+    One global aggregate (map-side partials → single tiny row), then a
+    driver-free unpivot of that row via explode(array(struct...)).
+    """
+    plan = _metric_plan(df.dtypes, columns)
+    aggd = df.agg(*[F.expr(s).cast("long").alias(f"m{i}")
+                    for i, (_, _, s, _) in enumerate(plan)])
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"), F.lit(m).alias("metric"),
+                 F.col(f"m{i}").alias("value"))
+        for i, (c, m, _, _) in enumerate(plan)])
+    return aggd.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def profile_oracle_sql(table: str, dtypes: list[tuple[str, str]],
+                       columns: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`profile_table`: one scan into a 1-row
+    materialized CTE, unpivoted by a model-scale UNION ALL."""
+    plan = _metric_plan(dtypes, columns)
+    aggs = ",\n       ".join(f"{d} AS m{i}"
+                             for i, (_, _, _, d) in enumerate(plan))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, '{m}' AS metric, "
+        f"CAST(m{i} AS BIGINT) AS value FROM p"
+        for i, (c, m, _, _) in enumerate(plan))
+    return f"WITH p AS MATERIALIZED (\n  SELECT {aggs}\n  FROM {table}\n)\n{arms}"
+
+
+# ----------------------------------------------------------- constraints
+@dataclass(frozen=True)
+class Constraint:
+    """A data-quality assertion compiled to a violation COUNT.
+
+    ``spark_sql`` / ``duck_sql`` are aggregate expressions returning the
+    number of violating rows (0 = constraint holds). Where the dialects
+    agree only one template is written; both are full expressions with
+    the column already substituted.
+    """
+    name: str
+    col_name: str
+    spark_sql: str
+    duck_sql: str
+
+
+def not_null(c: str) -> Constraint:
+    e = f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+    return Constraint("not_null", c, e, f"CAST({e} AS BIGINT)")
+
+
+def unique(c: str) -> Constraint:
+    e = f"count({c}) - count(DISTINCT {c})"
+    return Constraint("unique", c, e, e)
+
+
+def in_set(c: str, values: list[str]) -> Constraint:
+    lit = ", ".join(f"'{v}'" for v in values)
+    e = (f"sum(CASE WHEN {c} IS NOT NULL AND {c} NOT IN ({lit}) "
+         f"THEN 1 ELSE 0 END)")
+    return Constraint("in_set", c, e, f"CAST({e} AS BIGINT)")
+
+
+def non_negative(c: str) -> Constraint:
+    e = f"sum(CASE WHEN {c} < 0 THEN 1 ELSE 0 END)"
+    return Constraint("non_negative", c, e, f"CAST({e} AS BIGINT)")
+
+
+def between(c: str, lo: str, hi: str) -> Constraint:
+    """Bounds are SQL literals (e.g. ``TIMESTAMP '1992-01-01'``, ``0``)."""
+    e = f"sum(CASE WHEN {c} < {lo} OR {c} > {hi} THEN 1 ELSE 0 END)"
+    return Constraint("between", c, e, f"CAST({e} AS BIGINT)")
+
+
+def matches(c: str, regex: str) -> Constraint:
+    s = (f"sum(CASE WHEN {c} IS NOT NULL AND NOT ({c} RLIKE '{regex}') "
+         f"THEN 1 ELSE 0 END)")
+    d = (f"CAST(sum(CASE WHEN {c} IS NOT NULL AND NOT "
+         f"regexp_matches({c}, '{regex}') THEN 1 ELSE 0 END) AS BIGINT)")
+    return Constraint("matches", c, s, d)
+
+
+def verify_constraints(df: DataFrame,
+                       constraints: list[Constraint]) -> DataFrame:
+    """Evaluate every constraint in ONE aggregation pass → long form
+    ``(col_name, metric, value BIGINT)`` where metric is the constraint
+    name and value its violation count."""
+    aggd = df.agg(*[F.expr(k.spark_sql).cast("long").alias(f"v{i}")
+                    for i, k in enumerate(constraints)])
+    rows = F.array(*[
+        F.struct(F.lit(k.col_name).alias("col_name"),
+                 F.lit(k.name).alias("metric"),
+                 F.col(f"v{i}").alias("value"))
+        for i, k in enumerate(constraints)])
+    return aggd.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def verify_oracle_sql(table: str, constraints: list[Constraint]) -> str:
+    aggs = ",\n       ".join(f"{k.duck_sql} AS v{i}"
+                             for i, k in enumerate(constraints))
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{k.col_name}' AS col_name, '{k.name}' AS metric, "
+        f"v{i} AS value FROM v"
+        for i, k in enumerate(constraints))
+    return f"WITH v AS MATERIALIZED (\n  SELECT {aggs}\n  FROM {table}\n)\n{arms}"
+
+
+def fk_violations(fact: DataFrame, fact_key: str,
+                  dim: DataFrame, dim_key: str) -> DataFrame:
+    """Referential integrity: rows of ``fact`` whose non-null key has no
+    match in ``dim`` → ``(col_name, metric='fk_violations', value)``.
+
+    Broadcast LEFT ANTI join (dimension key column only, deduplicated) —
+    map-only under the broadcast threshold; Catalyst falls back to a
+    keyed shuffle join for jumbo dimensions.
+    """
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    miss = (fact.filter(F.col(fact_key).isNotNull())
+            .join(F.broadcast(keys), fact_key, "left_anti"))
+    return miss.agg(F.count(F.lit(1)).alias("value")).select(
+        F.lit(fact_key).alias("col_name"),
+        F.lit("fk_violations").alias("metric"),
+        F.col("value").cast("long").alias("value"))
+
+
+def fk_oracle_sql(fact: str, fact_key: str, dim: str, dim_key: str) -> str:
+    # NOT EXISTS, not NOT IN: NULL dim keys must not poison the predicate
+    return f"""
+SELECT '{fact_key}' AS col_name, 'fk_violations' AS metric,
+       CAST(count(*) AS BIGINT) AS value
+FROM {fact} f
+WHERE f.{fact_key} IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dim_key} = f.{fact_key})
+"""
+
+
+# ------------------------------------------------- suggestion and drift
+def suggest_constraints(profile_rows) -> list[Constraint]:
+    """Deequ-style constraint suggestion from a measured profile.
+
+    Input is the collected (model-scale) output of :func:`profile_table`
+    — O(columns × metrics) rows. Suggests ``not_null`` when a column had
+    zero nulls, ``unique`` when every non-null value was distinct (and
+    the column is complete), ``between`` from observed integer min/max.
+    """
+    by_col: dict[str, dict[str, int]] = {}
+    for r in profile_rows:
+        by_col.setdefault(r["col_name"], {})[r["metric"]] = r["value"]
+    out: list[Constraint] = []
+    for c, m in by_col.items():
+        if m.get("nulls") == 0:
+            out.append(not_null(c))
+            if m.get("distinct") == m.get("nonnull"):
+                out.append(unique(c))
+        if "min" in m and "max" in m:
+            out.append(between(c, str(m["min"]), str(m["max"])))
+    return out
+
+
+def profile_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema/metric drift between two profile outputs: full outer join
+    on (col_name, metric) with deltas; NULL side = added/removed column.
+    Profile outputs are tiny, so this is model-scale regardless of the
+    snapshots' size."""
+    o = old.select("col_name", "metric", F.col("value").alias("old_value"))
+    n = new.select("col_name", "metric", F.col("value").alias("new_value"))
+    return (o.join(n, ["col_name", "metric"], "full_outer")
+            .withColumn("delta", F.col("new_value") - F.col("old_value"))
+            .withColumn("status",
+                        F.when(F.col("old_value").isNull(), F.lit("added"))
+                        .when(F.col("new_value").isNull(), F.lit("removed"))
+                        .when(F.col("delta") != 0, F.lit("changed"))
+                        .otherwise(F.lit("unchanged"))))
