@@ -180,6 +180,8 @@ BENCH_QUERIES = {
     "fuzzy_join": QUERIES["fuzzy_join"][0],
     "merge_upsert": QUERIES["merge_upsert"][0],
     "graph_metrics": QUERIES["graph_metrics"][0],
+    # round-6: the schema-driven profile/verify/fk/drift tier (new key)
+    "data_profile": QUERIES["data_profile"][0],
 }
 
 

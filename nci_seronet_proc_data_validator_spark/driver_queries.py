@@ -3102,6 +3102,145 @@ SELECT * FROM (
 """
 
 
+def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both lossless-ish near-dup pair families as one tagged union
+    (registry fusion of ``simhash_pairs`` + ``ngram_jaccard_pairs`` —
+    same (id_a, id_b, score) candidate-pair shape, freeing the slot the
+    schema-driven profiler takes): 'simhash' arm = 4 x 16-bit chunk
+    buckets + hamming verify (score = hamming distance), 'ngram' arm =
+    prefix-filtered exact n-gram Jaccard (score = jaccard). hamming is a
+    small integer, exact as DOUBLE."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        ngram_jaccard_pairs, simhash_pairs)
+    docs = read_table(spark, sf_dir, "documents")
+    sh = simhash_pairs(docs, max_hamming=8).select(
+        F.lit("simhash").alias("arm"), "id_a", "id_b",
+        F.col("hamming").cast("double").alias("score"))
+    ng = ngram_jaccard_pairs(docs, min_jaccard=0.05).select(
+        F.lit("ngram").alias("arm"), "id_a", "id_b",
+        F.col("jaccard").alias("score"))
+    return sh.unionByName(ng).orderBy("arm", "id_a", "id_b")
+
+
+def _sql_neardup_pairs() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        ngram_jaccard_oracle_sql, simhash_pairs_oracle_sql)
+    return f"""
+SELECT 'simhash' AS arm, id_a, id_b, CAST(hamming AS DOUBLE) AS score
+FROM ({simhash_pairs_oracle_sql().strip()})
+UNION ALL
+SELECT 'ngram' AS arm, id_a, id_b, jaccard AS score
+FROM ({ngram_jaccard_oracle_sql().strip()})
+ORDER BY arm, id_a, id_b
+"""
+
+
+# Static dtype contract for the profiled orders snapshot (parquet int64 →
+# bigint, timestamp[us] → timestamp_ntz, plus the derived DATE column) —
+# shared by the Spark query (sanity: df.dtypes must class-match) and the
+# DuckDB oracle generator, covering every profiler type class.
+_PROFILE_DTYPES = [
+    ("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"), ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string"),
+    ("o_orderdate_d", "date"),
+]
+
+
+def _profile_constraints():
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        between, in_set, matches, non_negative, not_null, unique)
+    return [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        in_set("o_orderstatus", ["O", "F", "P"]),
+        non_negative("o_totalprice"),
+        between("o_totalprice", "5000", "300000"),   # planted: both tails
+        matches("o_orderpriority", "^[12]-"),        # planted: 3-/4-/5-
+    ]
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style schema-driven data-quality tier (operators/profiler.py)
+    in one tagged union of ``(arm, col_name, metric, value BIGINT)``:
+
+    - 'profile': one-pass column metrics over orders + a derived DATE
+      column — every type class (integral/floating/string/timestamp/date)
+      in ONE map-side-partial aggregate;
+    - 'verify': six constraint families compiled into ONE aggregation
+      pass (violation counts; in_set holds at 0, between/matches planted
+      nonzero);
+    - 'fk': referential integrity lineitem.l_orderkey → orders minus the
+      ≡0 (mod 7) keys (planted violations) — broadcast LEFT ANTI;
+    - 'drift': profile-vs-profile comparison (full snapshot without the
+      date column vs even-key slice with it), metric tagged with its
+      added/changed/unchanged status, value = delta (new value for added
+      columns).
+
+    Generalizes the reference's hand-coded per-column rulebook
+    (`/root/reference/Validation_Rules.py`) into the profile → suggest →
+    verify tier a 100 TB ingest runs before any hand-written rule.
+    """
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        fk_violations, profile_drift, profile_table, verify_constraints)
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_d", F.to_date("o_orderdate"))
+    assert [c for c, _ in orders.dtypes] == [c for c, _ in _PROFILE_DTYPES]
+    prof = profile_table(orders).select(
+        F.lit("profile").alias("arm"), "col_name", "metric", "value")
+    ver = verify_constraints(orders, _profile_constraints()).select(
+        F.lit("verify").alias("arm"), "col_name", "metric", "value")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = orders.filter(F.col("o_orderkey") % 7 != 0)
+    fk = fk_violations(li, "l_orderkey", dim, "o_orderkey").select(
+        F.lit("fk").alias("arm"), "col_name", "metric", "value")
+    drift = profile_drift(
+        profile_table(orders.drop("o_orderdate_d")),
+        profile_table(orders.filter(F.col("o_orderkey") % 2 == 0))
+    ).select(
+        F.lit("drift").alias("arm"), "col_name",
+        F.concat_ws("/", "metric", "status").alias("metric"),
+        F.coalesce("delta", "new_value", "old_value").alias("value"))
+    return (prof.unionByName(ver).unionByName(fk).unionByName(drift)
+            .orderBy("arm", "col_name", "metric"))
+
+
+def _sql_data_profile() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        fk_oracle_sql, profile_oracle_sql, verify_oracle_sql)
+    ordersq = ("(SELECT *, CAST(o_orderdate AS DATE) AS o_orderdate_d "
+               "FROM orders)")
+    prof = profile_oracle_sql(ordersq, _PROFILE_DTYPES)
+    ver = verify_oracle_sql(ordersq, _profile_constraints())
+    fk = fk_oracle_sql("lineitem", "l_orderkey",
+                       "(SELECT * FROM orders WHERE o_orderkey % 7 <> 0)",
+                       "o_orderkey")
+    old_p = profile_oracle_sql("orders", _PROFILE_DTYPES[:-1])
+    new_p = profile_oracle_sql(
+        ordersq.replace("FROM orders", "FROM orders WHERE o_orderkey % 2 = 0"),
+        _PROFILE_DTYPES)
+    return f"""
+SELECT * FROM (
+  SELECT 'profile' AS arm, col_name, metric, value FROM ({prof})
+  UNION ALL
+  SELECT 'verify' AS arm, col_name, metric, value FROM ({ver})
+  UNION ALL
+  SELECT 'fk' AS arm, col_name, metric, value FROM ({fk})
+  UNION ALL
+  SELECT 'drift' AS arm,
+         COALESCE(o.col_name, n.col_name) AS col_name,
+         concat(COALESCE(o.metric, n.metric), '/',
+                CASE WHEN o.value IS NULL THEN 'added'
+                     WHEN n.value IS NULL THEN 'removed'
+                     WHEN n.value - o.value <> 0 THEN 'changed'
+                     ELSE 'unchanged' END) AS metric,
+         COALESCE(n.value - o.value, n.value, o.value) AS value
+  FROM ({old_p}) o FULL OUTER JOIN ({new_p}) n
+    ON o.col_name = n.col_name AND o.metric = n.metric
+) ORDER BY arm, col_name, metric
+"""
+
+
 def _consolidate_registry() -> None:
     from nci_seronet_proc_data_validator_spark.operators.importance import (
         importance_oracle_sql)
@@ -3207,12 +3346,18 @@ ORDER BY i.doc_id
         # the three freed slots take fuzzy_join, merge_upsert and the
         # graph_metrics rename
         "asof_join", "interval_join", "pagerank", "user_retention",
+        # round-6: the two candidate-pair siblings fuse into
+        # neardup_pairs — the freed slot takes data_profile (the
+        # schema-driven profiler tier, round-4/5 backlog #1)
+        "simhash_pairs", "ngram_jaccard_pairs",
     ]
     merged.update({
         "temporal_joins": (q_temporal_joins, SQL_TEMPORAL_JOINS),
         "fuzzy_join": (q_fuzzy_join, _sql_fuzzy_join()),
         "merge_upsert": (q_merge_upsert, _sql_merge_upsert()),
         "graph_metrics": (q_graph_metrics, _sql_graph_metrics()),
+        "neardup_pairs": (q_neardup_pairs, _sql_neardup_pairs()),
+        "data_profile": (q_data_profile, _sql_data_profile()),
     })
     for name in absorbed:
         QUERIES.pop(name, None)

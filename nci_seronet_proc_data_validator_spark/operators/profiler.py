@@ -73,13 +73,27 @@ _FLOATING = [
     ("sum_c100", "CAST(sum(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT)",
      "CAST(sum(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT)"),
 ]
-# timestamps: floored epoch seconds (Spark's long cast truncates toward
-# zero; floor() in DuckDB matches it for the non-negative epochs here)
+# timestamps: truncated epoch seconds. unix_seconds() truncates sub-
+# second precision and, unlike CAST(ts AS BIGINT), resolves for both
+# TIMESTAMP and TIMESTAMP_NTZ (parquet scans surface NTZ; the inner cast
+# reinterprets NTZ wall time in the session zone, which session.py pins
+# to UTC — exactly DuckDB's epoch() reading of a naive timestamp).
+# floor == truncate for the non-negative epochs here.
 _TIMESTAMP = [
-    ("min_epoch", "min(CAST({c} AS BIGINT))",
+    ("min_epoch", "min(unix_seconds(CAST({c} AS TIMESTAMP)))",
      "min(CAST(floor(epoch({c})) AS BIGINT))"),
-    ("max_epoch", "max(CAST({c} AS BIGINT))",
+    ("max_epoch", "max(unix_seconds(CAST({c} AS TIMESTAMP)))",
      "max(CAST(floor(epoch({c})) AS BIGINT))"),
+]
+# dates get their own class: Spark cannot CAST(DATE AS BIGINT) (the
+# timestamp template above is an AnalysisException on DATE columns) —
+# epoch DAYS is the shared integer form: unix_date() in Spark, date
+# subtraction (INTEGER days) in DuckDB
+_DATE = [
+    ("min_days", "min(unix_date({c}))",
+     "CAST(min({c} - DATE '1970-01-01') AS BIGINT)"),
+    ("max_days", "max(unix_date({c}))",
+     "CAST(max({c} - DATE '1970-01-01') AS BIGINT)"),
 ]
 _STRING = [
     ("min_len", "min(length({c}))", "CAST(min(length({c})) AS BIGINT)"),
@@ -89,7 +103,8 @@ _STRING = [
 ]
 
 _BY_CLASS = {"integral": _INTEGRAL, "floating": _FLOATING,
-             "timestamp": _TIMESTAMP, "string": _STRING, "other": []}
+             "timestamp": _TIMESTAMP, "date": _DATE, "string": _STRING,
+             "other": []}
 
 
 def _type_class(spark_dtype: str) -> str:
@@ -98,8 +113,10 @@ def _type_class(spark_dtype: str) -> str:
         return "integral" if not t.startswith("decimal") else "floating"
     if t in ("float", "double"):
         return "floating"
-    if t in ("timestamp", "timestamp_ntz", "date"):
+    if t in ("timestamp", "timestamp_ntz"):
         return "timestamp"
+    if t == "date":
+        return "date"
     if t in ("string", "varchar"):
         return "string"
     return "other"
@@ -126,6 +143,34 @@ def profile_table(df: DataFrame,
     driver-free unpivot of that row via explode(array(struct...)).
     """
     plan = _metric_plan(df.dtypes, columns)
+    aggd = df.agg(*[F.expr(s).cast("long").alias(f"m{i}")
+                    for i, (_, _, s, _) in enumerate(plan)])
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"), F.lit(m).alias("metric"),
+                 F.col(f"m{i}").alias("value"))
+        for i, (c, m, _, _) in enumerate(plan)])
+    return aggd.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def profile_table_approx(df: DataFrame,
+                         columns: list[str] | None = None,
+                         rsd: float = 0.05) -> DataFrame:
+    """The 100 TB arm of :func:`profile_table`: identical plan except the
+    exact ``count(DISTINCT ...)`` metric — whose Expand (k+1 rows per
+    input row across k columns) is the one scale caveat — is replaced by
+    ``approx_count_distinct`` (HLL++, mergeable sketch state, no Expand,
+    one straight partial-agg pass). Same output shape
+    ``(col_name, metric, value)`` with metric ``distinct_approx``; all
+    other metrics stay bit-exact, so the two forms are interchangeable
+    downstream (``suggest_constraints`` treats either distinct metric as
+    the uniqueness signal only when it equals ``nonnull``, which the
+    exact form guarantees — use the exact profile for suggestion, this
+    one for monitoring)."""
+    plan = [(c, m.replace("distinct", "distinct_approx") if m == "distinct"
+             else m,
+             f"approx_count_distinct({c}, {rsd})" if m == "distinct" else s,
+             d)
+            for (c, m, s, d) in _metric_plan(df.dtypes, columns)]
     aggd = df.agg(*[F.expr(s).cast("long").alias(f"m{i}")
                     for i, (_, _, s, _) in enumerate(plan)])
     rows = F.array(*[

@@ -1,0 +1,164 @@
+"""Profiler tier (operators/profiler.py): every type class — including
+the DATE and TIMESTAMP_NTZ columns whose BIGINT casts used to raise
+AnalysisException — plus the profile → suggest_constraints → verify
+round-trip, fk violations, drift, and the approx-distinct at-scale arm.
+
+Generalizes the reference's hand-coded per-column rulebook
+(`/root/reference/Validation_Rules.py`) into the schema-driven tier run
+first at ingest; see the data_profile driver query for the oracle-checked
+form.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.operators.profiler import (
+    between,
+    fk_violations,
+    in_set,
+    matches,
+    non_negative,
+    not_null,
+    profile_drift,
+    profile_table,
+    profile_table_approx,
+    suggest_constraints,
+    unique,
+    verify_constraints,
+)
+
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    rows = [
+        Row(i=1, d=1.25, s="aa", ts=datetime.datetime(2020, 1, 1, 12, 0, 5),
+            dt=datetime.date(2020, 1, 1), arr=[1]),
+        Row(i=2, d=-0.5, s="bbb", ts=datetime.datetime(2021, 6, 2, 0, 0, 0),
+            dt=datetime.date(2021, 6, 2), arr=[2, 3]),
+        Row(i=3, d=None, s=None, ts=None, dt=None, arr=None),
+        Row(i=4, d=2.75, s="aa", ts=datetime.datetime(2020, 1, 1, 12, 0, 5),
+            dt=datetime.date(2020, 1, 1), arr=[]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _as_map(df):
+    return {(r["col_name"], r["metric"]): r["value"] for r in df.collect()}
+
+
+def test_profile_every_type_class(typed_df):
+    m = _as_map(profile_table(typed_df))
+    # integral
+    assert m[("i", "nonnull")] == 4 and m[("i", "nulls")] == 0
+    assert m[("i", "min")] == 1 and m[("i", "max")] == 4
+    assert m[("i", "sum")] == 10 and m[("i", "distinct")] == 4
+    # floating: floor-quantized centi-units
+    assert m[("d", "min_c100")] == -50 and m[("d", "max_c100")] == 275
+    assert m[("d", "sum_c100")] == 125 + -50 + 275
+    assert m[("d", "nulls")] == 1
+    # string: lengths
+    assert m[("s", "min_len")] == 2 and m[("s", "max_len")] == 3
+    assert m[("s", "sum_len")] == 7 and m[("s", "distinct")] == 2
+    # timestamp: truncated epoch seconds (was an invalid BIGINT cast on
+    # the TIMESTAMP_NTZ columns parquet scans produce)
+    epoch = int(datetime.datetime(2020, 1, 1, 12, 0, 5,
+                                  tzinfo=datetime.timezone.utc).timestamp())
+    assert m[("ts", "min_epoch")] == epoch
+    # date: epoch days via its own metric class (the round-4/5 crash:
+    # DATE routed into the timestamp class's CAST(c AS BIGINT))
+    assert m[("dt", "min_days")] == (datetime.date(2020, 1, 1)
+                                     - datetime.date(1970, 1, 1)).days
+    assert m[("dt", "max_days")] == (datetime.date(2021, 6, 2)
+                                     - datetime.date(1970, 1, 1)).days
+    # 'other' (array) columns get the common metrics only
+    assert m[("arr", "nonnull")] == 3
+    assert ("arr", "min") not in m and ("arr", "min_len") not in m
+
+
+def test_profile_timestamp_ntz_and_date_from_parquet(spark, sf_dir):
+    """The real-world trigger: parquet timestamps surface as
+    TIMESTAMP_NTZ; a derived DATE column exercises the date class."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .withColumn("o_orderdate_d", F.to_date("o_orderdate")))
+    assert dict(orders.dtypes)["o_orderdate"] == "timestamp_ntz"
+    m = _as_map(profile_table(
+        orders, ["o_orderdate", "o_orderdate_d"]))
+    assert m[("o_orderdate", "min_epoch")] > 0
+    assert m[("o_orderdate_d", "min_days")] == \
+        m[("o_orderdate", "min_epoch")] // 86400
+
+
+def test_verify_constraints_single_pass(typed_df):
+    cons = [not_null("i"), unique("i"), not_null("s"),
+            in_set("s", ["aa", "bbb"]), in_set("s", ["aa"]),
+            non_negative("d"), between("i", "1", "3"),
+            matches("s", "^a")]
+    m = _as_map(verify_constraints(typed_df, cons))
+    assert m[("i", "not_null")] == 0 and m[("i", "unique")] == 0
+    assert m[("s", "not_null")] == 1       # one NULL s
+    # violation counts: NULLs never violate in_set/matches
+    assert m[("s", "in_set")] in (0, 1)    # two in_set entries share a key
+    assert m[("d", "non_negative")] == 1   # -0.5
+    assert m[("i", "between")] == 1        # i=4
+    assert m[("s", "matches")] == 1        # 'bbb'
+
+
+def test_profile_suggest_verify_roundtrip(typed_df):
+    prof = profile_table(typed_df).collect()
+    cons = suggest_constraints(prof)
+    names = {(k.col_name, k.name) for k in cons}
+    # i was complete and all-distinct -> not_null + unique + between
+    assert ("i", "not_null") in names and ("i", "unique") in names
+    assert ("i", "between") in names
+    # every suggested constraint must verify clean on the data it was
+    # suggested from (the Deequ contract)
+    violations = _as_map(verify_constraints(typed_df, cons))
+    assert all(v == 0 for v in violations.values()), violations
+
+
+def test_fk_violations_planted(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    clean = fk_violations(li, "l_orderkey", orders, "o_orderkey").collect()
+    assert clean[0]["value"] == 0  # TPC-H referential integrity holds
+    holed = orders.filter(F.col("o_orderkey") % 7 != 0)
+    planted = fk_violations(li, "l_orderkey", holed, "o_orderkey").collect()
+    expect = li.filter(F.col("l_orderkey") % 7 == 0).count()
+    assert planted[0]["value"] == expect > 0
+
+
+def test_profile_drift_statuses(typed_df):
+    old = profile_table(typed_df.drop("dt"))
+    new = profile_table(typed_df.filter(F.col("i") % 2 == 0))
+    drift = {(r["col_name"], r["metric"]): r["status"]
+             for r in profile_drift(old, new).collect()}
+    assert drift[("dt", "min_days")] == "added"
+    assert drift[("i", "nonnull")] == "changed"     # 4 -> 2
+    assert drift[("i", "max")] == "unchanged"       # 4 both sides
+
+
+def test_profile_table_approx_bounds(spark, sf_dir):
+    """The no-Expand at-scale arm: every non-distinct metric bit-equal to
+    the exact form; distinct_approx within HLL++ error of exact."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact = _as_map(profile_table(orders))
+    approx = _as_map(profile_table_approx(orders, rsd=0.05))
+    for (c, m), v in approx.items():
+        if m == "distinct_approx":
+            ex = exact[(c, "distinct")]
+            assert abs(v - ex) <= max(3, 0.2 * ex), (c, v, ex)
+        else:
+            assert v == exact[(c, m)], (c, m)
+
+
+def test_approx_profile_plan_has_no_expand(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exact_plan = profile_table(orders)._jdf.queryExecution() \
+        .executedPlan().toString()
+    approx_plan = profile_table_approx(orders)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Expand" in exact_plan        # the exact-distinct scale caveat
+    assert "Expand" not in approx_plan   # gone in the HLL++ arm
