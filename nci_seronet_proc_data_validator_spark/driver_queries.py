@@ -960,11 +960,25 @@ def q_doc_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_ngram_importance)
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         spread_small_input)
-    docs = spread_small_input(read_table(spark, sf_dir, "documents"))
+    raw = read_table(spark, sf_dir, "documents")
+    # planted NULL-text row (review r5): it must score exactly `bias`
+    # (clf_score coalesce fix), and it vanishes from the n-gram pass on
+    # both engines — hence the LEFT join from the classifier side, which
+    # covers every doc, rather than the old inner join that hid it
+    planted = raw.limit(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("xx").alias("lang"), F.lit("planted").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"))
+    docs = spread_small_input(raw.unionByName(planted))
     imp = hashed_ngram_importance(docs, F.col("lang") == "en",
                                   n=2, buckets=4096)
     clf = hashed_linear_score(docs, demo_weights(4096), bias=0)
-    return imp.join(clf, "doc_id").orderBy("doc_id")
+    return (clf.join(imp, "doc_id", "left")
+            .select("doc_id", "n_ngrams", "sum_target_freq",
+                    "sum_corpus_freq", "importance", "clf_score",
+                    "clf_pred")
+            .orderBy("doc_id"))
 
 
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2994,7 +3008,12 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = (snap.filter(F.col("k") % 10 == 7)
            .select((F.col("k") + 100_000_000).alias("k"),
                    F.lit("N").alias("s"), "cents"))
-    dels = snap.filter(F.col("k") % 97 == 0).select("k")
+    # planted NULL delete key (review r5): a CDC feed can carry one; it
+    # must be a no-op (left_anti: NULL matches nothing) — and it is what
+    # turned the old NOT-IN oracle into an empty target
+    dels = (snap.filter(F.col("k") % 97 == 0).select("k")
+            .unionByName(snap.limit(1)
+                         .select(F.lit(None).cast("long").alias("k"))))
     merged = merge_upsert(snap, ups.unionByName(ins), "k", deletes=dels)
     return (merged.groupBy("s", (F.col("k") % 7).alias("kmod"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -3013,7 +3032,8 @@ def _sql_merge_upsert() -> str:
            f"FROM ({snap}) WHERE k % 10 < 3")
     ins = (f"SELECT k + 100000000 AS k, 'N' AS s, cents "
            f"FROM ({snap}) WHERE k % 10 = 7")
-    dels = f"SELECT k FROM ({snap}) WHERE k % 97 = 0"
+    dels = (f"SELECT k FROM ({snap}) WHERE k % 97 = 0 "
+            f"UNION ALL SELECT CAST(NULL AS BIGINT) AS k")
     inner = merge_upsert_oracle_sql(snap, f"{ups} UNION ALL {ins}", "k",
                                     ["s", "cents"], deletes_sql=dels)
     return f"""
@@ -3241,6 +3261,12 @@ SELECT * FROM (
 """
 
 
+# doc_scoring's corpus with the planted NULL-text row (see q_doc_scoring)
+_DOCS_PLANTED = ("(SELECT * FROM documents UNION ALL "
+                 "SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR), 'xx', "
+                 "'planted', CAST(0 AS BIGINT))")
+
+
 def _consolidate_registry() -> None:
     from nci_seronet_proc_data_validator_spark.operators.importance import (
         importance_oracle_sql)
@@ -3284,13 +3310,18 @@ ORDER BY q.doc_id
         "substr_dup_pairs": (q_substr_dup_pairs,
                              substr_dup_oracle_sql(k=20, w=8, min_shared=4,
                                                    max_df=64)),
-        # round-4: classifier inference joins the DSIR scoring pass
+        # round-4: classifier inference joins the DSIR scoring pass;
+        # round-6: LEFT join from the classifier side over the corpus
+        # with a planted NULL-text row (doc_id -1, scores exactly bias)
         "doc_scoring": (q_doc_scoring, f"""
-SELECT i.*, c.clf_score, c.clf_pred
-FROM ({importance_oracle_sql("lang = 'en'", n=2, buckets=4096).strip()}) i
-JOIN ({classifier_oracle_sql(demo_weights(4096), bias=0).strip()}) c
-  ON i.doc_id = c.doc_id
-ORDER BY i.doc_id
+SELECT c.doc_id, i.n_ngrams, i.sum_target_freq, i.sum_corpus_freq,
+       i.importance, c.clf_score, c.clf_pred
+FROM ({classifier_oracle_sql(demo_weights(4096), bias=0,
+                             table=_DOCS_PLANTED).strip()}) c
+LEFT JOIN ({importance_oracle_sql("lang = 'en'", n=2, buckets=4096,
+                                  table=_DOCS_PLANTED).strip()}) i
+  ON c.doc_id = i.doc_id
+ORDER BY c.doc_id
 """),
         "boilerplate_removal": (q_boilerplate_removal,
                                 _sql_boilerplate_removal()),

@@ -58,7 +58,11 @@ def hashed_linear_score(docs: DataFrame, weights: list[int],
         raise ValueError("weights must be non-empty")
     n = len(weights)
     w_lit = "array(" + ", ".join(f"{w}L" for w in weights) + ")"
-    toks = (f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    # coalesce: regexp_extract_all(NULL) is NULL and aggregate(NULL) is
+    # NULL — a NULL-text doc must score exactly `bias` (like empty text),
+    # matching the oracle's LEFT JOIN + COALESCE
+    toks = (f"coalesce(regexp_extract_all(lower({text_col}), "
+            f"'[a-z0-9]+', 0), array())")
     bucket = ("CAST(conv(substring(md5(t), 1, 8), 16, 10) AS LONG)"
               f" % {n}")
     score = (f"aggregate({toks}, CAST({bias} AS LONG), "

@@ -235,16 +235,29 @@ def keep_best_in_cluster(corpus: DataFrame, components: DataFrame,
     the survivors-complement set is broadcast back as an anti-join, the
     same terminal shape as ``keep_canonical``.
     """
+    t = dict(corpus.dtypes)[score_col]
+    if t not in ("tinyint", "smallint", "int", "bigint", "float",
+                 "double") and not t.startswith("decimal"):
+        # enforce the numeric contract at call time: -string is NULL in
+        # Spark, which would silently reduce the argmax to min-id
+        raise TypeError(f"keep_best_in_cluster: score column "
+                        f"{score_col!r} must be numeric, got {t}")
     membership = (components
                   .join(corpus.select(F.col(id_col).alias("id"), score_col),
                         "id"))
-    # negate the (numeric-by-contract) SCORE, never the id: ids may be
-    # strings, and -string is NULL, which would silently drop every
-    # clustered doc. min(struct(-score, id)) = max score, ties -> min id
-    # under struct's lexicographic ordering — works for any orderable id.
+    # negate the SCORE, never the id (ids may be strings). A NULL score
+    # must never beat a scored sibling — but a NULL struct FIELD sorts
+    # first under min(), so an unscored doc would silently win its whole
+    # cluster. The leading null_last flag pushes NULL-scored docs behind
+    # every scored one; coalesce keeps the struct comparison NULL-free;
+    # an all-NULL cluster degrades to keep_canonical's min-id pick.
+    # min(struct(null_last, -score, id)) = max score, ties -> min id.
+    sc = F.col(score_col)
     best = (membership.groupBy("cluster_id")
-            .agg(F.min(F.struct((-F.col(score_col)).alias("ns"),
-                                F.col("id").alias("keep_id")))
+            .agg(F.min(F.struct(
+                sc.isNull().cast("int").alias("null_last"),
+                (-F.coalesce(sc, F.lit(0))).alias("ns"),
+                F.col("id").alias("keep_id")))
                  .alias("b"))
             .select(F.col("b.keep_id").alias("keep_id")))
     losers = (components.join(

@@ -72,8 +72,11 @@ def merge_upsert_oracle_sql(target_sql: str, source_sql: str, key: str,
     sel = ", ".join(
         f"CASE WHEN s.{key} IS NOT NULL THEN s.{c} ELSE t.{c} END AS {c}"
         for c in cols)
-    tgt = (f"SELECT * FROM ({target_sql}) WHERE {key} NOT IN "
-           f"(SELECT {key} FROM ({deletes_sql}))"
+    # NOT EXISTS, not NOT IN: one NULL delete key would make NOT IN
+    # UNKNOWN for every row and silently empty the target, where the
+    # operator's left_anti join (NULL matches nothing) keeps them all
+    tgt = (f"SELECT * FROM ({target_sql}) t0 WHERE NOT EXISTS "
+           f"(SELECT 1 FROM ({deletes_sql}) d0 WHERE d0.{key} = t0.{key})"
            if deletes_sql else target_sql)
     return f"""
 SELECT COALESCE(t.{key}, s.{key}) AS {key}, {sel}

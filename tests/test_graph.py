@@ -96,3 +96,37 @@ def test_keep_best_in_cluster_string_ids(spark):
                   keep_best_in_cluster(corpus, components, "quality")
                   .collect())
     assert kept == ["doc-b", "doc-c"]   # max score; tie -> smaller id
+
+
+def test_keep_best_in_cluster_null_score_never_wins(spark):
+    """Regression (review r5): a NULL negated score sorts first under
+    min(struct(...)), so an unscored doc used to silently beat every
+    scored sibling. It must lose to any scored doc; a cluster that is
+    ALL-NULL degrades to the min-id pick."""
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        keep_best_in_cluster)
+    corpus = spark.createDataFrame(
+        [(1, None), (2, 5.0), (3, 99.0),   # cluster A: 3 wins, not NULL 1
+         (7, None), (8, None)],            # cluster B all-NULL: min id 7
+        "doc_id long, quality double")
+    components = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id long, cluster_id long")
+    kept = sorted(r["doc_id"] for r in
+                  keep_best_in_cluster(corpus, components, "quality")
+                  .collect())
+    assert kept == [3, 7]
+
+
+def test_keep_best_in_cluster_string_score_raises(spark):
+    """Regression (review r5): the numeric-score contract was
+    comment-only; a string score column NULLed out the argmax silently.
+    Now it raises at call time."""
+    import pytest
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        keep_best_in_cluster)
+    corpus = spark.createDataFrame(
+        [(1, "high"), (2, "low")], "doc_id long, quality string")
+    components = spark.createDataFrame(
+        [(1, 1), (2, 1)], "id long, cluster_id long")
+    with pytest.raises(TypeError, match="must be numeric"):
+        keep_best_in_cluster(corpus, components, "quality")

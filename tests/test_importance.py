@@ -106,6 +106,21 @@ def test_hashed_linear_score_semantics(spark):
     assert got[3] == (7, True)   # no [a-z0-9] tokens -> bias
 
 
+def test_hashed_linear_score_null_text(spark):
+    """Regression (review r5): aggregate() over a NULL token array used
+    to yield NULL clf_score/clf_pred where the oracle's LEFT JOIN +
+    COALESCE yields bias — NULL text must score exactly like empty."""
+    from nci_seronet_proc_data_validator_spark.operators.classifier import (
+        demo_weights, hashed_linear_score)
+    docs = spark.createDataFrame([(1, None), (2, "")],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: (r["clf_score"], r["clf_pred"])
+           for r in hashed_linear_score(docs, demo_weights(64),
+                                        bias=-3).collect()}
+    assert got[1] == (-3, False)
+    assert got[1] == got[2]
+
+
 def test_hashed_linear_score_is_map_only(spark):
     """Model-as-literal scoring must add NO shuffle: the physical plan of
     the scoring projection contains no Exchange beyond the input's own."""

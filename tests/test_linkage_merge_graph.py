@@ -65,6 +65,33 @@ def test_merge_upsert_update_insert_delete_keep(spark):
                    (9, "z", 900)}
 
 
+def test_merge_upsert_null_delete_key_is_noop_and_oracle_agrees(spark):
+    """Regression (review r5): a NULL delete key is a no-op for the
+    operator (left_anti: NULL matches nothing) — and used to empty the
+    ORACLE's entire target via NOT IN's three-valued logic. Both engines
+    must now keep every non-deleted row."""
+    import duckdb
+    import pandas as pd
+    from nci_seronet_proc_data_validator_spark.operators.mergeop import (
+        merge_upsert_oracle_sql)
+    tgt = spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                "k long, v long")
+    src = spark.createDataFrame([(2, 200)], "k long, v long")
+    dels = spark.createDataFrame([(3,), (None,)], "k long")
+    got = {(r.k, r.v)
+           for r in merge_upsert(tgt, src, "k", deletes=dels).collect()}
+    assert got == {(1, 10), (2, 200)}
+    con = duckdb.connect()
+    con.register("tgt_t", pd.DataFrame({"k": [1, 2, 3],
+                                        "v": [10, 20, 30]}))
+    con.register("src_t", pd.DataFrame({"k": [2], "v": [200]}))
+    con.register("del_t", pd.DataFrame({"k": [3.0, None]}))
+    sql = merge_upsert_oracle_sql(
+        "SELECT * FROM tgt_t", "SELECT * FROM src_t", "k", ["v"],
+        deletes_sql="SELECT CAST(k AS BIGINT) AS k FROM del_t")
+    assert {tuple(r) for r in con.execute(sql).fetchall()} == got
+
+
 def test_merge_upsert_schema_mismatch_raises(spark):
     tgt = spark.createDataFrame([(1, "a")], "k long, s string")
     src = spark.createDataFrame([(1, 2)], "k long, other long")
