@@ -199,32 +199,47 @@ def main() -> None:
             except Exception:
                 pass
 
-    # Best-of-3 per query (raised from 2, VERDICT r2 #4: ±20% run-to-run
-    # noise on a2_crosstab/validation_lineitem): repeated execution of the
-    # identical plan isolates engine time from one-off costs (codegen cache
-    # misses, OS page cache, concurrent machine load).
+    # Best-of-n per query (n=3 default, raised from 2 in r2; override
+    # with SPARK_GRAFT_BENCH_N — the r5 verdict measured a uniform 1.23×
+    # machine-load swing across byte-identical code, so the JSON now also
+    # carries the median and per-suite spread to separate environment
+    # drift from plan regressions). Repeated execution of the identical
+    # plan isolates engine time from one-off costs (codegen cache misses,
+    # OS page cache, concurrent machine load).
     # clearCache() before every timed run so a query that persists an
     # intermediate internally (e.g. the LSH signature index) never gets the
     # second run for free from the CacheManager — each sample is a full
     # cold-cache execution.
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
-        best = float("inf")
-        for _ in range(3):
+        samples = []
+        for _ in range(n):
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        medians[name] = round(samples[len(samples) // 2], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    best_total = round(sum(timings.values()), 3)
+    med_total = round(sum(medians.values()), 3)
     print(json.dumps({
         "metric": "bench_suite_total",
-        "value": round(sum(timings.values()), 3),
+        "value": best_total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "samples": n,
+        "queries_median": medians,
+        "median_total": med_total,
+        # median/best ≈ 1.0 on an idle machine; a broad-based gap means
+        # environment load, not a plan change (r5's 1.23× lesson)
+        "env_drift": round(med_total / best_total, 3) if best_total else 1.0,
     }))
 
 

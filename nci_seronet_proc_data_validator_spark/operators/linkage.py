@@ -52,24 +52,59 @@ def _block_keys(col: F.Column) -> F.Column:
     )
 
 
+def _qgram_key_expr(colname: str, q: int, max_dist: int) -> str:
+    """ED-Join prefix q-gram block keys (Xiao et al., VLDB 2008) —
+    the LOSSLESS recall option for long strings: one edit destroys at
+    most ``q`` q-grams, so two strings within distance ``d`` share a
+    q-gram inside each other's first ``d*q + 1`` grams under ANY fixed
+    global order (ascending md5 here, the engine-portable order the
+    dedup family uses). Strings shorter than ``q`` emit no q-gram keys
+    and rely on the prefix/suffix keys, which always fire."""
+    pref = max_dist * q + 1
+    return (
+        f"CASE WHEN length({colname}) >= {q} THEN "
+        f"transform(slice(array_sort(transform(array_distinct("
+        f"transform(sequence(1, length({colname}) - {q - 1}), "
+        f"i -> substring({colname}, i, {q}))), "
+        f"g -> concat(substring(md5(g), 1, 8), g))), 1, {pref}), "
+        f"x -> concat('q:', x)) "
+        f"ELSE array() END")
+
+
 def fuzzy_join(left: DataFrame, right: DataFrame,
                left_id: str, left_col: str,
                right_id: str, right_col: str,
-               max_dist: int = 2) -> DataFrame:
+               max_dist: int = 2, qgrams: int | None = None) -> DataFrame:
     """Blocked edit-distance join: rows of ``left`` matched to rows of
     ``right`` with ``levenshtein(left_col, right_col) <= max_dist``,
     candidates restricted to pairs sharing a block key.
+
+    ``qgrams=q`` adds the ED-Join prefix q-gram key family — recall
+    becomes LOSSLESS for strings of length >= q (a pair edited at both
+    ends, which the default prefix/suffix keys can miss, still shares a
+    prefix q-gram) at the cost of ``max_dist*q + 1`` extra keys per row.
+    Use it for long strings where the d-edits-at-both-ends miss mode
+    matters; leave off for short codes where the 2-key recipe's candidate
+    volume wins.
 
     Returns ``(left_id, right_id, dist)``, one row per matched pair.
     Both inputs are scanned once; the only shuffle is the block-key
     equi-join plus the pair-level distinct.
     """
+    def _keys(valname: str) -> F.Column:
+        base = _block_keys(F.col(valname))
+        if qgrams:
+            return F.concat(base,
+                            F.expr(_qgram_key_expr(valname, qgrams,
+                                                   max_dist)))
+        return base
+
     l = (left.select(F.col(left_id).alias("__lid"),
                      F.col(left_col).alias("__lval"))
-         .withColumn("__bk", F.explode(_block_keys(F.col("__lval")))))
+         .withColumn("__bk", F.explode(_keys("__lval"))))
     r = (right.select(F.col(right_id).alias("__rid"),
                       F.col(right_col).alias("__rval"))
-         .withColumn("__bk", F.explode(_block_keys(F.col("__rval")))))
+         .withColumn("__bk", F.explode(_keys("__rval"))))
     # length guard BEFORE the pair-level distinct: |len(a)-len(b)| is a
     # lower bound on edit distance, and cutting here shrinks the only
     # wide shuffle (the dedup) rather than just the final filter.
@@ -88,10 +123,25 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 def fuzzy_join_oracle_sql(left_sql: str, right_sql: str,
                           left_id: str, left_col: str,
                           right_id: str, right_col: str,
-                          max_dist: int = 2) -> str:
-    """DuckDB twin: same two block keys (UNION for the explode), same
-    pair-level dedup, same levenshtein verify."""
+                          max_dist: int = 2,
+                          qgrams: int | None = None) -> str:
+    """DuckDB twin: same block keys (UNION for the explode, including
+    the optional ED-Join q-gram family), same pair-level dedup, same
+    levenshtein verify."""
     def keys(alias: str, idc: str, vc: str) -> str:
+        qarm = ""
+        if qgrams:
+            pref = max_dist * qgrams + 1
+            qarm = f"""
+UNION
+SELECT id, val, 'q:' || x AS bk FROM (
+  SELECT {idc} AS id, {vc} AS val,
+         unnest(list_slice(list_sort(list_transform(list_distinct(
+           list_transform(generate_series(1, length({vc}) - {qgrams - 1}),
+                          i -> substr({vc}, i, {qgrams}))),
+           g -> substr(md5(g), 1, 8) || g)), 1, {pref})) AS x
+  FROM ({alias}) WHERE length({vc}) >= {qgrams})
+"""
         return f"""
 SELECT {idc} AS id, {vc} AS val, 'p:' || substr({vc}, 1, 2) AS bk
 FROM ({alias})
@@ -100,6 +150,7 @@ SELECT {idc} AS id, {vc} AS val,
        's:' || substr({vc}, length({vc}) - 1, 2) || '#' ||
        CAST(length({vc}) // {_BAND} AS VARCHAR) AS bk
 FROM ({alias})
+{qarm}
 """
     return f"""
 WITH lk AS ({keys(left_sql, left_id, left_col)}),

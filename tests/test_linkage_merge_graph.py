@@ -140,3 +140,68 @@ def test_graph_oracles_match_spark(spark):
         triangle_counts_oracle_sql(knn_sql)).fetchall()))
     assert {(r.node_id, r.triangles)
             for r in tri.collect()} == oracle_tri
+
+
+def test_fuzzy_join_qgram_blocking_is_lossless(spark):
+    """ED-Join q-gram recall option (review r5 backlog #10): strings
+    edited at BOTH ends defeat the default prefix/suffix keys; with
+    qgrams=3 every true pair within max_dist survives blocking —
+    verified against a brute-force levenshtein cross join."""
+    from nci_seronet_proc_data_validator_spark.operators.linkage import (
+        fuzzy_join)
+    base = ["chartreuse goldenrod lavender", "midnight turquoise salmon",
+            "burnished antique metallic", "polished chocolate caramel"]
+    # one substitution at each end: d=2, both default keys broken
+    def both_ends(s):
+        return "X" + s[1:-1] + "Z"
+    clean = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(base)], "pid long, name string")
+    dirty = spark.createDataFrame(
+        [(100 + i, both_ends(s)) for i, s in enumerate(base)],
+        "did long, name string")
+
+    # brute-force truth
+    truth = {(r.did, r.pid)
+             for r in dirty.crossJoin(
+                 clean.select(F.col("pid"), F.col("name").alias("cname")))
+             .filter(F.levenshtein("name", "cname") <= 2)
+             .collect()}
+    assert len(truth) == len(base)
+
+    default = {(r.did, r.pid)
+               for r in fuzzy_join(dirty, clean, "did", "name",
+                                   "pid", "name", max_dist=2).collect()}
+    with_q = {(r.did, r.pid)
+              for r in fuzzy_join(dirty, clean, "did", "name",
+                                  "pid", "name", max_dist=2,
+                                  qgrams=3).collect()}
+    assert default < truth        # the documented miss mode is real
+    assert with_q == truth        # lossless with q-gram keys
+
+
+def test_fuzzy_join_qgram_oracle_parity(spark):
+    """The q-gram arm must derive the identical candidate set in DuckDB
+    (same md5 global order, same prefix length)."""
+    import duckdb
+    import pandas as pd
+    from nci_seronet_proc_data_validator_spark.operators.linkage import (
+        fuzzy_join, fuzzy_join_oracle_sql)
+    clean_pd = pd.DataFrame({
+        "pid": [0, 1, 2],
+        "name": ["alpha beta gamma", "delta epsilon zeta", "et"]})
+    dirty_pd = pd.DataFrame({
+        "did": [100, 101, 102],
+        "name": ["Xlpha beta gammZ", "delta epsilon zeta!", "eta"]})
+    clean = spark.createDataFrame(clean_pd)
+    dirty = spark.createDataFrame(dirty_pd)
+    got = {(r.did, r.pid, r.dist)
+           for r in fuzzy_join(dirty, clean, "did", "name", "pid", "name",
+                               max_dist=2, qgrams=3).collect()}
+    con = duckdb.connect()
+    con.register("clean_t", clean_pd)
+    con.register("dirty_t", dirty_pd)
+    sql = fuzzy_join_oracle_sql(
+        "SELECT * FROM dirty_t", "SELECT * FROM clean_t",
+        "did", "name", "pid", "name", max_dist=2, qgrams=3)
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want and len(got) >= 2
