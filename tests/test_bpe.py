@@ -102,7 +102,10 @@ def test_property_matches_naive_reference(spark):
     word = st.text(alphabet="abc", min_size=1, max_size=5)
     doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
 
-    @settings(max_examples=8, deadline=None)
+    # 5 examples ≈ 10 s of suite time; each example runs 4 full Spark
+    # merge rounds, so examples are expensive and 5 random corpora plus
+    # the deterministic unit tests above cover the merge-order contract
+    @settings(max_examples=5, deadline=None)
     @given(st.lists(doc, min_size=1, max_size=4))
     def check(texts):
         got = [tuple(r) for r in

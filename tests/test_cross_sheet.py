@@ -3,6 +3,7 @@ reconciliation, per FIXTURES.md's planted-violation matrix."""
 
 import datetime
 
+import pytest
 from pyspark.sql import Row
 
 from nci_seronet_proc_data_validator_spark.sources.readers import with_row_index
@@ -55,12 +56,19 @@ def _submission(spark):
     }
 
 
-def test_participant_presence_patterns(spark):
+@pytest.fixture(scope="module")
+def findings_rows(spark):
+    """One validate() + collect for the two presence-pattern tests (the
+    validator config is identical — rebuilding it per test was ~40% of
+    this file's wall time)."""
     v = SubmissionValidator(spark, _submission(spark), cbc_id="14",
                             today=datetime.date(2026, 1, 1))
-    res = v.validate()
-    rows = res.findings.filter("CSV_Sheet_Name = 'Cross_Participant_ID.csv'") \
-        .collect()
+    return v.validate().findings.collect()
+
+
+def test_participant_presence_patterns(findings_rows):
+    rows = [r for r in findings_rows
+            if r["CSV_Sheet_Name"] == "Cross_Participant_ID.csv"]
     by_id = {r["Column_Value"]: r["Error_Message"] for r in rows}
     assert by_id["14_000002"] == (
         "ID is found in Prior_Clinical_Test, but is missing from Demographic and Biospecimen")
@@ -80,12 +88,9 @@ def test_participant_presence_patterns(spark):
     assert all(r["Row_Index"] == -10 for r in rows)
 
 
-def test_biospecimen_presence_patterns(spark):
-    v = SubmissionValidator(spark, _submission(spark), cbc_id="14",
-                            today=datetime.date(2026, 1, 1))
-    res = v.validate()
-    rows = res.findings.filter("CSV_Sheet_Name = 'Cross_Biospecimen_ID.csv'") \
-        .collect()
+def test_biospecimen_presence_patterns(findings_rows):
+    rows = [r for r in findings_rows
+            if r["CSV_Sheet_Name"] == "Cross_Biospecimen_ID.csv"]
     msgs = {(r["Column_Value"], r["Error_Message"]) for r in rows}
     assert ("14_000099_001",
             "ID is found in Aliquot.csv, however ID is missing from Biospecimen.csv") in msgs

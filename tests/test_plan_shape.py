@@ -221,14 +221,23 @@ def _global_window_lines(plan: str) -> list[str]:
 def test_no_driver_query_has_global_window(spark, sf_dir):
     """Every registered driver query must plan without a partition-less
     WindowExec (the r2 BM25 regression class). Also a smoke guard that
-    every query's physical plan still builds."""
+    every query's physical plan still builds.
+
+    Threaded: plan construction for the model-fit queries (kmeans / PQ /
+    BPE / PageRank) runs driver-side fit jobs, serially ~50 s of the
+    suite; Spark job submission is thread-safe and the fits are
+    independent, so an 8-way pool overlaps them."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
-    bad = {}
-    for name, (fn, _sql) in QUERIES.items():
-        plan = _plan(fn(spark, sf_dir))
-        lines = _global_window_lines(plan)
-        if lines:
-            bad[name] = lines
+
+    def _check(item):
+        name, (fn, _sql) = item
+        return name, _global_window_lines(_plan(fn(spark, sf_dir)))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(_check, QUERIES.items()))
+    bad = {name: lines for name, lines in results if lines}
     assert not bad, f"global windows found: {bad}"
 
 
