@@ -1820,17 +1820,27 @@ GROUP BY ws ORDER BY ws
 
 
 def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus a training run would actually consume: near-dup pairs →
-    components → drop every clustered doc except its min-id representative
-    (operators/graph.keep_canonical)."""
+    """The corpus a training run would actually consume, both terminal
+    picks as one tagged union over the SAME component run: 'canonical' =
+    drop every clustered doc except its min-id representative
+    (operators/graph.keep_canonical); 'best' = quality-aware pick
+    (keep_best_in_cluster — highest n_chars wins, docs ≡0 (mod 13) carry
+    a planted NULL score that must never beat a scored sibling)."""
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         minhash_lsh_pairs)
     from nci_seronet_proc_data_validator_spark.operators.graph import (
-        connected_components, keep_canonical)
+        connected_components, keep_best_in_cluster, keep_canonical)
     docs = read_table(spark, sf_dir, "documents")
     cc = connected_components(minhash_lsh_pairs(docs))
-    return (keep_canonical(docs, cc)
-            .select("doc_id", "lang").orderBy("doc_id"))
+    canon = (keep_canonical(docs, cc)
+             .select(F.lit("canonical").alias("arm"), "doc_id", "lang"))
+    scored = docs.withColumn(
+        "score", F.when(F.col("doc_id") % 13 == 0,
+                        F.lit(None).cast("long"))
+        .otherwise(F.col("n_chars")))
+    best = (keep_best_in_cluster(scored, cc, "score")
+            .select(F.lit("best").alias("arm"), "doc_id", "lang"))
+    return canon.unionByName(best).orderBy("arm", "doc_id")
 
 
 def q_vocab_topn(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
@@ -2286,12 +2296,21 @@ def _register_round2_queries() -> None:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         minhash_lsh_pairs_oracle_sql)
     from nci_seronet_proc_data_validator_spark.operators.graph import (
-        keep_canonical_oracle_sql, pagerank_oracle_sql)
+        keep_best_oracle_sql, keep_canonical_oracle_sql,
+        pagerank_oracle_sql)
     QUERIES["pagerank"] = (
         q_pagerank, pagerank_oracle_sql(_PR_EDGES_SQL, iters=3))
+    _canon_sql = keep_canonical_oracle_sql(minhash_lsh_pairs_oracle_sql())
+    _best_sql = keep_best_oracle_sql(
+        minhash_lsh_pairs_oracle_sql(),
+        "CASE WHEN d.doc_id % 13 = 0 THEN NULL ELSE d.n_chars END")
     QUERIES["dedup_keep_canonical"] = (
-        q_dedup_keep_canonical,
-        keep_canonical_oracle_sql(minhash_lsh_pairs_oracle_sql()))
+        q_dedup_keep_canonical, f"""
+SELECT 'canonical' AS arm, doc_id, lang FROM ({_canon_sql.strip()})
+UNION ALL
+SELECT 'best' AS arm, doc_id, lang FROM ({_best_sql.strip()})
+ORDER BY arm, doc_id
+""")
     QUERIES["vocab_topn"] = (q_vocab_topn, SQL_VOCAB_TOPN)
     QUERIES["events_sliding"] = (q_events_sliding, SQL_EVENTS_SLIDING)
     from nci_seronet_proc_data_validator_spark.operators.training import (

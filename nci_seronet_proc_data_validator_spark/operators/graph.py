@@ -198,6 +198,42 @@ ORDER BY c.{id_col}
 """
 
 
+def keep_best_oracle_sql(pairs_sql: str, score_sql: str,
+                         corpus: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """Oracle for ``keep_best_in_cluster`` over connected components of
+    the ``pairs_sql`` graph. ``score_sql`` is a SQL expression over the
+    corpus alias ``d`` (may yield NULL — the ordering mirrors the
+    operator's null_last/-score/id struct argmax: scored docs first,
+    highest score wins, ties and all-NULL clusters fall to min id)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS id, r.root AS root
+  FROM reach r JOIN edges e ON e.src = r.id),
+cc AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id),
+m AS (SELECT cc.id, cc.cluster_id, {score_sql} AS score
+      FROM cc JOIN {corpus} d ON d.{id_col} = cc.id),
+best AS (
+  SELECT id AS keep_id FROM (
+    SELECT id, row_number() OVER (PARTITION BY cluster_id
+      ORDER BY (score IS NULL), score DESC, id) AS rn FROM m)
+  WHERE rn = 1)
+SELECT c.{id_col}, c.lang
+FROM {corpus} c
+WHERE c.{id_col} NOT IN (
+  SELECT id FROM cc WHERE id NOT IN (SELECT keep_id FROM best))
+ORDER BY c.{id_col}
+"""
+
+
 def connected_components_oracle_sql(pairs_sql: str,
                                     id_alias: str = "doc_id") -> str:
     """Recursive-CTE oracle: min reachable node id per node over the
