@@ -18,10 +18,11 @@ Why these shapes at scale:
   shuffle carries #partitions rows regardless of input size. The only
   scale caveat is ``count(DISTINCT ...)`` over k columns, which Spark
   plans as an Expand (k+1 rows per input row) before the partial agg;
-  at 100 TB swap the exact-distinct metric for
-  ``approx_count_distinct`` / the HLL register sketch
-  (``operators/sketches.py``) — one pass, mergeable, no Expand. The
-  exact form is kept here because it is oracle-checkable bit-for-bit.
+  at 100 TB use :func:`profile_table_approx` (``approx_count_distinct``
+  — one pass, mergeable HLL++ state, no Expand; plan pinned by
+  ``test_approx_profile_plan_has_no_expand``) or the HLL register
+  sketch (``operators/sketches.py``). The exact form stays the default
+  because it is oracle-checkable bit-for-bit.
 - **verify_constraints** is conditional-count algebra: every
   constraint becomes a ``sum(CASE WHEN violated THEN 1 END)`` column in
   the same single-pass aggregate — adding a constraint adds zero scans
