@@ -3,6 +3,7 @@ map-only encode, integer-exact ADC search — verified against a numpy
 twin over the same quantized micro-unit arithmetic."""
 
 import numpy as np
+import pytest
 
 from nci_seronet_proc_data_validator_spark.operators.pq import (
     pq_adc_topk,
@@ -11,6 +12,30 @@ from nci_seronet_proc_data_validator_spark.operators.pq import (
 )
 
 DIM, M, KSUB, N = 16, 4, 8, 200
+
+
+# module-scoped model fixtures: every test used to re-run the Lloyd fits
+# (~25 s of suite time); the fits are deterministic, so share them
+@pytest.fixture(scope="module")
+def pqX():
+    return _data()
+
+
+@pytest.fixture(scope="module")
+def pq_df(spark, pqX):
+    return _df(spark, pqX)
+
+
+@pytest.fixture(scope="module")
+def pq_books(pq_df):
+    return pq_fit(pq_df, DIM, m=M, ksub=KSUB, iters=2)
+
+
+@pytest.fixture(scope="module")
+def pq_centroids(pq_df):
+    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
+        kmeans_centroid_vectors)
+    return kmeans_centroid_vectors(pq_df, k=6, iters=2)
 
 
 def _data():
@@ -46,10 +71,8 @@ def _np_encode(X, books):
     return codes
 
 
-def test_pq_encode_matches_numpy(spark):
-    X = _data()
-    df = _df(spark, X)
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+def test_pq_encode_matches_numpy(spark, pqX, pq_df, pq_books):
+    X, df, books = pqX, pq_df, pq_books
     assert len(books) == M and all(len(b[0]) == DIM // M for b in books)
     assert all(isinstance(b[0][0], int) for b in books)
     got = np.array([r["pq_code"] for r in
@@ -57,10 +80,9 @@ def test_pq_encode_matches_numpy(spark):
     assert (got == _np_encode(X, books)).all()
 
 
-def test_pq_encode_is_map_only_and_streams(spark, tmp_path):
-    X = _data()
-    df = _df(spark, X)
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=1)
+def test_pq_encode_is_map_only_and_streams(spark, tmp_path, pqX, pq_df,
+                                           pq_books):
+    X, df, books = pqX, pq_df, pq_books
     plan = pq_encode(df, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     src = str(tmp_path / "pq_src")
@@ -90,12 +112,10 @@ def _np_adc(X, books, qi):
     return d
 
 
-def test_pq_adc_recall_against_brute_force(spark):
+def test_pq_adc_recall_against_brute_force(spark, pqX, pq_df, pq_books):
     """ADC top-k over codes recovers most of the true neighbors on
     clustered data, and exactly matches the numpy integer ADC twin."""
-    X = _data()
-    df = _df(spark, X)
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    X, df, books = pqX, pq_df, pq_books
     codes = pq_encode(df, books)
     qs = spark.createDataFrame(
         [(int(i), [float(v) for v in X[i]]) for i in (0, 50, 150)],
@@ -117,18 +137,15 @@ def test_pq_adc_recall_against_brute_force(spark):
         assert all(v // 34 == cluster for v in got[qi]), (qi, got[qi])
 
 
-def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(spark):
+def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(
+        spark, pqX, pq_df, pq_books, pq_centroids):
     """Bounded-probe IVF-PQ: results come only from probed clusters, and
     when the query's true cluster is probed, the top hit matches the
     full-scan ADC top hit."""
-    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-        kmeans_centroid_vectors)
     from nci_seronet_proc_data_validator_spark.operators.pq import (
         ivfpq_topk)
-    X = _data()
-    df = _df(spark, X)
-    centroids = kmeans_centroid_vectors(df, k=6, iters=2)
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    X, df = pqX, pq_df
+    centroids, books = pq_centroids, pq_books
     qs = spark.createDataFrame(
         [(0, [float(v) for v in X[0]]), (150, [float(v) for v in X[150]])],
         "query_id long, qe array<double>")
@@ -152,7 +169,7 @@ def test_ivfpq_restricts_candidates_and_agrees_with_full_adc(spark):
         assert bounded[qi][0] == full[qi][0]
 
 
-def test_pq_fit_fused_equals_per_slice_fits(spark):
+def test_pq_fit_fused_equals_per_slice_fits(spark, pq_df, pq_books):
     """The fused one-chain Lloyd is bit-identical to m independent
     subspace fits, and its include_full slice reproduces the standalone
     coarse k-means codebook (original cluster ids preserved)."""
@@ -160,9 +177,7 @@ def test_pq_fit_fused_equals_per_slice_fits(spark):
         kmeans_fit)
     from nci_seronet_proc_data_validator_spark.operators.pq import (
         pq_fit_fused)
-    X = _data()
-    df = _df(spark, X)
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    df, books = pq_df, pq_books
     fused, cids = pq_fit_fused(df, DIM, m=M, ksub=KSUB, iters=2,
                                include_full=True)
     assert fused[:M] == books
@@ -173,21 +188,20 @@ def test_pq_fit_fused_equals_per_slice_fits(spark):
     assert cids[-1] == sorted(by)
 
 
-def test_pq_oracle_sql_matches_spark(spark):
+def test_pq_oracle_sql_matches_spark(spark, pqX, pq_df, pq_books,
+                                     pq_centroids):
     """The DuckDB oracle generators reproduce the Spark ADC and IVF-PQ
     results bit for bit on a parquet snapshot of the test data."""
     import duckdb
 
     from nci_seronet_proc_data_validator_spark.operators.pq import (
         ivfpq_oracle_sql, ivfpq_topk, pq_adc_oracle_sql)
-    X = _data()
-    df = _df(spark, X)
+    X, df, books = pqX, pq_df, pq_books
     con = duckdb.connect()
     con.register("embeddings",
                  __import__("pandas").DataFrame(
                      {"vec_id": range(len(X)),
                       "embedding": [list(map(float, r)) for r in X]}))
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
     qs = (df.filter("vec_id < 3")
           .selectExpr("vec_id AS query_id", "embedding AS qe"))
     spark_adc = [(r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
@@ -198,11 +212,8 @@ def test_pq_oracle_sql_matches_spark(spark):
                           n_queries=3, k=5)).fetchall()
     assert spark_adc == [(a, b, int(c), d) for a, b, c, d in duck_adc]
 
-    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-        kmeans_centroid_vectors)
-    centroids = kmeans_centroid_vectors(df, k=6, iters=2)
     spark_ivf = [(r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
-                 for r in ivfpq_topk(df, centroids, books, qs,
+                 for r in ivfpq_topk(df, pq_centroids, books, qs,
                                      k=5, nprobe=2).collect()]
     duck_ivf = con.execute(
         ivfpq_oracle_sql(DIM, m=M, ksub=KSUB, iters=2, coarse_k=6,
@@ -211,21 +222,17 @@ def test_pq_oracle_sql_matches_spark(spark):
     assert spark_ivf == [(a, b, int(c), d) for a, b, c, d in duck_ivf]
 
 
-def test_persisted_index_round_trip_skips_codes_exchange(spark, tmp_path):
+def test_persisted_index_round_trip_skips_codes_exchange(
+        spark, tmp_path, pqX, pq_df, pq_books, pq_centroids):
     """The production serving shape (review r4/r5 backlog #6): encode
     once, write_pq_index bucketBy(cluster_id), read back, probe. Results
     identical to the inline index, and the probe join plans NO exchange
     on the codes side (only the per-query probe list moves)."""
-    from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-        kmeans_centroid_vectors)
     from nci_seronet_proc_data_validator_spark.operators.pq import (
         ivfpq_topk, read_pq_index, write_pq_index)
     from nci_seronet_proc_data_validator_spark.operators.similarity import (
         ivf_assign)
-    X = _data()
-    df = _df(spark, X)
-    centroids = kmeans_centroid_vectors(df, k=6, iters=2)
-    books = pq_fit(df, DIM, m=M, ksub=KSUB, iters=2)
+    X, df, books, centroids = pqX, pq_df, pq_books, pq_centroids
     inline_codes = pq_encode(ivf_assign(df, centroids), books) \
         .select("vec_id", "cluster_id", "pq_code")
     qs = spark.createDataFrame(
