@@ -3219,28 +3219,25 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generalizes the reference's hand-coded per-column rulebook
     (`/root/reference/Validation_Rules.py`) into the profile → suggest →
     verify tier a 100 TB ingest runs before any hand-written rule.
+
+    Scale shape: profile + verify + drift are ONE fused aggregation pass
+    over orders (``fused_quality_pass`` — conditional-count algebra, so
+    the three tiers share one scan; the separate-op composition costs
+    four); only the fk arm touches a second table.
     """
     from nci_seronet_proc_data_validator_spark.operators.profiler import (
-        fk_violations, profile_drift, profile_table, verify_constraints)
+        fk_violations, fused_quality_pass)
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "o_orderdate_d", F.to_date("o_orderdate"))
     assert [c for c, _ in orders.dtypes] == [c for c, _ in _PROFILE_DTYPES]
-    prof = profile_table(orders).select(
-        F.lit("profile").alias("arm"), "col_name", "metric", "value")
-    ver = verify_constraints(orders, _profile_constraints()).select(
-        F.lit("verify").alias("arm"), "col_name", "metric", "value")
+    fused = fused_quality_pass(orders, _profile_constraints(),
+                               slice_sql="o_orderkey % 2 = 0",
+                               drift_added=("o_orderdate_d",))
     li = read_table(spark, sf_dir, "lineitem")
     dim = orders.filter(F.col("o_orderkey") % 7 != 0)
     fk = fk_violations(li, "l_orderkey", dim, "o_orderkey").select(
         F.lit("fk").alias("arm"), "col_name", "metric", "value")
-    drift = profile_drift(
-        profile_table(orders.drop("o_orderdate_d")),
-        profile_table(orders.filter(F.col("o_orderkey") % 2 == 0))
-    ).select(
-        F.lit("drift").alias("arm"), "col_name",
-        F.concat_ws("/", "metric", "status").alias("metric"),
-        F.coalesce("delta", "new_value", "old_value").alias("value"))
-    return (prof.unionByName(ver).unionByName(fk).unionByName(drift)
+    return (fused.unionByName(fk)
             .orderBy("arm", "col_name", "metric"))
 
 

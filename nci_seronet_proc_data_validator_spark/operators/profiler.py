@@ -181,6 +181,94 @@ def profile_table_approx(df: DataFrame,
     return aggd.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def _masked(tpl: str, slice_sql: str) -> str:
+    """Rewrite a metric template to aggregate only rows satisfying
+    ``slice_sql``: column references become CASE-masked (aggregates
+    ignore the NULLs the mask injects) and ``count(*)`` becomes the
+    conditional row count."""
+    return (tpl.replace("count(*)",
+                        f"sum(CASE WHEN {slice_sql} THEN 1 ELSE 0 END)")
+            .replace("{c}", f"(CASE WHEN {slice_sql} THEN {{c}} END)"))
+
+
+def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
+                       slice_sql: str | None = None,
+                       drift_added: tuple[str, ...] = (),
+                       columns: list[str] | None = None) -> DataFrame:
+    """The whole quality tier in ONE aggregation pass → long form
+    ``(arm, col_name, metric, value BIGINT)``:
+
+    - ``arm='profile'``: every typed column metric;
+    - ``arm='verify'``: every constraint's violation count;
+    - ``arm='drift'`` (when ``slice_sql`` is given): the same metrics
+      recomputed over only the rows satisfying ``slice_sql`` (CASE-masked
+      aggregates — aggregates skip the injected NULLs, ``count(*)``
+      becomes a conditional sum), compared in-plan to the full-table
+      values: metric is tagged ``/added`` (columns in ``drift_added``,
+      i.e. absent from the stored baseline being mimicked), ``/changed``
+      or ``/unchanged``, value = delta (slice value for added columns).
+
+    Why fused: :func:`profile_table` + :func:`verify_constraints` +
+    :func:`profile_drift`-over-two-profiles costs one scan each — at
+    100 TB that is the difference between one pass and four. The fusion
+    is free because all three are conditional-count algebra over the
+    same rows; only :func:`fk_violations` genuinely needs a second
+    table. ``profile_drift`` remains the form for comparing two STORED
+    profile snapshots."""
+    plan = _metric_plan(df.dtypes, columns)
+    aggs = [F.expr(s).cast("long").alias(f"m{i}")
+            for i, (_, _, s, _) in enumerate(plan)]
+    aggs += [F.expr(k.spark_sql).cast("long").alias(f"v{i}")
+             for i, k in enumerate(constraints)]
+    if slice_sql:
+        aggs += [F.expr(_masked(s_tpl, slice_sql).format(c=c))
+                 .cast("long").alias(f"md{i}")
+                 for i, (c, _name, s_tpl, _) in enumerate(
+                     _metric_tpl_plan(df.dtypes, columns))]
+    aggd = df.agg(*aggs)
+    structs = [F.struct(F.lit("profile").alias("arm"),
+                        F.lit(c).alias("col_name"),
+                        F.lit(m).alias("metric"),
+                        F.col(f"m{i}").alias("value"))
+               for i, (c, m, _, _) in enumerate(plan)]
+    structs += [F.struct(F.lit("verify").alias("arm"),
+                         F.lit(k.col_name).alias("col_name"),
+                         F.lit(k.name).alias("metric"),
+                         F.col(f"v{i}").alias("value"))
+                for i, k in enumerate(constraints)]
+    if slice_sql:
+        for i, (c, m, _, _) in enumerate(plan):
+            mv, dv = F.col(f"m{i}"), F.col(f"md{i}")
+            if c in drift_added:
+                metric = F.lit(f"{m}/added")
+                value = dv
+            else:
+                status = (F.when(dv.isNull(), F.lit("removed"))
+                          .when(dv - mv != 0, F.lit("changed"))
+                          .otherwise(F.lit("unchanged")))
+                metric = F.concat(F.lit(m + "/"), status)
+                value = F.coalesce(dv - mv, dv, mv)
+            structs.append(F.struct(F.lit("drift").alias("arm"),
+                                    F.lit(c).alias("col_name"),
+                                    metric.alias("metric"),
+                                    value.alias("value")))
+    return (aggd.select(F.explode(F.array(*structs)).alias("r"))
+            .select("r.*"))
+
+
+def _metric_tpl_plan(dtypes: list[tuple[str, str]],
+                     columns: list[str] | None = None):
+    """Like :func:`_metric_plan` but keeps the UNformatted spark template
+    (needed to re-template with a masked column)."""
+    cols = columns or [c for c, _ in dtypes]
+    tmap = dict(dtypes)
+    plan = []
+    for c in cols:
+        for name, s_tpl, _d_tpl in _COMMON + _BY_CLASS[_type_class(tmap[c])]:
+            plan.append((c, name, s_tpl, None))
+    return plan
+
+
 def observe_profile(df: DataFrame, observation,
                     columns: list[str] | None = None,
                     rsd: float = 0.05) -> DataFrame:

@@ -201,3 +201,42 @@ def test_observe_profile_batch_and_stream(spark, sf_dir, tmp_path):
             got = om
     # single micro-batch saw the whole table -> same metrics as batch
     assert {k: got[k] for k in want} == want
+
+
+def test_fused_quality_pass_matches_composition(typed_df):
+    """fused_quality_pass (one aggregation pass) is row-identical to the
+    profile_table + verify_constraints + profile_drift composition, and
+    its plan carries exactly one aggregate source."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        fused_quality_pass)
+    cons = [not_null("i"), non_negative("d")]
+    fused = fused_quality_pass(typed_df, cons, slice_sql="i % 2 = 0",
+                               drift_added=("arr",))
+    got = {(r["arm"], r["col_name"], r["metric"]): r["value"]
+           for r in fused.collect()}
+
+    prof = _as_map(profile_table(typed_df))
+    for (c, m), v in prof.items():
+        assert got[("profile", c, m)] == v
+    ver = _as_map(verify_constraints(typed_df, cons))
+    for (c, m), v in ver.items():
+        assert got[("verify", c, m)] == v
+    drift = {(r["col_name"], r["metric"]): (r["status"], r["delta"],
+                                            r["old_value"], r["new_value"])
+             for r in profile_drift(
+                 profile_table(typed_df.drop("arr")),
+                 profile_table(typed_df.filter(F.col("i") % 2 == 0))
+             ).collect()}
+    for (c, m), (status, delta, old, new) in drift.items():
+        want = delta if delta is not None else (
+            new if new is not None else old)
+        assert got[("drift", c, f"{m}/{status}")] == want, (c, m)
+
+    # the fusion claim: ONE scan of one source, no join/union — the
+    # composition costs three separate scans + a drift join. (Take the
+    # final AQE plan section only; distinct aggregates legitimately add
+    # HashAggregate phases, so scans are the honest thing to count.)
+    plan = fused._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan.count("Scan ") == 1
+    assert "Union" not in plan and "Join" not in plan
