@@ -194,7 +194,9 @@ def _masked(tpl: str, slice_sql: str) -> str:
 def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
                        slice_sql: str | None = None,
                        drift_added: tuple[str, ...] = (),
-                       columns: list[str] | None = None) -> DataFrame:
+                       columns: list[str] | None = None,
+                       approx_distinct: bool = False,
+                       rsd: float = 0.05) -> DataFrame:
     """The whole quality tier in ONE aggregation pass → long form
     ``(arm, col_name, metric, value BIGINT)``:
 
@@ -214,30 +216,42 @@ def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
     is free because all three are conditional-count algebra over the
     same rows; only :func:`fk_violations` genuinely needs a second
     table. ``profile_drift`` remains the form for comparing two STORED
-    profile snapshots."""
-    plan = _metric_plan(df.dtypes, columns)
+    profile snapshots.
+
+    The one CPU caveat: fusing doubles the DISTINCT-aggregate groups
+    (full + slice-masked per column), and every distinct group widens
+    the Expand. ``approx_distinct=True`` is the production switch —
+    ``approx_count_distinct`` for both twins, no Expand at all (exact
+    stays the default because it is oracle-checkable)."""
+    def _tpl(name: str, s_tpl: str) -> tuple[str, str]:
+        if approx_distinct and name == "distinct":
+            return "distinct_approx", f"approx_count_distinct({{c}}, {rsd})"
+        return name, s_tpl
+    tpl_plan = [(c, *_tpl(name, s_tpl))
+                for (c, name, s_tpl, _)
+                in _metric_tpl_plan(df.dtypes, columns)]
+    plan = [(c, name, s_tpl.format(c=c)) for (c, name, s_tpl) in tpl_plan]
     aggs = [F.expr(s).cast("long").alias(f"m{i}")
-            for i, (_, _, s, _) in enumerate(plan)]
+            for i, (_, _, s) in enumerate(plan)]
     aggs += [F.expr(k.spark_sql).cast("long").alias(f"v{i}")
              for i, k in enumerate(constraints)]
     if slice_sql:
         aggs += [F.expr(_masked(s_tpl, slice_sql).format(c=c))
                  .cast("long").alias(f"md{i}")
-                 for i, (c, _name, s_tpl, _) in enumerate(
-                     _metric_tpl_plan(df.dtypes, columns))]
+                 for i, (c, _name, s_tpl) in enumerate(tpl_plan)]
     aggd = df.agg(*aggs)
     structs = [F.struct(F.lit("profile").alias("arm"),
                         F.lit(c).alias("col_name"),
                         F.lit(m).alias("metric"),
                         F.col(f"m{i}").alias("value"))
-               for i, (c, m, _, _) in enumerate(plan)]
+               for i, (c, m, _) in enumerate(plan)]
     structs += [F.struct(F.lit("verify").alias("arm"),
                          F.lit(k.col_name).alias("col_name"),
                          F.lit(k.name).alias("metric"),
                          F.col(f"v{i}").alias("value"))
                 for i, k in enumerate(constraints)]
     if slice_sql:
-        for i, (c, m, _, _) in enumerate(plan):
+        for i, (c, m, _) in enumerate(plan):
             mv, dv = F.col(f"m{i}"), F.col(f"md{i}")
             if c in drift_added:
                 metric = F.lit(f"{m}/added")

@@ -240,3 +240,31 @@ def test_fused_quality_pass_matches_composition(typed_df):
         .split("== Initial Plan ==")[0]
     assert plan.count("Scan ") == 1
     assert "Union" not in plan and "Join" not in plan
+
+
+def test_fused_quality_pass_approx_distinct_no_expand(spark, sf_dir):
+    """The production switch: approx_distinct=True removes every
+    DISTINCT aggregate (no Expand), keeps all other metrics bit-equal to
+    the exact fused pass, and bounds distinct_approx by HLL++ error."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        fused_quality_pass)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cons = [not_null("o_orderkey")]
+    exact = {(r["arm"], r["col_name"], r["metric"]): r["value"]
+             for r in fused_quality_pass(
+                 orders, cons, slice_sql="o_orderkey % 2 = 0").collect()}
+    approx_df = fused_quality_pass(orders, cons,
+                                   slice_sql="o_orderkey % 2 = 0",
+                                   approx_distinct=True)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    for (arm, c, m), v in {(r["arm"], r["col_name"], r["metric"]):
+                           r["value"] for r in approx_df.collect()}.items():
+        if "distinct_approx" in m:
+            base = m.replace("distinct_approx", "distinct")
+            if arm == "drift":
+                continue    # drift deltas of approx counts aren't comparable
+            ex = exact[(arm, c, base)]
+            assert abs(v - ex) <= max(3, 0.2 * ex), (arm, c, m)
+        else:
+            assert v == exact[(arm, c, m)], (arm, c, m)
