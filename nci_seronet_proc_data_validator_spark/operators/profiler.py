@@ -426,6 +426,130 @@ WHERE f.{fact_key} IS NOT NULL
 """
 
 
+# --------------------------------------------- incremental (mergeable)
+# metric name -> how two partial states combine (all profile metrics are
+# algebraic; distinct is the exception and rides as an HLL sketch)
+def _merge_fn(metric: str):
+    if metric.startswith(("min",)):
+        return F.min
+    if metric.startswith(("max",)):
+        return F.max
+    return F.sum          # nonnull / nulls / sum* are additive
+
+
+def profile_partials(df: DataFrame, batch_col,
+                     columns: list[str] | None = None) -> DataFrame:
+    """Mergeable per-batch profile state — the incremental form a 100 TB
+    ingest actually runs: profile each arriving batch/partition ONCE,
+    store the tiny state row, and roll states up (``merge_profiles``)
+    without ever rescanning history. Every metric here is algebraic
+    (count/min/max/sum merge exactly); ``distinct`` — the one
+    non-algebraic metric — rides as a DataSketches HLL sketch column
+    (``{col}__hll``, binary; unions keep the single-sketch error
+    guarantee), the same mechanism Deequ's metric repository uses for
+    incremental uniqueness.
+
+    Returns one row per ``batch_col`` value: ``{col}__{metric}`` longs
+    plus ``{col}__hll`` binaries.
+    """
+    cols = columns or [c for c, _ in df.dtypes
+                       if not (isinstance(batch_col, str) and c == batch_col)]
+    plan = [(c, m, s) for (c, m, s, _) in _metric_plan(df.dtypes, cols)
+            if m != "distinct"]
+    aggs = [F.expr(s).cast("long").alias(f"{c}__{m}") for c, m, s in plan]
+    # hll_sketch_agg accepts int/long/string/binary only — the string
+    # cast is injective for every profiled type, so distinct is preserved
+    aggs += [F.hll_sketch_agg(F.col(c).cast("string")).alias(f"{c}__hll")
+             for c in cols]
+    return df.groupBy(batch_col).agg(*aggs)
+
+
+def merge_profiles(partials: DataFrame,
+                   batch_col: str | None = None) -> DataFrame:
+    """Roll per-batch profile states up to one table-level profile in the
+    same long form as :func:`profile_table` (``col_name, metric, value``)
+    — metric ``distinct_hll`` is the merged-sketch estimate. The input is
+    O(batches) rows, so this is model-scale regardless of the snapshots'
+    size; states can be merged associatively across days/regions/reruns.
+    """
+    metric_cols = [c for c in partials.columns if "__" in c
+                   and c != batch_col]
+    aggs = []
+    for mc in metric_cols:
+        col, metric = mc.rsplit("__", 1)
+        if metric == "hll":
+            aggs.append(F.hll_sketch_estimate(
+                F.hll_union_agg(F.col(mc))).cast("long")
+                .alias(f"{col}__distinct_hll"))
+        else:
+            aggs.append(_merge_fn(metric)(F.col(mc)).cast("long")
+                        .alias(mc))
+    merged = partials.agg(*aggs)
+    out_cols = [c for c in merged.columns]
+    rows = F.array(*[
+        F.struct(F.lit(c.rsplit("__", 1)[0]).alias("col_name"),
+                 F.lit(c.rsplit("__", 1)[1]).alias("metric"),
+                 F.col(c).alias("value"))
+        for c in out_cols])
+    return merged.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def detect_anomalies(history: DataFrame, current: DataFrame,
+                     k: int = 3, min_history: int = 3) -> DataFrame:
+    """Deequ-style anomaly detection on metric history: flag every
+    (col_name, metric) of ``current`` (one profile, long form) whose
+    value falls outside mean ± k·stddev of the same metric across
+    ``history`` (many prior profiles, long form — e.g. accumulated
+    :func:`profile_table` / :func:`merge_profiles` outputs). Metrics
+    with fewer than ``min_history`` observations or zero variance use an
+    exact-equality band instead (any change flags).
+
+    Shape: both inputs are O(columns × metrics × snapshots) rows —
+    model-scale regardless of the profiled tables' size; one tiny keyed
+    agg + one broadcastable join. This is the tier that catches "row
+    count dropped 40% today" before a bad snapshot poisons a 100 TB
+    pipeline — the temporal complement of :func:`profile_drift`'s
+    two-snapshot comparison.
+
+    Returns current's rows + ``(n_obs, mean_x100, band_lo, band_hi,
+    is_anomaly)`` — the band in exact centi-units (integer arithmetic;
+    variance via the Σx/Σx² identity over BIGINT sums).
+    """
+    h = (history.groupBy("col_name", "metric")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              F.sum("value").alias("sx"),
+              F.sum(F.col("value") * F.col("value")).alias("sxx"),
+              F.min("value").alias("hmin"),
+              F.max("value").alias("hmax")))
+    # mean and stddev in centi-units: mean_x100 = 100*sx/n; var_x10000 =
+    # (10000*(n*sxx - sx^2)) / n^2 — all integer until the final sqrt
+    n, sx, sxx = F.col("n_obs"), F.col("sx"), F.col("sxx")
+    mean_x100 = F.expr("100 * sx div n_obs")
+    var_x10000 = ((F.lit(10000) * (n * sxx - sx * sx))
+                  / (n * n)).cast("double")
+    sd_x100 = F.ceil(F.sqrt(F.greatest(var_x10000, F.lit(0.0))))
+    joined = (current.join(F.broadcast(h), ["col_name", "metric"], "left")
+              .withColumn("mean_x100", mean_x100)
+              .withColumn("sd_x100", sd_x100))
+    degenerate = (F.col("n_obs").isNull()
+                  | (F.col("n_obs") < min_history)
+                  | (F.col("sd_x100") == 0))
+    lo = F.when(degenerate, F.col("hmin") * 100) \
+        .otherwise(F.col("mean_x100") - k * F.col("sd_x100"))
+    hi = F.when(degenerate, F.col("hmax") * 100) \
+        .otherwise(F.col("mean_x100") + k * F.col("sd_x100"))
+    v100 = F.col("value") * 100
+    return (joined
+            .withColumn("band_lo", lo)
+            .withColumn("band_hi", hi)
+            .withColumn("is_anomaly",
+                        F.when(F.col("n_obs").isNull(), F.lit(True))
+                        .otherwise((v100 < F.col("band_lo"))
+                                   | (v100 > F.col("band_hi"))))
+            .select("col_name", "metric", "value", "n_obs", "mean_x100",
+                    "band_lo", "band_hi", "is_anomaly"))
+
+
 # ------------------------------------------------- suggestion and drift
 def suggest_constraints(profile_rows) -> list[Constraint]:
     """Deequ-style constraint suggestion from a measured profile.

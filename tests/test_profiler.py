@@ -268,3 +268,67 @@ def test_fused_quality_pass_approx_distinct_no_expand(spark, sf_dir):
             assert abs(v - ex) <= max(3, 0.2 * ex), (arm, c, m)
         else:
             assert v == exact[(arm, c, m)], (arm, c, m)
+
+
+def test_incremental_profile_merges_to_full(spark, sf_dir):
+    """profile_partials per batch + merge_profiles == the one-shot
+    profile: algebraic metrics bit-equal; the merged HLL distinct
+    estimate sits within HLL error of true distinct (union of sketches
+    carries the same error guarantee as a single-pass sketch, though not
+    bit-identical — sparse→dense state transitions depend on order)."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        merge_profiles, profile_partials)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .withColumn("batch", F.col("o_orderkey") % 3)
+    partials = profile_partials(orders, "batch",
+                                columns=["o_orderkey", "o_totalprice",
+                                         "o_orderstatus"])
+    assert partials.count() == 3
+    merged = {(r["col_name"], r["metric"]): r["value"]
+              for r in merge_profiles(partials, "batch").collect()}
+    full = _as_map(profile_table(
+        orders, ["o_orderkey", "o_totalprice", "o_orderstatus"]))
+    for (c, m), v in full.items():
+        if m == "distinct":
+            est = merged[(c, "distinct_hll")]
+            assert abs(est - v) <= max(3, 0.05 * v), (c, est, v)
+        else:
+            assert merged[(c, m)] == v, (c, m)
+
+
+def test_detect_anomalies_bands_and_degenerates(spark):
+    """mean±k·σ band over metric history: a stable metric flags on a 40%
+    swing, normal jitter passes, zero-variance history flags ANY change,
+    an unseen metric flags, and a short history uses min/max equality."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        detect_anomalies)
+
+    def prof(rows):
+        return spark.createDataFrame(
+            rows, "col_name string, metric string, value long")
+
+    history = prof(
+        # jittery but stable row count across 4 snapshots
+        [("t", "nonnull", v) for v in (100, 104, 96, 100)]
+        # zero-variance metric
+        + [("t", "max", 7) for _ in range(4)]
+        # short history (2 obs < min_history)
+        + [("t", "min", v) for v in (1, 1)])
+    current = prof([
+        ("t", "nonnull", 101),    # inside band
+        ("t", "max", 8),          # zero-variance history: any change flags
+        ("t", "min", 1),          # short history, equal to min/max band
+        ("t", "sum", 500),        # never seen -> anomaly
+    ])
+    got = {(r["col_name"], r["metric"]): r["is_anomaly"]
+           for r in detect_anomalies(history, current, k=3).collect()}
+    assert got[("t", "nonnull")] is False
+    assert got[("t", "max")] is True
+    assert got[("t", "min")] is False
+    assert got[("t", "sum")] is True
+
+    # the 40% drop cases flags
+    bad = prof([("t", "nonnull", 60)])
+    flag = detect_anomalies(history, bad, k=3).collect()[0]
+    assert flag["is_anomaly"] is True
+    assert flag["band_lo"] <= 10000 <= flag["band_hi"]   # 100 in centi
