@@ -45,6 +45,7 @@ variants (timestamp epoch, regex match) are explicit named pairs.
 
 from __future__ import annotations
 
+import datetime
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -557,7 +558,11 @@ def suggest_constraints(profile_rows) -> list[Constraint]:
     Input is the collected (model-scale) output of :func:`profile_table`
     — O(columns × metrics) rows. Suggests ``not_null`` when a column had
     zero nulls, ``unique`` when every non-null value was distinct (and
-    the column is complete), ``between`` from observed integer min/max.
+    the column is complete), and ``between`` from the observed envelope
+    of every ordered type class: integer min/max directly, floating via
+    the centi-unit metrics (bounds widened one centi-unit — floor
+    quantization means max may round down), dates via epoch days,
+    timestamps via epoch seconds, strings as a length band.
     """
     by_col: dict[str, dict[str, int]] = {}
     for r in profile_rows:
@@ -570,6 +575,31 @@ def suggest_constraints(profile_rows) -> list[Constraint]:
                 out.append(unique(c))
         if "min" in m and "max" in m:
             out.append(between(c, str(m["min"]), str(m["max"])))
+        elif "min_c100" in m and "max_c100" in m:
+            # floor quantization: the true max may exceed max_c100/100 by
+            # up to one centi-unit — widen the upper bound accordingly
+            out.append(between(c, str(m["min_c100"] / 100.0),
+                               str((m["max_c100"] + 1) / 100.0)))
+        elif "min_days" in m and "max_days" in m:
+            epoch = datetime.date(1970, 1, 1)
+            lo = epoch + datetime.timedelta(days=m["min_days"])
+            hi = epoch + datetime.timedelta(days=m["max_days"])
+            out.append(between(c, f"DATE '{lo.isoformat()}'",
+                               f"DATE '{hi.isoformat()}'"))
+        elif "min_epoch" in m and "max_epoch" in m:
+            # truncated-seconds metrics: widen hi by 1 s for sub-second
+            # precision. CAST keeps the comparison valid for NTZ columns
+            # in Spark (no-op in DuckDB); session tz is pinned UTC.
+            def _ts(sec: int) -> str:
+                t = datetime.datetime.fromtimestamp(
+                    sec, datetime.timezone.utc)
+                return f"TIMESTAMP '{t.strftime('%Y-%m-%d %H:%M:%S')}'"
+            out.append(between(f"CAST({c} AS TIMESTAMP)",
+                               _ts(m["min_epoch"]),
+                               _ts(m["max_epoch"] + 1)))
+        elif "min_len" in m and "max_len" in m:
+            out.append(between(f"length({c})",
+                               str(m["min_len"]), str(m["max_len"])))
     return out
 
 

@@ -107,16 +107,31 @@ def test_verify_constraints_single_pass(typed_df):
 
 
 def test_profile_suggest_verify_roundtrip(typed_df):
+    import duckdb
+
     prof = profile_table(typed_df).collect()
     cons = suggest_constraints(prof)
     names = {(k.col_name, k.name) for k in cons}
     # i was complete and all-distinct -> not_null + unique + between
     assert ("i", "not_null") in names and ("i", "unique") in names
     assert ("i", "between") in names
+    # every ordered type class gets an envelope constraint
+    assert ("d", "between") in names                       # floating c100
+    assert ("dt", "between") in names                      # DATE literals
+    assert ("CAST(ts AS TIMESTAMP)", "between") in names   # TIMESTAMP
+    assert ("length(s)", "between") in names               # string length
     # every suggested constraint must verify clean on the data it was
-    # suggested from (the Deequ contract)
+    # suggested from (the Deequ contract)...
     violations = _as_map(verify_constraints(typed_df, cons))
     assert all(v == 0 for v in violations.values()), violations
+    # ...on BOTH engines (the suggested SQL is engine-portable)
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        verify_oracle_sql)
+    con = duckdb.connect()
+    con.register("t", typed_df.drop("arr").toPandas())
+    duck_cons = [k for k in cons if k.col_name != "arr"]
+    for r in con.execute(verify_oracle_sql("t", duck_cons)).fetchall():
+        assert r[2] == 0, r
 
 
 def test_fk_violations_planted(spark, sf_dir):
