@@ -184,7 +184,6 @@ def test_observe_profile_batch_and_stream(spark, sf_dir, tmp_path):
     batch metrics via Observation match profile_table_approx; the SAME
     call on a readStream frame surfaces them per micro-batch in
     StreamingQueryProgress.observedMetrics."""
-    import time
     from pyspark.sql import Observation
     from nci_seronet_proc_data_validator_spark.operators.profiler import (
         observe_profile)
