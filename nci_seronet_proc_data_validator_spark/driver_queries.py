@@ -3186,6 +3186,11 @@ _PROFILE_DTYPES = [
 ]
 
 
+# the anomaly arm's monitored columns (bounded on purpose: each adds 4
+# masked metric twins incl. a distinct group, which widens the Expand)
+_ANOM_COLS = ("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
 def _profile_constraints():
     from nci_seronet_proc_data_validator_spark.operators.profiler import (
         between, in_set, matches, non_negative, not_null, unique)
@@ -3220,34 +3225,49 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`/root/reference/Validation_Rules.py`) into the profile → suggest →
     verify tier a 100 TB ingest runs before any hand-written rule.
 
+    - 'anomaly': mean±kσ anomaly flags of the newest quarter of the key
+      space against the other three as metric history (the batched form
+      of detect_anomalies; flag expression shared verbatim with the
+      oracle) over the three monitored columns.
+
     Scale shape: profile + verify + drift are ONE fused aggregation pass
     over orders (``fused_quality_pass`` — conditional-count algebra, so
     the three tiers share one scan; the separate-op composition costs
-    four); only the fk arm touches a second table.
+    four), the anomaly arm is one more masked-metrics pass, and only the
+    fk arm touches a second table.
     """
     from nci_seronet_proc_data_validator_spark.operators.profiler import (
-        fk_violations, fused_quality_pass)
+        anomaly_slices_pass, fk_violations, fused_quality_pass)
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "o_orderdate_d", F.to_date("o_orderdate"))
     assert [c for c, _ in orders.dtypes] == [c for c, _ in _PROFILE_DTYPES]
     fused = fused_quality_pass(orders, _profile_constraints(),
                                slice_sql="o_orderkey % 2 = 0",
                                drift_added=("o_orderdate_d",))
+    anom = anomaly_slices_pass(
+        orders, [f"o_orderkey % 4 = {j}" for j in range(3)],
+        "o_orderkey % 4 = 3", columns=list(_ANOM_COLS), k=3).select(
+        F.lit("anomaly").alias("arm"), "col_name", "metric", "value")
     li = read_table(spark, sf_dir, "lineitem")
     dim = orders.filter(F.col("o_orderkey") % 7 != 0)
     fk = fk_violations(li, "l_orderkey", dim, "o_orderkey").select(
         F.lit("fk").alias("arm"), "col_name", "metric", "value")
-    return (fused.unionByName(fk)
+    return (fused.unionByName(anom).unionByName(fk)
             .orderBy("arm", "col_name", "metric"))
 
 
 def _sql_data_profile() -> str:
     from nci_seronet_proc_data_validator_spark.operators.profiler import (
-        fk_oracle_sql, profile_oracle_sql, verify_oracle_sql)
+        anomaly_slices_oracle_sql, fk_oracle_sql, profile_oracle_sql,
+        verify_oracle_sql)
     ordersq = ("(SELECT *, CAST(o_orderdate AS DATE) AS o_orderdate_d "
                "FROM orders)")
     prof = profile_oracle_sql(ordersq, _PROFILE_DTYPES)
     ver = verify_oracle_sql(ordersq, _profile_constraints())
+    anom = anomaly_slices_oracle_sql(
+        "orders", _PROFILE_DTYPES,
+        [f"o_orderkey % 4 = {j}" for j in range(3)],
+        "o_orderkey % 4 = 3", columns=list(_ANOM_COLS), k=3)
     fk = fk_oracle_sql("lineitem", "l_orderkey",
                        "(SELECT * FROM orders WHERE o_orderkey % 7 <> 0)",
                        "o_orderkey")
@@ -3260,6 +3280,8 @@ SELECT * FROM (
   SELECT 'profile' AS arm, col_name, metric, value FROM ({prof})
   UNION ALL
   SELECT 'verify' AS arm, col_name, metric, value FROM ({ver})
+  UNION ALL
+  SELECT 'anomaly' AS arm, col_name, metric, value FROM ({anom})
   UNION ALL
   SELECT 'fk' AS arm, col_name, metric, value FROM ({fk})
   UNION ALL

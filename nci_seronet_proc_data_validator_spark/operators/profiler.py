@@ -551,6 +551,92 @@ def detect_anomalies(history: DataFrame, current: DataFrame,
                     "band_lo", "band_hi", "is_anomaly"))
 
 
+# The anomaly FLAG as one SQL expression over columns (h0, h1, h2, c) —
+# shared VERBATIM by the Spark plan and the DuckDB oracle, so the
+# double-precision arithmetic is bit-identical on both engines:
+# |c - mean| > k·sd  ⇔  (n·c - sx)² > k²·(n·sxx - sx²), n=3 history
+# slices; zero-variance history flags ANY change (3c ≠ sx).
+_ANOM_FLAG_SQL = """
+CASE WHEN (3e0 * (CAST(h0 AS DOUBLE)*h0 + CAST(h1 AS DOUBLE)*h1
+                  + CAST(h2 AS DOUBLE)*h2)
+           - (CAST(h0 AS DOUBLE)+h1+h2) * (CAST(h0 AS DOUBLE)+h1+h2)) <= 0e0
+     THEN CASE WHEN 3*c <> h0+h1+h2 THEN 1 ELSE 0 END
+     ELSE CASE WHEN (3e0*c - (CAST(h0 AS DOUBLE)+h1+h2))
+                    * (3e0*c - (CAST(h0 AS DOUBLE)+h1+h2))
+                  > {k2}e0 * (3e0 * (CAST(h0 AS DOUBLE)*h0
+                                     + CAST(h1 AS DOUBLE)*h1
+                                     + CAST(h2 AS DOUBLE)*h2)
+                              - (CAST(h0 AS DOUBLE)+h1+h2)
+                                * (CAST(h0 AS DOUBLE)+h1+h2))
+               THEN 1 ELSE 0 END
+END"""
+
+
+def anomaly_slices_pass(df: DataFrame, history_preds: list[str],
+                        current_pred: str,
+                        columns: list[str] | None = None,
+                        k: int = 3) -> DataFrame:
+    """Oracle-checkable anomaly detection in ONE aggregation pass: the
+    profile metrics of three in-table history slices (``history_preds``,
+    CASE-masked aggregate twins) and of the ``current_pred`` slice are
+    computed together, then every (col, metric) gets the mean ± k·σ flag
+    of :data:`_ANOM_FLAG_SQL` — the batched form of
+    :func:`detect_anomalies` (which consumes STORED profile history) used
+    when history snapshots live as partitions/date-slices of one table.
+
+    Output: ``(arm='anomaly', col_name, metric='{m}/anom',
+    value=0|1 BIGINT)``.
+    """
+    if len(history_preds) != 3:
+        raise ValueError("exactly 3 history slices (n is baked into the "
+                         f"shared flag expression): {history_preds}")
+    tpl_plan = _metric_tpl_plan(df.dtypes, columns)
+    aggs = []
+    for j, pred in enumerate(list(history_preds) + [current_pred]):
+        tag = f"h{j}" if j < 3 else "c"
+        aggs += [F.expr(_masked(s_tpl, pred).format(c=c))
+                 .cast("long").alias(f"{tag}m{i}")
+                 for i, (c, _name, s_tpl, _) in enumerate(tpl_plan)]
+    aggd = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"), F.lit(m).alias("metric"),
+                 F.col(f"h0m{i}").alias("h0"), F.col(f"h1m{i}").alias("h1"),
+                 F.col(f"h2m{i}").alias("h2"), F.col(f"cm{i}").alias("c"))
+        for i, (c, m, _, _) in enumerate(tpl_plan)])
+    flag = _ANOM_FLAG_SQL.format(k2=k * k)
+    return (aggd.select(F.explode(rows).alias("r")).select("r.*")
+            .selectExpr("col_name",
+                        "concat(metric, '/anom') AS metric",
+                        f"CAST(({flag}) AS BIGINT) AS value"))
+
+
+def anomaly_slices_oracle_sql(table: str, dtypes: list[tuple[str, str]],
+                              history_preds: list[str], current_pred: str,
+                              columns: list[str] | None = None,
+                              k: int = 3) -> str:
+    """DuckDB twin of :func:`anomaly_slices_pass`: four profile CTEs
+    (one per slice) joined on (col_name, metric), then the SAME
+    ``_ANOM_FLAG_SQL`` text."""
+    slices = list(history_preds) + [current_pred]
+    names = ["ah0", "ah1", "ah2", "ac"]
+    ctes = ",\n".join(
+        f"{nm} AS MATERIALIZED ({profile_oracle_sql(f'(SELECT * FROM {table} WHERE {pred})', dtypes, columns)})"
+        for nm, pred in zip(names, slices))
+    flag = _ANOM_FLAG_SQL.format(k2=k * k)
+    return f"""
+WITH {ctes}
+SELECT ac.col_name, concat(ac.metric, '/anom') AS metric,
+       CAST(({flag}) AS BIGINT) AS value
+FROM (SELECT col_name, metric, value AS c FROM ac) ac
+JOIN (SELECT col_name, metric, value AS h0 FROM ah0) ah0
+  USING (col_name, metric)
+JOIN (SELECT col_name, metric, value AS h1 FROM ah1) ah1
+  USING (col_name, metric)
+JOIN (SELECT col_name, metric, value AS h2 FROM ah2) ah2
+  USING (col_name, metric)
+"""
+
+
 # ------------------------------------------------- suggestion and drift
 def suggest_constraints(profile_rows) -> list[Constraint]:
     """Deequ-style constraint suggestion from a measured profile.

@@ -340,15 +340,16 @@ def test_quantized_ann_rerank_is_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_data_profile_is_three_scans(spark, sf_dir):
+def test_data_profile_is_four_scans(spark, sf_dir):
     """The quality tier's scan budget, pinned: ONE fused aggregation scan
-    of orders (profile + verify + drift share it), plus the fk arm's
-    probe (lineitem) and its key-only dimension scan — and the dimension
-    scan must prune to the join key."""
+    of orders (profile + verify + drift share it), one masked-metrics
+    scan for the anomaly arm, plus the fk arm's probe (lineitem) and its
+    key-only dimension scan — and the dimension scan must prune to the
+    join key."""
     from nci_seronet_proc_data_validator_spark.driver_queries import (
         q_data_profile)
     plan = _plan(q_data_profile(spark, sf_dir))
-    assert plan.count("Scan parquet") == 3
+    assert plan.count("Scan parquet") == 4
     # the fk dimension reads only o_orderkey (column pruning reached it)
     dim_reads = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")
                  if seg.startswith("struct<o_orderkey")]
