@@ -3419,7 +3419,21 @@ ORDER BY c.doc_id
         # neardup_pairs — the freed slot takes data_profile (the
         # schema-driven profiler tier, round-4/5 backlog #1)
         "simhash_pairs", "ngram_jaccard_pairs",
+        # round-7: the three small validation queries fuse into
+        # submission_misc (which adds the S9 sink write→readback arm) —
+        # the two freed slots take streaming_parity and jdbc_roundtrip,
+        # promoting the §2.8 streaming and S5/S6/S11 JDBC surfaces from
+        # test-verified to oracle-checked (r5 verdict: correct_pct 72)
+        "j6_anti_join", "a4_count_reconcile", "o3_union_slices",
     ]
+    from nci_seronet_proc_data_validator_spark.parity import (
+        SQL_JDBC_ROUNDTRIP,
+        SQL_STREAMING_PARITY,
+        q_jdbc_roundtrip,
+        q_streaming_parity,
+        q_submission_misc,
+        sql_submission_misc,
+    )
     merged.update({
         "temporal_joins": (q_temporal_joins, SQL_TEMPORAL_JOINS),
         "fuzzy_join": (q_fuzzy_join, _sql_fuzzy_join()),
@@ -3427,6 +3441,9 @@ ORDER BY c.doc_id
         "graph_metrics": (q_graph_metrics, _sql_graph_metrics()),
         "neardup_pairs": (q_neardup_pairs, _sql_neardup_pairs()),
         "data_profile": (q_data_profile, _sql_data_profile()),
+        "submission_misc": (q_submission_misc, sql_submission_misc()),
+        "streaming_parity": (q_streaming_parity, SQL_STREAMING_PARITY),
+        "jdbc_roundtrip": (q_jdbc_roundtrip, SQL_JDBC_ROUNDTRIP),
     })
     for name in absorbed:
         QUERIES.pop(name, None)

@@ -1,0 +1,604 @@
+"""Oracle-checked parity queries for the engine's side-effecting surfaces.
+
+Round-5 verdict: 16 of 57 operators were "test-verified only —
+sinks/JDBC/streaming surfaces with no DuckDB-oracle form". This module
+gives those surfaces an oracle form by running the side effect INSIDE the
+query callable and returning the read-back result as a DataFrame, so the
+driver's DuckDB compare certifies the full write→read round-trip:
+
+- ``q_submission_misc``: registry fusion of the three small validation
+  queries (``j6_anti_join`` + ``a4_count_reconcile`` + ``o3_union_slices``)
+  plus a NEW ``sink_csv`` arm that pushes findings through the S9
+  per-sheet error-report sink (``sinks/reports.write_error_reports``,
+  reference ``File_Submission_Object.py:417-430``) and reads the
+  partitioned CSV artifact back — the oracle recomputes the findings
+  directly, so a hash match proves the sink round-trips byte-exactly.
+- ``q_streaming_parity``: the §2.8 streaming operators executed to
+  completion under ``trigger(availableNow=True)`` — watermarked hourly
+  rollup (complete mode), ``dropDuplicatesWithinWatermark`` exact dedup
+  over a source with planted duplicates, stream-static broadcast
+  enrichment, BOTH ``applyInPandasWithState`` stateful operators
+  (session tracking and the conversion-funnel state machine), and the
+  CDC apply stream (two change batches merged into versioned parquet
+  snapshots) — each read back from its sink and oracled by the batch
+  SQL the streaming semantics must converge to.
+- ``q_jdbc_roundtrip``: live embedded-Derby JDBC round-trip (S5/S6/J7
+  shapes: Spark JDBC append, then a scan whose JOIN + predicate +
+  projection execute DB-side via the ``query`` option) plus the S11
+  probe/UPDATE/INSERT upsert (reference ``File_Submission_Object.py:
+  439-499``) run twice against DBAPI sqlite to prove revalidation
+  updates-not-duplicates; the final table states are oracled by plain
+  SQL over the same parquet inputs.
+
+Temp artifacts are written under fresh ``tempfile.mkdtemp`` dirs and left
+in place: the returned DataFrames read them lazily (the driver collects
+after the callable returns).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.errors import (
+    COLUMN_NAME,
+    COLUMN_VALUE,
+    ERROR_MESSAGE,
+    MESSAGE_TYPE,
+    ROW_INDEX,
+    SHEET_NAME,
+)
+from nci_seronet_proc_data_validator_spark.sources.readers import read_table
+
+_UNIQ = itertools.count()
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"spark_graft_parity_{tag}_")
+
+
+def _uniq() -> str:
+    return f"{os.getpid()}_{next(_UNIQ)}"
+
+
+# --------------------------------------------------------------------------
+# submission_misc: j6 + a4 + o3 + S9 sink write→readback, one tagged union.
+# Common shape (arm, k, s1, s2, v); sort keys (arm, k, s1) are non-null and
+# unique per row on both engines.
+# --------------------------------------------------------------------------
+
+_SINK_BAD_SEGMENTS = ("FURNITURE", "HOUSEHOLD")
+
+
+def _sink_findings(cust: DataFrame) -> DataFrame:
+    """Driver-scale findings fixture in the canonical errors schema:
+    flag customers in the 'unexpected' market segments."""
+    return (cust.filter(F.col("c_mktsegment").isin(*_SINK_BAD_SEGMENTS))
+            .select(F.lit("Error").alias(MESSAGE_TYPE),
+                    F.lit("customer.csv").alias(SHEET_NAME),
+                    F.col("c_custkey").alias(ROW_INDEX),
+                    F.lit("Mktsegment").alias(COLUMN_NAME),
+                    F.col("c_mktsegment").alias(COLUMN_VALUE),
+                    F.lit("Unexpected Value").alias(ERROR_MESSAGE)))
+
+
+def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+
+    null_s = F.lit(None).cast("string")
+    null_v = F.lit(None).cast("double")
+
+    # J6: submitted-id anti-restriction (customers with no 'P' order).
+    p_orders = orders.filter(F.col("o_orderstatus") == "P")
+    j6 = (cust.join(p_orders, cust.c_custkey == p_orders.o_custkey,
+                    "left_anti")
+          .select(F.lit("j6").alias("arm"),
+                  F.col("c_custkey").alias("k"),
+                  F.lit("").alias("s1"), null_s.alias("s2"),
+                  null_v.alias("v")))
+
+    # A4: declared-vs-distinct count reconciliation, unpivoted to rows.
+    a4 = (cust.agg(F.count(F.lit(1)).alias("declared"))
+          .crossJoin(orders.agg(
+              F.countDistinct("o_custkey").alias("dwo")))
+          .select(F.explode(F.array(
+              F.struct(F.lit("declared").alias("s1"),
+                       F.col("declared").cast("double").alias("v")),
+              F.struct(F.lit("distinct_with_orders").alias("s1"),
+                       F.col("dwo").cast("double").alias("v")),
+              F.struct(F.lit("matches").alias("s1"),
+                       (F.col("declared") == F.col("dwo"))
+                       .cast("double").alias("v")))).alias("e"))
+          .select(F.lit("a4").alias("arm"),
+                  F.lit(-1).cast("bigint").alias("k"),
+                  F.col("e.s1").alias("s1"), null_s.alias("s2"),
+                  F.col("e.v").alias("v")))
+
+    # O3: union of two filtered slices, slice tag in the arm.
+    def _slice(pred, tag):
+        return (cust.filter(pred)
+                .select(F.lit(f"o3_{tag}").alias("arm"),
+                        F.col("c_custkey").alias("k"),
+                        F.col("c_mktsegment").alias("s1"),
+                        null_s.alias("s2"), null_v.alias("v")))
+    o3 = _slice(F.col("c_mktsegment") == "BUILDING", "A").unionByName(
+        _slice(F.col("c_acctbal") > 9500, "B"))
+
+    # S9 sink round-trip: findings → partitioned-CSV error reports →
+    # read back (partition column restored by directory discovery).
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        write_error_reports,
+    )
+    out_dir = _tmpdir("sink_csv")
+    write_error_reports(_sink_findings(cust), out_dir, fmt="csv")
+    back = spark.read.option("header", "true").csv(out_dir)
+    sink = back.select(
+        F.lit("sink_csv").alias("arm"),
+        F.col(ROW_INDEX).cast("bigint").alias("k"),
+        F.concat_ws("|", F.col(SHEET_NAME), F.col(COLUMN_NAME),
+                    F.col(COLUMN_VALUE), F.col(ERROR_MESSAGE)).alias("s1"),
+        F.col(MESSAGE_TYPE).alias("s2"), F.lit(None).cast("double").alias("v"))
+
+    return (j6.unionByName(a4).unionByName(o3).unionByName(sink)
+            .orderBy("arm", "k", "s1"))
+
+
+def sql_submission_misc() -> str:
+    segs = ", ".join(f"'{s}'" for s in _SINK_BAD_SEGMENTS)
+    return f"""
+SELECT * FROM (
+  SELECT 'j6' AS arm, c_custkey AS k, '' AS s1,
+         CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS DOUBLE) AS v
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+  UNION ALL
+  SELECT 'a4', CAST(-1 AS BIGINT), t.s1, NULL, t.v FROM (
+    SELECT 'declared' AS s1,
+           CAST((SELECT count(*) FROM customer) AS DOUBLE) AS v
+    UNION ALL
+    SELECT 'distinct_with_orders',
+           CAST((SELECT count(DISTINCT o_custkey) FROM orders) AS DOUBLE)
+    UNION ALL
+    SELECT 'matches',
+           CAST(CAST((SELECT count(*) FROM customer)
+                 = (SELECT count(DISTINCT o_custkey) FROM orders) AS INT)
+                AS DOUBLE)) t
+  UNION ALL
+  SELECT 'o3_A', c_custkey, c_mktsegment, NULL, NULL FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT 'o3_B', c_custkey, c_mktsegment, NULL, NULL FROM customer
+  WHERE c_acctbal > 9500
+  UNION ALL
+  SELECT 'sink_csv', c_custkey,
+         'customer.csv|Mktsegment|' || c_mktsegment || '|Unexpected Value',
+         'Error', NULL
+  FROM customer WHERE c_mktsegment IN ({segs})
+)
+ORDER BY arm, k, s1
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming_parity: §2.8 operators run to completion (availableNow) and
+# read back from their sinks; the oracle is the batch SQL each streaming
+# semantics must converge to. Shape (arm, k, s, n, v); sort keys
+# (arm, k, s) non-null + unique.
+# --------------------------------------------------------------------------
+
+def _normalized_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events with a pinned schema (the raw parquet's ts physical
+    type varies by driver round — see ``read_events``) so the streaming
+    source schema is stable. This IS the watcher ingest shape: files
+    landing in a directory, schema known up front."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        read_events,
+    )
+    src = _tmpdir("events_src")
+    (read_events(spark, sf_dir)
+     .select("event_id", "ts", "user_id", "event_type", "value",
+             F.unix_timestamp("ts").alias("epoch"),
+             F.unix_micros("ts").alias("ts_us"))
+     .write.mode("overwrite").parquet(src))
+    return src
+
+
+_EV_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+
+
+def _run_to_memory(stream_df: DataFrame, name: str, mode: str,
+                   stop_on_idle: bool = False) -> DataFrame:
+    """Run an availableNow stream into a memory sink and return the sink
+    table. ``stop_on_idle`` is for ``applyInPandasWithState`` with
+    ProcessingTimeTimeout: under availableNow its trailing
+    state-cleanup batch waits on the processing-time timeout horizon
+    and the query never self-terminates — poll until the data batches
+    are done (progress recorded AND the source reports no new data),
+    then stop. The timeout horizon (gap_seconds) exceeds the poll
+    window by orders of magnitude, so the cleanup batch can never have
+    emitted timeout rows before the stop — output is exactly the data
+    batches' emissions."""
+    import time as _time
+    q = (stream_df.writeStream.outputMode(mode).format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    if stop_on_idle:
+        deadline = _time.time() + 600
+        while _time.time() < deadline and q.isActive:
+            st = q.status
+            if (q.lastProgress is not None
+                    and not st["isDataAvailable"]
+                    and not st["message"].startswith("Processing")):
+                break
+            _time.sleep(0.2)
+        if q.isActive:
+            q.stop()
+    q.awaitTermination(600)
+    return stream_df.sparkSession.table(name)
+
+
+def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+        dedup_stream,
+        enrich_stream,
+        hourly_rollup_stream,
+    )
+    uid = _uniq()
+    ev_dir = _normalized_events_dir(spark, sf_dir)
+
+    def ev_stream() -> DataFrame:
+        return spark.readStream.schema(_EV_SCHEMA).parquet(ev_dir)
+
+    null_n = F.lit(None).cast("bigint")
+    null_v = F.lit(None).cast("double")
+
+    # Watermarked hourly rollup. Complete mode emits ALL windows (the
+    # availableNow batch never closes them in append mode); epoch-micros
+    # keys sidestep timestamp rendering differences.
+    rollup = _run_to_memory(hourly_rollup_stream(ev_stream()),
+                            f"parity_rollup_{uid}", "complete")
+    rollup_arm = rollup.select(
+        F.lit("rollup").alias("arm"),
+        F.unix_micros(F.col("hour")).alias("k"),
+        F.col("event_type").alias("s"),
+        F.col("n").alias("n"), F.col("total_value").alias("v"))
+
+    # Streaming exact dedup over planted duplicates: the corpus unioned
+    # with an id-shifted copy of itself; one row per content hash must
+    # survive. Constant event time keeps the watermark from ever
+    # advancing, so no row can be late-dropped regardless of how the
+    # file source batches — the dedup state alone decides.
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_dir = _tmpdir("dedup_src")
+    (docs.unionByName(docs.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+     .write.mode("overwrite").parquet(dup_dir))
+    doc_stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .parquet(dup_dir)
+                  .withColumn("ts", F.lit("2024-01-01 00:00:00")
+                              .cast("timestamp")))
+    dedup = _run_to_memory(
+        dedup_stream(doc_stream).select("content_hash"),
+        f"parity_dedup_{uid}", "append")
+    dedup_arm = dedup.select(
+        F.lit("dedup").alias("arm"), F.lit(-1).cast("bigint").alias("k"),
+        F.col("content_hash").alias("s"), null_n.alias("n"),
+        null_v.alias("v"))
+
+    # Stream-static broadcast enrichment (purchases joined to the
+    # customer dimension); append mode passes every matched row through.
+    dim = (read_table(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    enriched = _run_to_memory(
+        enrich_stream(ev_stream().filter(F.col("event_type") == "purchase"),
+                      dim).select("event_id", "c_mktsegment", "user_id",
+                                  "value"),
+        f"parity_enrich_{uid}", "append")
+    enrich_arm = enriched.select(
+        F.lit("enrich").alias("arm"), F.col("event_id").alias("k"),
+        F.col("c_mktsegment").alias("s"), F.col("user_id").alias("n"),
+        F.col("value").alias("v"))
+
+    # Stateful session tracking (applyInPandasWithState). One
+    # availableNow batch → no processing-time timeouts can fire, so the
+    # emitted rows are exactly each user's final running state:
+    # (rollover count, events in the open session, last epoch) — the
+    # gap-split recursion the batch sessionize oracle computes.
+    from nci_seronet_proc_data_validator_spark.streaming.stateful import (
+        track_funnel,
+        track_sessions,
+    )
+    sess_stream = (spark.readStream.schema("user_id bigint, epoch bigint")
+                   .parquet(ev_dir))
+    sessions = _run_to_memory(track_sessions(sess_stream, gap_seconds=1800),
+                              f"parity_sessions_{uid}", "append",
+                              stop_on_idle=True)
+    sessions_arm = sessions.select(
+        F.lit("sessions").alias("arm"), F.col("user_id").alias("k"),
+        F.col("session_count").cast("string").alias("s"),
+        F.col("n_events").alias("n"),
+        F.col("last_seen").cast("double").alias("v"))
+
+    # Stateful conversion funnel: the per-user state machine must land on
+    # the batch operator's min-qualifying-frontier recursion.
+    fun_stream = (spark.readStream
+                  .schema("user_id bigint, ts_us bigint, event_type string")
+                  .parquet(ev_dir))
+    funnel = _run_to_memory(
+        track_funnel(fun_stream, ["view", "click", "purchase"]),
+        f"parity_funnel_{uid}", "append")
+    funnel_arm = funnel.select(
+        F.lit("funnel").alias("arm"), F.col("user_id").alias("k"),
+        F.col("reached_step").cast("string").alias("s"),
+        F.col("frontier_us").alias("n"), null_v.alias("v"))
+
+    # CDC apply: two COMMUTATIVE change batches (disjoint key sets, so
+    # the file source's batch order can't change the outcome) streamed
+    # with maxFilesPerTrigger=1 — two foreachBatch merges, two committed
+    # snapshot versions; the arm reads the final snapshot back.
+    cdc_arm = _cdc_arm(spark, sf_dir)
+
+    return (rollup_arm.unionByName(dedup_arm).unionByName(enrich_arm)
+            .unionByName(sessions_arm).unionByName(funnel_arm)
+            .unionByName(cdc_arm)
+            .orderBy("arm", "k", "s"))
+
+
+def _cdc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.streaming.cdc import (
+        apply_cdc_stream,
+        current_version,
+        init_snapshot,
+        read_snapshot,
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    base, ch_dir, cp = _tmpdir("cdc_base"), _tmpdir("cdc_ch"), _tmpdir("cdc_cp")
+    init_snapshot(nation.select("n_nationkey", "n_name"), base)
+
+    def _changes(rk: int, tag: str, new_key: int) -> DataFrame:
+        ups = nation.filter(F.col("n_regionkey") == rk).select(
+            "n_nationkey",
+            F.concat(F.lit(f"{tag}_"), F.col("n_name")).alias("n_name"),
+            F.lit("upsert").alias("op"))
+        ins = spark.createDataFrame(
+            [(new_key, f"NEW_{tag}", "upsert")],
+            "n_nationkey bigint, n_name string, op string")
+        dels = nation.filter(F.col("n_regionkey") == (3 if tag == "A" else 4)
+                             ).select("n_nationkey",
+                                      F.lit("").alias("n_name"),
+                                      F.lit("delete").alias("op"))
+        return ups.unionByName(ins).unionByName(dels)
+
+    _changes(0, "A", 1000).coalesce(1).write.mode("append").parquet(ch_dir)
+    _changes(1, "B", 2000).coalesce(1).write.mode("append").parquet(ch_dir)
+    stream = (spark.readStream
+              .schema("n_nationkey bigint, n_name string, op string")
+              .option("maxFilesPerTrigger", 1).parquet(ch_dir))
+    q = apply_cdc_stream(stream, base, "n_nationkey", cp)
+    q.awaitTermination(600)
+    final = read_snapshot(spark, base)
+    return final.select(
+        F.lit("cdc").alias("arm"), F.col("n_nationkey").alias("k"),
+        F.col("n_name").alias("s"),
+        F.lit(current_version(base)).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("v"))
+
+
+SQL_STREAMING_PARITY = """
+WITH ep AS (
+  -- floor, not round: Spark's unix_timestamp truncates sub-second parts,
+  -- DuckDB's CAST(double AS BIGINT) rounds to nearest
+  SELECT user_id, CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ep
+  FROM events),
+rolls AS (
+  SELECT user_id, ep,
+         CASE WHEN ep - lag(ep) OVER w > 1800 THEN 1 ELSE 0 END AS roll
+  FROM ep WINDOW w AS (PARTITION BY user_id ORDER BY ep)),
+sess AS (
+  SELECT user_id, ep,
+         sum(roll) OVER (PARTITION BY user_id ORDER BY ep
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM rolls),
+sess_final AS (
+  SELECT user_id, max(sid) AS session_count, max(ep) AS last_seen
+  FROM sess GROUP BY 1),
+eus AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+  FROM events),
+f1 AS (SELECT user_id AS u, min(ts_us) AS t FROM eus
+       WHERE event_type = 'view' GROUP BY 1),
+f2 AS (SELECT e.user_id AS u, min(e.ts_us) AS t FROM eus e
+       JOIN f1 ON f1.u = e.user_id
+       WHERE e.event_type = 'click' AND e.ts_us > f1.t GROUP BY 1),
+f3 AS (SELECT e.user_id AS u, min(e.ts_us) AS t FROM eus e
+       JOIN f2 ON f2.u = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts_us > f2.t GROUP BY 1)
+SELECT * FROM (
+  SELECT 'rollup' AS arm,
+         epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS k,
+         event_type AS s, count(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+  FROM events GROUP BY 2, 3
+  UNION ALL
+  SELECT 'dedup', CAST(-1 AS BIGINT), h, NULL, NULL
+  FROM (SELECT DISTINCT md5(text) AS h FROM documents)
+  UNION ALL
+  SELECT 'enrich', event_id, c_mktsegment, user_id, value
+  FROM events LEFT JOIN customer ON user_id = c_custkey
+  WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT 'sessions', sf.user_id, CAST(sf.session_count AS VARCHAR),
+         count(*), CAST(sf.last_seen AS DOUBLE)
+  FROM sess s JOIN sess_final sf
+    ON s.user_id = sf.user_id AND s.sid = sf.session_count
+  GROUP BY 2, 3, 5
+  UNION ALL
+  SELECT 'funnel', f1.u,
+         CAST(CASE WHEN f3.u IS NOT NULL THEN 3
+                   WHEN f2.u IS NOT NULL THEN 2 ELSE 1 END AS VARCHAR),
+         CASE WHEN f3.u IS NOT NULL THEN f3.t
+              WHEN f2.u IS NOT NULL THEN f2.t ELSE f1.t END, NULL
+  FROM f1 LEFT JOIN f2 ON f1.u = f2.u LEFT JOIN f3 ON f1.u = f3.u
+  UNION ALL
+  SELECT 'cdc', n_nationkey, CASE WHEN n_regionkey = 0 THEN 'A_' || n_name
+                                  WHEN n_regionkey = 1 THEN 'B_' || n_name
+                                  ELSE n_name END,
+         CAST(2 AS BIGINT), NULL
+  FROM nation WHERE n_regionkey NOT IN (3, 4)
+  UNION ALL
+  SELECT 'cdc', 1000, 'NEW_A', 2, NULL
+  UNION ALL
+  SELECT 'cdc', 2000, 'NEW_B', 2, NULL
+)
+ORDER BY arm, k, s
+"""
+
+
+# --------------------------------------------------------------------------
+# jdbc_roundtrip: live Derby JDBC write + DB-side join/pushdown scan, and
+# the S11 DBAPI upsert run twice (idempotent revalidation). Shape
+# (arm, k, s1, s2, v); sort keys (arm, k, s1) non-null + unique.
+# --------------------------------------------------------------------------
+
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _derby_exec(spark: SparkSession, url: str, *stmts: str) -> None:
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for s in stmts:
+            st.execute(s)
+        st.close()
+    finally:
+        conn.close()
+
+
+def _sqlite_factory(path: str):
+    def factory():
+        import sqlite3
+        return sqlite3.connect(path, timeout=60)
+    return factory
+
+
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        upsert_job_status,
+    )
+    null_s = F.lit(None).cast("string")
+    null_v = F.lit(None).cast("double")
+
+    # ---- Derby: JDBC append then DB-side join + predicate scan (S5/S6/J7)
+    dbdir = _tmpdir("derby")
+    url = f"jdbc:derby:{dbdir}/db;create=true"
+    _derby_exec(
+        spark, url,
+        "CREATE TABLE nation_m (n_nationkey BIGINT, n_name VARCHAR(32), "
+        "n_regionkey BIGINT)",
+        "CREATE TABLE region_m (r_regionkey BIGINT, r_name VARCHAR(32))",
+        "CREATE TABLE supplier_m (s_suppkey BIGINT, s_name VARCHAR(64), "
+        "s_acctbal DOUBLE)")
+    (read_table(spark, sf_dir, "nation")
+     .select("n_nationkey", "n_name", "n_regionkey").coalesce(4)
+     .write.jdbc(url, "nation_m", mode="append", properties=_DERBY_PROPS))
+    (read_table(spark, sf_dir, "region")
+     .select("r_regionkey", "r_name").coalesce(1)
+     .write.jdbc(url, "region_m", mode="append", properties=_DERBY_PROPS))
+    (read_table(spark, sf_dir, "supplier")
+     .select("s_suppkey", "s_name", "s_acctbal").coalesce(4)
+     .write.jdbc(url, "supplier_m", mode="append", properties=_DERBY_PROPS))
+
+    def _derby_query(q: str) -> DataFrame:
+        return (spark.read.format("jdbc").option("url", url)
+                .option("query", q).options(**_DERBY_PROPS).load())
+
+    # join + filter execute INSIDE Derby (the restored S6 jobs-queue
+    # shape); Derby upper-cases result identifiers, so rename by position.
+    scan_join = _derby_query(
+        "SELECT n.n_nationkey, n.n_name, r.r_name "
+        "FROM nation_m n JOIN region_m r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name <> 'ASIA'").toDF("k", "s1", "s2").select(
+        F.lit("scan_join").alias("arm"), F.col("k").cast("bigint"),
+        "s1", "s2", null_v.alias("v"))
+    scan_sup = _derby_query(
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier_m "
+        "WHERE s_acctbal > 5000").toDF("k", "s1", "v").select(
+        F.lit("scan_sup").alias("arm"), F.col("k").cast("bigint"),
+        "s1", null_s.alias("s2"), F.col("v").cast("double"))
+
+    # ---- S11 upsert, run twice: second run UPDATEs existing keys and
+    # INSERTs new ones — revalidation must not duplicate job rows.
+    sqldb = os.path.join(_tmpdir("upsert"), "status.db")
+    import sqlite3
+    conn = sqlite3.connect(sqldb)
+    conn.execute("CREATE TABLE job_status (file_name TEXT, "
+                 "file_status TEXT, n_errors INTEGER)")
+    conn.commit()
+    conn.close()
+    factory = _sqlite_factory(sqldb)
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    first = nation.select(
+        F.concat(F.col("n_name"), F.lit(".csv")).alias("file_name"),
+        F.lit("FIRST").alias("file_status"),
+        F.col("n_nationkey").cast("int").alias("n_errors"))
+    second = (nation.filter(F.col("n_regionkey") < 2).select(
+        F.concat(F.col("n_name"), F.lit(".csv")).alias("file_name"),
+        F.lit("SECOND").alias("file_status"),
+        (F.col("n_nationkey") * 10).cast("int").alias("n_errors"))
+        .unionByName(region.select(
+            F.concat(F.lit("EXTRA_"), F.col("r_name"), F.lit(".csv"))
+            .alias("file_name"),
+            F.lit("SECOND").alias("file_status"),
+            F.col("r_regionkey").cast("int").alias("n_errors"))))
+    upsert_job_status(first, factory, table="job_status", key="file_name")
+    upsert_job_status(second, factory, table="job_status", key="file_name")
+
+    conn = sqlite3.connect(sqldb)
+    rows = conn.execute(
+        "SELECT file_name, file_status, n_errors FROM job_status").fetchall()
+    conn.close()
+    upsert = (spark.createDataFrame(
+        [(fn, st, int(n)) for fn, st, n in rows],
+        "file_name string, file_status string, n_errors int")
+        .select(F.lit("upsert").alias("arm"),
+                F.lit(-1).cast("bigint").alias("k"),
+                F.col("file_name").alias("s1"),
+                F.col("file_status").alias("s2"),
+                F.col("n_errors").cast("double").alias("v")))
+
+    return (scan_join.unionByName(scan_sup).unionByName(upsert)
+            .orderBy("arm", "k", "s1"))
+
+
+SQL_JDBC_ROUNDTRIP = """
+SELECT * FROM (
+  SELECT 'scan_join' AS arm, n_nationkey AS k, n_name AS s1, r_name AS s2,
+         CAST(NULL AS DOUBLE) AS v
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name <> 'ASIA'
+  UNION ALL
+  SELECT 'scan_sup', s_suppkey, s_name, NULL, s_acctbal
+  FROM supplier WHERE s_acctbal > 5000
+  UNION ALL
+  SELECT 'upsert', CAST(-1 AS BIGINT), u.s1, u.s2, u.v FROM (
+    SELECT n_name || '.csv' AS s1,
+           CASE WHEN n_regionkey < 2 THEN 'SECOND' ELSE 'FIRST' END AS s2,
+           CAST(CASE WHEN n_regionkey < 2 THEN n_nationkey * 10
+                     ELSE n_nationkey END AS DOUBLE) AS v
+    FROM nation
+    UNION ALL
+    SELECT 'EXTRA_' || r_name || '.csv', 'SECOND',
+           CAST(r_regionkey AS DOUBLE)
+    FROM region) u
+)
+ORDER BY arm, k, s1
+"""

@@ -43,12 +43,16 @@ def session_tracker(gap_seconds: int = 1800):
             return
 
         sc, ne, ls = state.get if state.exists else (0, 0, None)
-        for pdf in batches:
-            for ts in sorted(int(t) for t in pdf["epoch"]):
-                if ls is not None and ts - ls > gap_seconds:
-                    sc, ne = sc + 1, 0
-                ne += 1
-                ls = ts
+        # Collect the WHOLE micro-batch before sorting: a group larger
+        # than one Arrow chunk arrives as several pdfs in source order,
+        # and per-pdf sorting would apply cross-chunk stragglers out of
+        # time order (silent session miscounts at scale).
+        epochs = [int(t) for pdf in batches for t in pdf["epoch"]]
+        for ts in sorted(epochs):
+            if ls is not None and ts - ls > gap_seconds:
+                sc, ne = sc + 1, 0
+            ne += 1
+            ls = ts
         if ls is None:
             return
         state.update((sc, ne, ls))
