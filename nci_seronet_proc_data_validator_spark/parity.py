@@ -8,11 +8,21 @@ driver's DuckDB compare certifies the full write→read round-trip:
 
 - ``q_submission_misc``: registry fusion of the three small validation
   queries (``j6_anti_join`` + ``a4_count_reconcile`` + ``o3_union_slices``)
-  plus a NEW ``sink_csv`` arm that pushes findings through the S9
-  per-sheet error-report sink (``sinks/reports.write_error_reports``,
-  reference ``File_Submission_Object.py:417-430``) and reads the
-  partitioned CSV artifact back — the oracle recomputes the findings
-  directly, so a hash match proves the sink round-trips byte-exactly.
+  plus round-trip arms for the remaining driver-side surfaces:
+  ``sink_csv`` (S9 partitioned error-report sink, reference
+  ``File_Submission_Object.py:417-430``), ``sink_xlsx`` (S10: the
+  one-worksheet-per-sheet workbook written by the dependency-free
+  SpreadsheetML writer and read back through its reader, reference
+  ``s3.py:45-113``), ``status`` (S11 status vocabulary incl. the
+  clean-file SUCCESS row, reference ``File_Submission_Object.py:
+  458-479``), ``notify`` (S12 mrkdwn payload built then re-parsed,
+  reference ``nci-seronet-data-validator.py:208-250``), ``colcmp``
+  (P10 header-vs-catalog set compare, reference
+  ``File_Submission_Object.py:55-72`` — the oracle reads DuckDB's
+  information_schema), and ``read_any`` (S3 suffix-dispatch multi-file
+  scan reassembling the table from disjoint CSV + parquet slices,
+  reference ``s3.py:116-179``). Each oracle recomputes the expected
+  content directly, so a hash match proves the write→read round-trip.
 - ``q_streaming_parity``: the §2.8 streaming operators executed to
   completion under ``trigger(availableNow=True)`` — watermarked hourly
   rollup (complete mode), ``dropDuplicatesWithinWatermark`` exact dedup
@@ -72,6 +82,12 @@ def _uniq() -> str:
 # --------------------------------------------------------------------------
 
 _SINK_BAD_SEGMENTS = ("FURNITURE", "HOUSEHOLD")
+_WARN_PRIORITY = "5-LOW"
+# P10 catalog fixture: customer's real columns minus c_mktsegment (so the
+# actual header has one unexpected column) plus c_address (so the catalog
+# has one missing column). Shared verbatim by the oracle SQL.
+_COLCMP_EXPECTED = ("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                    "c_address")
 
 
 def _sink_findings(cust: DataFrame) -> DataFrame:
@@ -84,6 +100,19 @@ def _sink_findings(cust: DataFrame) -> DataFrame:
                     F.lit("Mktsegment").alias(COLUMN_NAME),
                     F.col("c_mktsegment").alias(COLUMN_VALUE),
                     F.lit("Unexpected Value").alias(ERROR_MESSAGE)))
+
+
+def _warn_findings(orders: DataFrame) -> DataFrame:
+    """Warning-severity findings on a second sheet (orders), so the
+    workbook, job-status, and notification arms exercise the
+    multi-sheet + mixed-severity paths."""
+    return (orders.filter(F.col("o_orderpriority") == _WARN_PRIORITY)
+            .select(F.lit("Warning").alias(MESSAGE_TYPE),
+                    F.lit("orders.csv").alias(SHEET_NAME),
+                    F.col("o_orderkey").alias(ROW_INDEX),
+                    F.lit("Orderpriority").alias(COLUMN_NAME),
+                    F.col("o_orderpriority").alias(COLUMN_VALUE),
+                    F.lit("Low Priority").alias(ERROR_MESSAGE)))
 
 
 def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,6 +161,8 @@ def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S9 sink round-trip: findings → partitioned-CSV error reports →
     # read back (partition column restored by directory discovery).
     from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        build_notification_payload,
+        job_status_rows,
         write_error_reports,
     )
     out_dir = _tmpdir("sink_csv")
@@ -144,13 +175,139 @@ def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col(COLUMN_VALUE), F.col(ERROR_MESSAGE)).alias("s1"),
         F.col(MESSAGE_TYPE).alias("s2"), F.lit(None).cast("double").alias("v"))
 
+    orders_all = read_table(spark, sf_dir, "orders")
+    findings = _sink_findings(cust).unionByName(_warn_findings(orders_all))
+
+    # S10 workbook round-trip: the same findings through the reference's
+    # one-worksheet-per-sheet xlsx artifact (dependency-free SpreadsheetML
+    # writer) and back through its reader — driver-scale by contract.
+    from nci_seronet_proc_data_validator_spark.sinks.xlsx_minimal import (
+        read_xlsx_rows,
+    )
+    import pandas as pd
+    wb_path = os.path.join(_tmpdir("sink_xlsx"), "report.xlsx")
+    write_error_reports(findings, wb_path, fmt="xlsx")
+    frames = []
+    for i in (0, 1):  # worksheets sort by sheet name: customer, orders
+        cols, rows = read_xlsx_rows(wb_path, sheet=i)
+        frames.append(pd.DataFrame(rows, columns=cols))
+    sink_x = (spark.createDataFrame(
+        pd.concat(frames, ignore_index=True).astype(str))
+        .select(F.lit("sink_xlsx").alias("arm"),
+                F.col(ROW_INDEX).cast("bigint").alias("k"),
+                F.concat_ws("|", F.col(COLUMN_NAME), F.col(COLUMN_VALUE),
+                            F.col(ERROR_MESSAGE)).alias("s1"),
+                F.col(MESSAGE_TYPE).alias("s2"), null_v.alias("v")))
+
+    # S11 status vocabulary: per-file + submission-wide statuses derived
+    # from the findings (clean.csv planted to prove the zero-findings row).
+    status = (job_status_rows(findings, "sub1", "2024-01-01",
+                              sheet_names=["customer.csv", "orders.csv",
+                                           "clean.csv"])
+              .select(F.lit("status").alias("arm"),
+                      F.lit(-1).cast("bigint").alias("k"),
+                      F.col("file_name").alias("s1"),
+                      F.concat_ws("|", F.col("data_validation_status"),
+                                  F.col("batch_validation_status"))
+                      .alias("s2"),
+                      (F.col("n_errors") + F.col("n_warnings"))
+                      .cast("double").alias("v")))
+
+    # S12 notification payload build → parse round-trip: the A2 summary
+    # rendered to the mrkdwn payload, then the per-sheet counts and the
+    # verdict recovered from the payload text itself.
+    import re
+    from nci_seronet_proc_data_validator_spark.errors import (
+        findings_summary,
+    )
+    summary = sorted(findings_summary(findings).collect(),
+                     key=lambda r: r[SHEET_NAME])
+    payload = build_notification_payload(summary, "sub1", "tester")
+    text = payload["blocks"][0]["text"]["text"]
+    notif_rows: list[tuple] = []
+    for line in text.split("\n"):
+        m = re.match(r"• `(.+)` — (\d+) Errors / (\d+) Warnings", line)
+        if m:
+            notif_rows.append((0, m.group(1),
+                               f"{m.group(2)} Errors / {m.group(3)} Warnings"))
+        m = re.match(r"\*(Submission \w+ validation)\* "
+                     r"\((\d+) errors, (\d+) warnings\)", line)
+        if m:
+            notif_rows.append((1, m.group(1),
+                               f"{m.group(2)} errors, {m.group(3)} warnings"))
+    notify = (spark.createDataFrame(notif_rows, "k bigint, s1 string, "
+                                    "s2 string")
+              .select(F.lit("notify").alias("arm"), "k", "s1", "s2",
+                      null_v.alias("v")))
+
+    # P10 column-name set compare: actual parquet header vs a catalog with
+    # one column renamed — both directions of the set difference.
+    from nci_seronet_proc_data_validator_spark.submission import (
+        column_compare_rows,
+    )
+    colcmp = (spark.createDataFrame(
+        column_compare_rows("customer.csv", cust.columns,
+                            list(_COLCMP_EXPECTED)),
+        "sev string, sheet string, col string, msg string")
+        .select(F.lit("colcmp").alias("arm"),
+                F.lit(-1).cast("bigint").alias("k"),
+                F.col("col").alias("s1"), F.col("msg").alias("s2"),
+                null_v.alias("v")))
+
+    # S3 suffix-dispatch multi-file scan: the customer table staged as
+    # disjoint CSV and parquet slices, reassembled by read_any (CSV group
+    # is untyped strings, so the union widens — cast back in projection).
+    read_any_arm = _read_any_arm(spark, cust)
+
     return (j6.unionByName(a4).unionByName(o3).unionByName(sink)
+            .unionByName(sink_x).unionByName(status).unionByName(notify)
+            .unionByName(colcmp).unionByName(read_any_arm)
             .orderBy("arm", "k", "s1"))
+
+
+def _read_any_arm(spark: SparkSession, cust: DataFrame) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_any,
+    )
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    stage = _tmpdir("read_any")
+    csv_dir = os.path.join(stage, "csv")
+    pq_dir = os.path.join(stage, "pq")
+    (cust.filter(F.col("c_custkey") % 3 < 2).select(*cols)
+     .write.option("header", "true").csv(csv_dir))
+    (cust.filter(F.col("c_custkey") % 3 == 2).select(*cols)
+     .write.parquet(pq_dir))
+    paths = ([os.path.join(csv_dir, f) for f in os.listdir(csv_dir)
+              if f.endswith(".csv")]
+             + [os.path.join(pq_dir, f) for f in os.listdir(pq_dir)
+                if f.endswith(".parquet")])
+    df = read_any(spark, paths, fmt="suffix")
+    return df.select(
+        F.lit("read_any").alias("arm"),
+        F.col("c_custkey").cast("bigint").alias("k"),
+        F.col("c_name").alias("s1"), F.col("c_mktsegment").alias("s2"),
+        F.col("c_acctbal").cast("double").alias("v"))
 
 
 def sql_submission_misc() -> str:
     segs = ", ".join(f"'{s}'" for s in _SINK_BAD_SEGMENTS)
+    exp_list = ", ".join(f"'{c}'" for c in _COLCMP_EXPECTED)
     return f"""
+WITH sheet_counts AS MATERIALIZED (
+  SELECT 'customer.csv' AS sheet,
+         (SELECT count(*) FROM customer
+          WHERE c_mktsegment IN ({segs})) AS e, 0 AS w
+  UNION ALL
+  SELECT 'orders.csv', 0,
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority = '{_WARN_PRIORITY}')
+  UNION ALL
+  SELECT 'clean.csv', 0, 0
+),
+actual_cols AS (
+  SELECT column_name AS col FROM information_schema.columns
+  WHERE table_name = 'customer'
+)
 SELECT * FROM (
   SELECT 'j6' AS arm, c_custkey AS k, '' AS s1,
          CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS DOUBLE) AS v
@@ -180,6 +337,55 @@ SELECT * FROM (
          'customer.csv|Mktsegment|' || c_mktsegment || '|Unexpected Value',
          'Error', NULL
   FROM customer WHERE c_mktsegment IN ({segs})
+  UNION ALL
+  SELECT 'sink_xlsx', c_custkey,
+         'Mktsegment|' || c_mktsegment || '|Unexpected Value',
+         'Error', NULL
+  FROM customer WHERE c_mktsegment IN ({segs})
+  UNION ALL
+  SELECT 'sink_xlsx', o_orderkey,
+         'Orderpriority|' || o_orderpriority || '|Low Priority',
+         'Warning', NULL
+  FROM orders WHERE o_orderpriority = '{_WARN_PRIORITY}'
+  UNION ALL
+  SELECT 'status', CAST(-1 AS BIGINT), sheet,
+         (CASE WHEN e > 0 THEN 'FILE_PROCESSED_ERRORS_FOUND'
+               WHEN w > 0 THEN 'FILE_PROCESSED_WARNINGS_FOUND'
+               ELSE 'FILE_PROCESSED_SUCCESS' END)
+         || '|' ||
+         (CASE WHEN (SELECT max(CASE WHEN e > 0 THEN 1 ELSE 0 END)
+                     FROM sheet_counts) = 1 THEN 'FILE_VALIDATION_FAILURE'
+               WHEN (SELECT max(CASE WHEN w > 0 THEN 1 ELSE 0 END)
+                     FROM sheet_counts) = 1
+                    THEN 'FILE_VALIDATION_SUCCESS_WARNINGS'
+               ELSE 'FILE_VALIDATION_SUCCESS' END),
+         CAST(e + w AS DOUBLE)
+  FROM sheet_counts
+  UNION ALL
+  SELECT 'notify', 0, sheet,
+         CAST(e AS VARCHAR) || ' Errors / ' || CAST(w AS VARCHAR)
+         || ' Warnings', NULL
+  FROM sheet_counts WHERE e + w > 0
+  UNION ALL
+  SELECT 'notify', 1,
+         CASE WHEN (SELECT sum(e) FROM sheet_counts) = 0
+              THEN 'Submission PASSED validation'
+              ELSE 'Submission FAILED validation' END,
+         CAST((SELECT sum(e) FROM sheet_counts) AS VARCHAR) || ' errors, '
+         || CAST((SELECT sum(w) FROM sheet_counts) AS VARCHAR)
+         || ' warnings', NULL
+  UNION ALL
+  SELECT 'colcmp', CAST(-1 AS BIGINT), col,
+         'Column Found in CSV is not Expected', NULL
+  FROM actual_cols WHERE col NOT IN ({exp_list})
+  UNION ALL
+  SELECT 'colcmp', CAST(-1 AS BIGINT), col,
+         'This Column is Expected and is missing from CSV File', NULL
+  FROM (SELECT unnest([{exp_list}]) AS col) e
+  WHERE col NOT IN (SELECT col FROM actual_cols)
+  UNION ALL
+  SELECT 'read_any', c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer
 )
 ORDER BY arm, k, s1
 """

@@ -97,6 +97,22 @@ def check_submission_quality(sheets: dict[str, DataFrame],
     return True, "passed"
 
 
+def column_compare_rows(name: str, have: list[str],
+                        expected: list[str]) -> list[tuple]:
+    """P10 ``check_col_names`` set algebra (File_Submission_Object.py:
+    55-72): actual header vs expected catalog, both directions. Shared by
+    ``_column_findings`` and the parity arm so one code path is tested."""
+    rows = []
+    for c in [c for c in have if c not in expected]:
+        rows.append(("Error", name, c,
+                     "Column Found in CSV is not Expected"))
+    for c in [c for c in expected if c not in have]:
+        rows.append(("Error", name, c,
+                     "This Column is Expected and is missing "
+                     "from CSV File"))
+    return rows
+
+
 @dataclass
 class ValidationResult:
     findings: DataFrame            # canonical 6-column findings table
@@ -304,11 +320,5 @@ class SubmissionValidator:
                 if expected is None:
                     continue
                 have = [c for c in df.columns if c != "row_index"]
-                for c in [c for c in have if c not in expected]:
-                    rows.append(("Error", name, c,
-                                 "Column Found in CSV is not Expected"))
-                for c in [c for c in expected if c not in have]:
-                    rows.append(("Error", name, c,
-                                 "This Column is Expected and is missing "
-                                 "from CSV File"))
+                rows.extend(column_compare_rows(name, have, expected))
         return self.spark.createDataFrame(rows, COLUMN_FINDING_SCHEMA)

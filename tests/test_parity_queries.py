@@ -56,6 +56,22 @@ def test_submission_misc_matches_oracle(spark, sf_dir):
     n_direct = _oracle(sf_dir, "SELECT count(*) AS n FROM customer WHERE "
                        "c_mktsegment IN ('FURNITURE','HOUSEHOLD')")
     assert n_sink == int(n_direct["n"].iloc[0]) > 0
+    # the workbook arm round-trips BOTH severities across two worksheets
+    assert set(got.loc[got["arm"] == "sink_xlsx", "s2"]) == \
+        {"Error", "Warning"}
+    # status arm: errors beat warnings per file; clean file gets SUCCESS;
+    # submission-wide status is FAILURE on every row
+    st = got[got["arm"] == "status"].set_index("s1")["s2"]
+    assert st["customer.csv"].startswith("FILE_PROCESSED_ERRORS_FOUND|")
+    assert st["orders.csv"].startswith("FILE_PROCESSED_WARNINGS_FOUND|")
+    assert st["clean.csv"].startswith("FILE_PROCESSED_SUCCESS|")
+    assert all(s.endswith("|FILE_VALIDATION_FAILURE") for s in st)
+    # colcmp arm: both directions of the header/catalog set difference
+    cc = got[got["arm"] == "colcmp"]
+    assert set(cc["s1"]) == {"c_mktsegment", "c_address"}
+    # read_any arm reassembles the whole customer table from mixed formats
+    n_cust = _oracle(sf_dir, "SELECT count(*) AS n FROM customer")
+    assert (got["arm"] == "read_any").sum() == int(n_cust["n"].iloc[0])
 
 
 def test_streaming_parity_matches_oracle(spark, sf_dir):
