@@ -544,16 +544,75 @@ def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reached_step").cast("string").alias("s"),
         F.col("frontier_us").alias("n"), null_v.alias("v"))
 
+    # Stream-stream interval join: purchase anchors matched to same-user
+    # clicks within ±15 min; under one availableNow batch every inner
+    # match emits (the watermark only bounds state for later batches).
+    from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+        interval_join_stream,
+    )
+    interval = _run_to_memory(
+        interval_join_stream(
+            ev_stream().filter(F.col("event_type") == "purchase"),
+            ev_stream().filter(F.col("event_type") == "click"),
+            window_minutes=15)
+        .select("anchor_id", "event_id", "a_user"),
+        f"parity_interval_{uid}", "append")
+    interval_arm = interval.select(
+        F.lit("interval").alias("arm"), F.col("anchor_id").alias("k"),
+        F.col("event_id").cast("string").alias("s"),
+        F.col("a_user").alias("n"), null_v.alias("v"))
+
     # CDC apply: two COMMUTATIVE change batches (disjoint key sets, so
     # the file source's batch order can't change the outcome) streamed
     # with maxFilesPerTrigger=1 — two foreachBatch merges, two committed
     # snapshot versions; the arm reads the final snapshot back.
     cdc_arm = _cdc_arm(spark, sf_dir)
 
+    # Watcher end-to-end: a fixture sheet staged as CSV, drained by
+    # validate_stream (foreachBatch -> the batch rule compiler), findings
+    # parquet read back and count-aggregated (streaming row ids are
+    # per-batch monotonic, so row identity is not comparable — the
+    # finding multiset is).
+    watch_arm = _watch_arm(spark, sf_dir)
+
     return (rollup_arm.unionByName(dedup_arm).unionByName(enrich_arm)
             .unionByName(sessions_arm).unionByName(funnel_arm)
-            .unionByName(cdc_arm)
+            .unionByName(interval_arm).unionByName(cdc_arm)
+            .unionByName(watch_arm)
             .orderBy("arm", "k", "s"))
+
+
+def _watch_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        EQUIPMENT,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        CBC_ID,
+        FIXED_TODAY,
+    )
+    from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+        validate_stream,
+    )
+    spec = EQUIPMENT
+    in_dir, cp, out = (_tmpdir(f"watch_{t}") for t in ("in", "cp", "out"))
+    (read_table(spark, sf_dir, spec.base)
+     .selectExpr(*[f"CAST({e} AS STRING) AS {c}"
+                   for c, e in spec.columns.items()])
+     .write.mode("overwrite").option("header", "true").csv(in_dir))
+    q = validate_stream(
+        spark, in_dir, cp, spec.sheet, list(spec.columns), CBC_ID, out,
+        bind_kwargs={"drop_list": list(spec.drop_list),
+                     "today": FIXED_TODAY})
+    q.awaitTermination(600)
+    return (spark.read.parquet(out)
+            .groupBy("Message_Type", "Column_Name", "Column_Value",
+                     "Error_Message")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("watch").alias("arm"),
+                    F.lit(-1).cast("bigint").alias("k"),
+                    F.concat_ws("|", "Message_Type", "Column_Name",
+                                "Column_Value", "Error_Message").alias("s"),
+                    F.col("n"), F.lit(None).cast("double").alias("v")))
 
 
 def _cdc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,7 +656,38 @@ def _cdc_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("v"))
 
 
-SQL_STREAMING_PARITY = """
+def sql_streaming_parity() -> str:
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        EQUIPMENT,
+        cte_name,
+        fixture_sheet_cte,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        _column_select,
+        rulebook_bound_sheets,
+    )
+    spec = EQUIPMENT
+    bound = next(b for s, b in rulebook_bound_sheets()
+                 if s.sheet == spec.sheet)
+    name = cte_name(spec)
+    watch_sels = "\n  UNION ALL\n".join(
+        _column_select(name, spec.sheet, cr.column, cr.checks)
+        for cr in bound.column_rules)
+    watch_arm = f"""
+  UNION ALL
+  SELECT 'watch', CAST(-1 AS BIGINT),
+         Message_Type || '|' || Column_Name || '|' || Column_Value
+         || '|' || Error_Message,
+         count(*), NULL
+  FROM ({watch_sels}) w
+  GROUP BY 1, 2, 3"""
+    return (_SQL_STREAMING_HEAD
+            + f",\n{name} AS MATERIALIZED ({fixture_sheet_cte(spec)})\n"
+            + _SQL_STREAMING_BODY + watch_arm
+            + "\n)\nORDER BY arm, k, s\n")
+
+
+_SQL_STREAMING_HEAD = """
 WITH ep AS (
   -- floor, not round: Spark's unix_timestamp truncates sub-second parts,
   -- DuckDB's CAST(double AS BIGINT) rounds to nearest
@@ -616,7 +706,8 @@ sess_final AS (
   SELECT user_id, max(sid) AS session_count, max(ep) AS last_seen
   FROM sess GROUP BY 1),
 eus AS (
-  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         event_type
   FROM events),
 f1 AS (SELECT user_id AS u, min(ts_us) AS t FROM eus
        WHERE event_type = 'view' GROUP BY 1),
@@ -625,7 +716,9 @@ f2 AS (SELECT e.user_id AS u, min(e.ts_us) AS t FROM eus e
        WHERE e.event_type = 'click' AND e.ts_us > f1.t GROUP BY 1),
 f3 AS (SELECT e.user_id AS u, min(e.ts_us) AS t FROM eus e
        JOIN f2 ON f2.u = e.user_id
-       WHERE e.event_type = 'purchase' AND e.ts_us > f2.t GROUP BY 1)
+       WHERE e.event_type = 'purchase' AND e.ts_us > f2.t GROUP BY 1)"""
+
+_SQL_STREAMING_BODY = """
 SELECT * FROM (
   SELECT 'rollup' AS arm,
          epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS k,
@@ -662,9 +755,15 @@ SELECT * FROM (
   SELECT 'cdc', 1000, 'NEW_A', 2, NULL
   UNION ALL
   SELECT 'cdc', 2000, 'NEW_B', 2, NULL
-)
-ORDER BY arm, k, s
-"""
+  UNION ALL
+  SELECT 'interval', a.event_id, CAST(p.event_id AS VARCHAR), a.user_id,
+         NULL
+  FROM eus a JOIN eus p ON a.user_id = p.user_id
+   AND p.ts_us BETWEEN a.ts_us - 900000000 AND a.ts_us + 900000000
+  WHERE a.event_type = 'purchase' AND p.event_type = 'click'"""
+
+
+SQL_STREAMING_PARITY = sql_streaming_parity()
 
 
 # --------------------------------------------------------------------------

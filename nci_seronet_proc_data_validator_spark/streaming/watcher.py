@@ -23,7 +23,8 @@ from pyspark.sql import types as T
 def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
                     sheet_name: str, columns: list[str], cbc_id: str,
                     output_dir: str,
-                    status_cb=None) -> "StreamingQuery":
+                    status_cb=None,
+                    bind_kwargs: dict | None = None) -> "StreamingQuery":
     """Continuously validate CSV sheets landing in ``input_dir``.
 
     Each micro-batch runs the SAME batch rule compiler via foreachBatch —
@@ -36,6 +37,10 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     (``sinks.reports.job_status_rows`` + ``upsert_job_status``), so a
     resident watcher keeps the jobs table current batch by batch exactly
     like the reference's Lambda bookkeeping.
+
+    ``bind_kwargs``: extra keyword args for ``bind_sheet_rules``
+    (``drop_list``, ``today``, ``fix_reference_bugs``) so a watcher can
+    pin the same binding a batch run uses.
     """
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         with_typed_shadows)
@@ -61,7 +66,8 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
         df = df.withColumn("row_index",
                            F.monotonically_increasing_id() + 2)
         df = with_typed_shadows(df)
-        bound = bind_sheet_rules(sheet_name, columns, cbc_id)
+        bound = bind_sheet_rules(sheet_name, columns, cbc_id,
+                                 **(bind_kwargs or {}))
         if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
             df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
         findings = compile_sheet_findings(df, sheet_name, bound.column_rules)

@@ -83,6 +83,16 @@ def test_streaming_parity_matches_oracle(spark, sf_dir):
     n_hashes = _oracle(sf_dir, "SELECT count(DISTINCT md5(text)) AS n "
                        "FROM documents")
     assert (got["arm"] == "dedup").sum() == int(n_hashes["n"].iloc[0]) > 0
+    # interval arm: stream-stream join emitted at least one anchor-point
+    # pair, and every pair is unique
+    iv = got[got["arm"] == "interval"]
+    assert len(iv) > 0 and not iv.duplicated(["k", "s"]).any()
+    # watch arm: the watcher ran the rulebook — planted violations from
+    # the equipment fixture must be present as count-aggregated findings
+    watch = set(got.loc[got["arm"] == "watch", "s"])
+    assert any(s.startswith("Error|Equipment_Type|Toaster|") for s in watch)
+    assert any(s.startswith("Warning|Equipment_Calibration_Due_Date|"
+                            "2023-02-03|") for s in watch)
 
 
 def test_jdbc_roundtrip_matches_oracle(spark, sf_dir):
