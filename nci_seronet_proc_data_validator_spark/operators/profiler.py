@@ -182,6 +182,12 @@ def profile_table_approx(df: DataFrame,
     return aggd.select(F.explode(rows).alias("r")).select("r.*")
 
 
+def _qs(v: str) -> str:
+    """SQL string literal (single-quote escape) for generated-SQL
+    assembly."""
+    return "'" + v.replace("'", "''") + "'"
+
+
 def _masked(tpl: str, slice_sql: str) -> str:
     """Rewrite a metric template to aggregate only rows satisfying
     ``slice_sql``: column references become CASE-masked (aggregates
@@ -232,43 +238,43 @@ def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
                 for (c, name, s_tpl, _)
                 in _metric_tpl_plan(df.dtypes, columns)]
     plan = [(c, name, s_tpl.format(c=c)) for (c, name, s_tpl) in tpl_plan]
-    aggs = [F.expr(s).cast("long").alias(f"m{i}")
-            for i, (_, _, s) in enumerate(plan)]
-    aggs += [F.expr(k.spark_sql).cast("long").alias(f"v{i}")
+    # Assemble the whole pass as TWO generated SQL expressions (a
+    # struct-of-aggregates and an inline(array(named_struct...))) instead
+    # of one Column object per metric: the per-Column py4j round-trips
+    # dominated this function's wall time (~2.7 s of driver chatter for a
+    # ~130-aggregate plan) and are pure overhead at any scale.
+    agg_items = [f"CAST(({s}) AS LONG) AS m{i}"
+                 for i, (_, _, s) in enumerate(plan)]
+    agg_items += [f"CAST(({k.spark_sql}) AS LONG) AS v{i}"
+                  for i, k in enumerate(constraints)]
+    if slice_sql:
+        agg_items += [
+            f"CAST(({_masked(s_tpl, slice_sql).format(c=c)}) AS LONG)"
+            f" AS md{i}"
+            for i, (c, _name, s_tpl) in enumerate(tpl_plan)]
+    aggd = (df.agg(F.expr(f"struct({', '.join(agg_items)})").alias("_m"))
+            .select("_m.*"))
+    rows = [f"named_struct('arm', 'profile', 'col_name', {_qs(c)}, "
+            f"'metric', {_qs(m)}, 'value', m{i})"
+            for i, (c, m, _) in enumerate(plan)]
+    rows += [f"named_struct('arm', 'verify', 'col_name', {_qs(k.col_name)},"
+             f" 'metric', {_qs(k.name)}, 'value', v{i})"
              for i, k in enumerate(constraints)]
     if slice_sql:
-        aggs += [F.expr(_masked(s_tpl, slice_sql).format(c=c))
-                 .cast("long").alias(f"md{i}")
-                 for i, (c, _name, s_tpl) in enumerate(tpl_plan)]
-    aggd = df.agg(*aggs)
-    structs = [F.struct(F.lit("profile").alias("arm"),
-                        F.lit(c).alias("col_name"),
-                        F.lit(m).alias("metric"),
-                        F.col(f"m{i}").alias("value"))
-               for i, (c, m, _) in enumerate(plan)]
-    structs += [F.struct(F.lit("verify").alias("arm"),
-                         F.lit(k.col_name).alias("col_name"),
-                         F.lit(k.name).alias("metric"),
-                         F.col(f"v{i}").alias("value"))
-                for i, k in enumerate(constraints)]
-    if slice_sql:
         for i, (c, m, _) in enumerate(plan):
-            mv, dv = F.col(f"m{i}"), F.col(f"md{i}")
             if c in drift_added:
-                metric = F.lit(f"{m}/added")
-                value = dv
+                rows.append(
+                    f"named_struct('arm', 'drift', 'col_name', {_qs(c)}, "
+                    f"'metric', {_qs(m + '/added')}, 'value', md{i})")
             else:
-                status = (F.when(dv.isNull(), F.lit("removed"))
-                          .when(dv - mv != 0, F.lit("changed"))
-                          .otherwise(F.lit("unchanged")))
-                metric = F.concat(F.lit(m + "/"), status)
-                value = F.coalesce(dv - mv, dv, mv)
-            structs.append(F.struct(F.lit("drift").alias("arm"),
-                                    F.lit(c).alias("col_name"),
-                                    metric.alias("metric"),
-                                    value.alias("value")))
-    return (aggd.select(F.explode(F.array(*structs)).alias("r"))
-            .select("r.*"))
+                status = (f"CASE WHEN md{i} IS NULL THEN 'removed' "
+                          f"WHEN md{i} - m{i} != 0 THEN 'changed' "
+                          f"ELSE 'unchanged' END")
+                rows.append(
+                    f"named_struct('arm', 'drift', 'col_name', {_qs(c)}, "
+                    f"'metric', concat({_qs(m + '/')}, {status}), "
+                    f"'value', coalesce(md{i} - m{i}, md{i}, m{i}))")
+    return aggd.selectExpr(f"inline(array({', '.join(rows)}))")
 
 
 def _metric_tpl_plan(dtypes: list[tuple[str, str]],
@@ -591,20 +597,22 @@ def anomaly_slices_pass(df: DataFrame, history_preds: list[str],
         raise ValueError("exactly 3 history slices (n is baked into the "
                          f"shared flag expression): {history_preds}")
     tpl_plan = _metric_tpl_plan(df.dtypes, columns)
-    aggs = []
+    # Generated-SQL assembly (not per-Column py4j calls) — see
+    # fused_quality_pass for why.
+    agg_items = []
     for j, pred in enumerate(list(history_preds) + [current_pred]):
         tag = f"h{j}" if j < 3 else "c"
-        aggs += [F.expr(_masked(s_tpl, pred).format(c=c))
-                 .cast("long").alias(f"{tag}m{i}")
-                 for i, (c, _name, s_tpl, _) in enumerate(tpl_plan)]
-    aggd = df.agg(*aggs)
-    rows = F.array(*[
-        F.struct(F.lit(c).alias("col_name"), F.lit(m).alias("metric"),
-                 F.col(f"h0m{i}").alias("h0"), F.col(f"h1m{i}").alias("h1"),
-                 F.col(f"h2m{i}").alias("h2"), F.col(f"cm{i}").alias("c"))
-        for i, (c, m, _, _) in enumerate(tpl_plan)])
+        agg_items += [
+            f"CAST(({_masked(s_tpl, pred).format(c=c)}) AS LONG)"
+            f" AS {tag}m{i}"
+            for i, (c, _name, s_tpl, _) in enumerate(tpl_plan)]
+    aggd = (df.agg(F.expr(f"struct({', '.join(agg_items)})").alias("_m"))
+            .select("_m.*"))
+    rows = [f"named_struct('col_name', {_qs(c)}, 'metric', {_qs(m)}, "
+            f"'h0', h0m{i}, 'h1', h1m{i}, 'h2', h2m{i}, 'c', cm{i})"
+            for i, (c, m, _, _) in enumerate(tpl_plan)]
     flag = _ANOM_FLAG_SQL.format(k2=k * k)
-    return (aggd.select(F.explode(rows).alias("r")).select("r.*")
+    return (aggd.selectExpr(f"inline(array({', '.join(rows)}))")
             .selectExpr("col_name",
                         "concat(metric, '/anom') AS metric",
                         f"CAST(({flag}) AS BIGINT) AS value"))
