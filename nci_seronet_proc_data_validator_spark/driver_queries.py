@@ -2884,10 +2884,19 @@ def _sql_events_windows() -> str:
         funnel_lag_sql=funnel_lags_oracle_sql(FUNNEL_STEPS).strip())
 
 
+_ZORDER_COLS = [("o_custkey", 0, 1_500_000), ("o_orderkey", 0, 6_000_000)]
+
+
 def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase aggregation + salt-replicated join in one tagged
-    union — both must equal the plain groupBy / plain join the oracle
-    runs."""
+    """Physical-plan scale techniques in one tagged union: salted
+    two-phase aggregation + salt-replicated join (both must equal the
+    plain groupBy / plain join the oracle runs) + the Z-order Morton key
+    (``operators/layout.py``) over orders — the engine-shared interleave
+    expression, checked bit for bit (the clustered WRITE itself is
+    covered by test_layout; range-partition file boundaries are sampled,
+    so per-file content is not oracle-stable)."""
+    from nci_seronet_proc_data_validator_spark.operators.layout import (
+        with_zorder_key)
     a = (q_skew_salted_agg(spark, sf_dir)
          .select(F.lit("salted_agg").alias("op"),
                  F.col("l_returnflag").alias("key"),
@@ -2898,10 +2907,19 @@ def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("c_mktsegment").alias("key"),
                  F.col("n_orders").alias("n"),
                  F.col("total_price").alias("total_value")))
-    return a.unionByName(j)
+    z = (with_zorder_key(read_table(spark, sf_dir, "orders"), _ZORDER_COLS)
+         .select(F.lit("zorder_key").alias("op"),
+                 F.col("o_orderkey").cast("string").alias("key"),
+                 F.col("zkey").alias("n"),
+                 F.lit(0.0).cast("double").alias("total_value")))
+    return a.unionByName(j).unionByName(z)
 
 
-SQL_SKEW_SALTED = """
+def _sql_skew_salted() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.layout import (
+        zorder_key_sql)
+    zkey = zorder_key_sql(_ZORDER_COLS, dialect="duck")
+    return f"""
 SELECT 'salted_agg' AS op, l_returnflag AS key, count(*) AS n,
        CAST(0.0 AS DOUBLE) AS total_value
 FROM lineitem GROUP BY l_returnflag
@@ -2910,7 +2928,14 @@ SELECT 'salted_join' AS op, c_mktsegment AS key, count(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'zorder_key', CAST(o_orderkey AS VARCHAR), {zkey},
+       CAST(0.0 AS DOUBLE)
+FROM orders
 """
+
+
+SQL_SKEW_SALTED = _sql_skew_salted()
 
 
 def q_chunk_and_split(spark: SparkSession, sf_dir: str) -> DataFrame:
