@@ -97,10 +97,11 @@ def minhash_signature(hashes_col: Column, k: int = DEFAULT_K) -> Column:
     O(k*|sh|) arithmetic like the naive form, but ONE traversal and one
     small expression tree instead of k independent transform+array_min
     branches (VERDICT r1 perf note #8)."""
-    coeffs = F.array(*[
-        F.struct(F.lit(a).cast("long").alias("a"),
-                 F.lit(b).cast("long").alias("b"))
-        for a, b in _lcg_coeffs(k)])
+    # one generated expression, not k struct Columns (py4j round-trips
+    # per Column dominate the build of every LSH-family query otherwise)
+    coeffs = F.expr("array(" + ", ".join(
+        f"named_struct('a', CAST({a} AS LONG), 'b', CAST({b} AS LONG))"
+        for a, b in _lcg_coeffs(k)) + ")")
     init = F.expr(f"array_repeat({MINHASH_PRIME}L, {k})")
     return F.aggregate(
         hashes_col, init,
@@ -121,12 +122,13 @@ def lsh_band_table(df: DataFrame, id_col: str, sig_col: str,
     distribution already separates bands."""
     k = DEFAULT_K
     rows = k // bands
-    entries = F.array(*[
-        F.struct(F.lit(b).alias("band_id"),
-                 F.md5(F.concat_ws("-", F.lit(str(b)), *[
-                     F.col(sig_col)[b * rows + r].cast("string")
-                     for r in range(rows)])).alias("band_hash"))
-        for b in range(bands)])
+    entries = F.expr("array(" + ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', "
+        "md5(concat_ws('-', '{b}', {slices})))".format(
+            b=b,
+            slices=", ".join(f"CAST({sig_col}[{b * rows + r}] AS STRING)"
+                             for r in range(rows)))
+        for b in range(bands)) + ")")
     return (df.select(F.col(id_col), F.explode(entries).alias("band"))
             .select(id_col, "band.band_id", "band.band_hash"))
 
@@ -599,9 +601,10 @@ def embedding_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     planes = _hyperplane_coeffs(n_planes, dim)
     bits = []
     for p, row in enumerate(planes):
+        row_lit = F.expr("array(" + ", ".join(
+            f"CAST('{float(v)!r}' AS DOUBLE)" for v in row) + ")")
         dot = F.aggregate(
-            F.zip_with(vec_col,
-                       F.array(*[F.lit(v) for v in row]),
+            F.zip_with(vec_col, row_lit,
                        lambda x, w: x.cast("double") * w),
             F.lit(0.0), lambda a, x: a + x)
         bits.append(F.when(dot > 0,

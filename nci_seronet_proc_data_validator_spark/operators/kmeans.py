@@ -55,6 +55,13 @@ def _sqdist(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _arr_sql(vals) -> str:
+    """array<long> literal as ONE SQL expression — per-element ``F.lit``
+    Columns cost a py4j round-trip each, which dominates model-as-literal
+    builds (centroids, codebooks)."""
+    return "array(" + ", ".join(f"{int(x)}L" for x in vals) + ")"
+
+
 def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
@@ -101,9 +108,13 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
     sums = None
     assigned = None
     for _ in range(iters):
-        c_lit = F.array(*[F.array(*[F.lit(int(x)) for x in c])
-                          for c in centers])
-        cid_lit = F.array(*[F.lit(c) for c in cids])
+        # model-as-literal via ONE generated expression per iteration —
+        # k*dim F.lit Columns cost ~0.3 s of py4j round-trips each pass
+        c_lit = F.expr("array(" + ", ".join(
+            "array(" + ", ".join(f"{int(x)}L" for x in c) + ")"
+            for c in centers) + ")")
+        cid_lit = F.expr(
+            "array(" + ", ".join(str(int(c)) for c in cids) + ")")
         # Map-only assignment: per-row argmin of exact integer distances
         # over the centroid literal. array_position takes the FIRST
         # minimum and the literal is in ascending-cid order, so ties go to

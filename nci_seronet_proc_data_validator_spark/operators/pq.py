@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-    QUANT, _sqdist, quantize,
+    QUANT, _arr_sql, _sqdist, quantize,
 )
 
 _DIST = ("list_reduce(list_transform(list_zip({a}, {b}), "
@@ -117,11 +117,12 @@ def pq_fit_fused(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
                for lo, ln in spans]
     cids = [list(range(len(c))) for c in centers]
     for _ in range(iters):
-        c_lit = F.array(*[
-            F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
-            for book in centers])
-        cid_lit = F.array(*[F.array(*[F.lit(c) for c in cs])
-                            for cs in cids])
+        c_lit = F.expr("array(" + ", ".join(
+            "array(" + ", ".join(_arr_sql(c) for c in book) + ")"
+            for book in centers) + ")")
+        cid_lit = F.expr("array(" + ", ".join(
+            "array(" + ", ".join(str(int(c)) for c in cs) + ")"
+            for cs in cids) + ")")
         dists = F.transform(F.element_at(c_lit, F.col("s") + 1),
                             lambda c: _sqdist(F.col("qv"), c))
         assigned = (sub.withColumn("_d", dists)
@@ -158,7 +159,7 @@ def _code_col(qv: Column, codebooks: list[list[list[int]]]) -> Column:
     for s, book in enumerate(codebooks):
         sub = F.slice(qv, s * dsub + 1, dsub)
         d = F.array(*[
-            _sqdist(sub, F.array(*[F.lit(int(x)) for x in c]))
+            _sqdist(sub, F.expr(_arr_sql(c)))
             for c in book])
         codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
     return F.array(*codes)
@@ -183,7 +184,7 @@ def _lut_col(qq: Column, codebooks: list[list[list[int]]]) -> Column:
     return F.array(*[
         F.array(*[
             _sqdist(F.slice(qq, s * dsub + 1, dsub),
-                    F.array(*[F.lit(int(x)) for x in c]))
+                    F.expr(_arr_sql(c)))
             for c in book])
         for s, book in enumerate(codebooks)])
 

@@ -329,7 +329,10 @@ def _cos_lit(vec: Column, nrm: Column, ce: list[float]) -> Column:
     dot is the same left-to-right double fold as ``_dot``, the centroid
     norm is the driver-side mirror fold, so values are bit-identical to
     the broadcast-join path."""
-    lit = F.array(*[F.lit(float(x)) for x in ce])
+    # one generated literal expression (CAST-from-repr parses to the
+    # bit-identical double), not a py4j call per component
+    lit = F.expr("array(" + ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in ce) + ")")
     return _dot(vec, lit) / (nrm * F.lit(_py_norm(ce)))
 
 
