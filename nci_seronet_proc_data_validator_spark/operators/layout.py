@@ -34,6 +34,12 @@ def interleave_sql(cols: list[str], bits: int) -> str:
     (``>>``/``<<``/``&`` are shared; disjoint targets make ``+`` a safe
     OR). First column gets the low bit (ties break on it last)."""
     n = len(cols)
+    if n * bits > 63:
+        # Spark's << masks the shift amount to 6 bits (Java semantics) —
+        # an overflowing interleave would silently fold high-column bits
+        # onto low positions (and DuckDB errors instead of matching).
+        raise ValueError(f"interleaved key needs {n * bits} bits; "
+                         "must fit a signed BIGINT (<= 63)")
     terms = [f"(((({c}) >> {i}) & 1) << {i * n + j})"
              for i in range(bits)
              for j, c in enumerate(cols)]
@@ -75,6 +81,9 @@ def write_zordered(df: DataFrame, path: str,
     within each file, drop the key, write parquet. Every interleaved
     column ends up min-max-clustered per file, so parquet stats prune
     scans filtered on any of them."""
+    if "__zkey" in df.columns:
+        raise ValueError("input already has a '__zkey' column — rename it "
+                         "before write_zordered (it would be dropped)")
     zdf = with_zorder_key(df, cols, bits, out="__zkey")
     (zdf.repartitionByRange(n_files, F.col("__zkey"))
      .sortWithinPartitions("__zkey")

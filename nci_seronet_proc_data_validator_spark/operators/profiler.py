@@ -183,9 +183,13 @@ def profile_table_approx(df: DataFrame,
 
 
 def _qs(v: str) -> str:
-    """SQL string literal (single-quote escape) for generated-SQL
-    assembly."""
-    return "'" + v.replace("'", "''") + "'"
+    """SQL string literal for generated-SQL assembly — the engine's one
+    quoting primitive (``functions/checks._sql_quote``), re-exported
+    under the local name the assembly code uses."""
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        _sql_quote,
+    )
+    return _sql_quote(v)
 
 
 def _masked(tpl: str, slice_sql: str) -> str:

@@ -175,8 +175,7 @@ def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col(COLUMN_VALUE), F.col(ERROR_MESSAGE)).alias("s1"),
         F.col(MESSAGE_TYPE).alias("s2"), F.lit(None).cast("double").alias("v"))
 
-    orders_all = read_table(spark, sf_dir, "orders")
-    findings = _sink_findings(cust).unionByName(_warn_findings(orders_all))
+    findings = _sink_findings(cust).unionByName(_warn_findings(orders))
 
     # S10 workbook round-trip: the same findings through the reference's
     # one-worksheet-per-sheet xlsx artifact (dependency-free SpreadsheetML
