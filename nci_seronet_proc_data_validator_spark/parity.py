@@ -258,10 +258,73 @@ def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is untyped strings, so the union widens — cast back in projection).
     read_any_arm = _read_any_arm(spark, cust)
 
+    # J2 composite-key enrichment: the confirmatory sheet enriched by
+    # BOTH its parents via merge_tables — assay.csv on the single key,
+    # assay_target.csv on the composite (Assay_ID, Assay_Target); the
+    # oracle repeats the two broadcast LEFT JOINs on the fixture CTEs.
+    j2 = _j2_arm(spark, sf_dir, null_v)
+
+    # O4 first-row scalars: a submission.csv-shaped 2-column key/value
+    # sheet built from data-derived counts, parsed by
+    # parse_submission_metadata (CBC name = column 2's HEADER, counts at
+    # data rows 2–3); the oracle recomputes the counts.
+    o4 = _o4_arm(spark, cust, orders, null_v)
+
     return (j6.unionByName(a4).unionByName(o3).unionByName(sink)
             .unionByName(sink_x).unionByName(status).unionByName(notify)
             .unionByName(colcmp).unionByName(read_any_arm)
+            .unionByName(j2).unionByName(o4)
             .orderBy("arm", "k", "s1"))
+
+
+def _j2_arm(spark: SparkSession, sf_dir: str, null_v) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        merge_tables,
+        merged_table,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        ASSAY,
+        ASSAY_TARGET,
+        CONFIRMATORY,
+        fixture_sheet_df,
+    )
+    # the raw child sheet WITHOUT the join-added columns the fixture
+    # pre-bakes for the rulebook (they are exactly what enrichment adds)
+    conf = (fixture_sheet_df(spark, sf_dir, CONFIRMATORY)
+            .select("row_index", "Assay_ID", "Assay_Target"))
+    merged = {
+        spec.sheet: merged_table(fixture_sheet_df(spark, sf_dir, spec),
+                                 spec.sheet)
+        for spec in (ASSAY, ASSAY_TARGET)}
+    enriched, drop_list = merge_tables("confirmatory_clinical_test.csv",
+                                       conf, merged)
+    assert set(drop_list) == {"Assay_Name", "Assay_Antigen_Source"}, \
+        drop_list
+    return enriched.select(
+        F.lit("j2").alias("arm"), F.col("row_index").alias("k"),
+        F.concat_ws("|", "Assay_ID", "Assay_Target").alias("s1"),
+        F.concat_ws("|", F.coalesce("Assay_Name", F.lit("<null>")),
+                    F.coalesce("Assay_Antigen_Source", F.lit("<null>")))
+        .alias("s2"),
+        null_v.alias("v"))
+
+
+def _o4_arm(spark: SparkSession, cust: DataFrame, orders: DataFrame,
+            null_v) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.submission import (
+        parse_submission_metadata,
+    )
+    n_cust, n_ord = cust.count(), orders.count()
+    subdf = spark.createDataFrame(
+        [("Validate", "", 1), ("", str(n_cust), 2), ("", str(n_ord), 3)],
+        "Submission_Intent string, Feinstein string, row_index bigint")
+    meta = parse_submission_metadata(subdf, {"Feinstein": "14"})
+    rows = [(0, "cbc", f"{meta['cbc_name']}|{meta['cbc_id']}"),
+            (1, "declared_participants", meta["declared_participants"]),
+            (2, "declared_biospecimens", meta["declared_biospecimens"])]
+    return (spark.createDataFrame(rows, "k bigint, s1 string, s2 string")
+            .select(F.lit("o4").alias("arm"), "k", "s1", "s2",
+                    null_v.alias("v")))
 
 
 def _read_any_arm(spark: SparkSession, cust: DataFrame) -> DataFrame:
@@ -289,10 +352,23 @@ def _read_any_arm(spark: SparkSession, cust: DataFrame) -> DataFrame:
 
 
 def sql_submission_misc() -> str:
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        ASSAY,
+        ASSAY_TARGET,
+        CONFIRMATORY,
+        cte_name,
+        fixture_sheet_cte,
+    )
     segs = ", ".join(f"'{s}'" for s in _SINK_BAD_SEGMENTS)
     exp_list = ", ".join(f"'{c}'" for c in _COLCMP_EXPECTED)
+    fx_ctes = ",\n".join(
+        f"{cte_name(s)} AS MATERIALIZED ({fixture_sheet_cte(s)})"
+        for s in (CONFIRMATORY, ASSAY, ASSAY_TARGET))
+    conf, assay, at = (cte_name(s)
+                       for s in (CONFIRMATORY, ASSAY, ASSAY_TARGET))
     return f"""
-WITH sheet_counts AS MATERIALIZED (
+WITH {fx_ctes},
+sheet_counts AS MATERIALIZED (
   SELECT 'customer.csv' AS sheet,
          (SELECT count(*) FROM customer
           WHERE c_mktsegment IN ({segs})) AS e, 0 AS w
@@ -385,6 +461,24 @@ SELECT * FROM (
   UNION ALL
   SELECT 'read_any', c_custkey, c_name, c_mktsegment, c_acctbal
   FROM customer
+  UNION ALL
+  SELECT 'j2', c.row_index, c.Assay_ID || '|' || c.Assay_Target,
+         coalesce(a.Assay_Name, '<null>') || '|'
+         || coalesce(t.Assay_Antigen_Source, '<null>'), NULL
+  FROM {conf} c
+  LEFT JOIN (SELECT Assay_ID, Assay_Name FROM {assay}) a
+    ON c.Assay_ID = a.Assay_ID
+  LEFT JOIN (SELECT Assay_ID, Assay_Target, Assay_Antigen_Source
+             FROM {at}) t
+    ON c.Assay_ID = t.Assay_ID AND c.Assay_Target = t.Assay_Target
+  UNION ALL
+  SELECT 'o4', 0, 'cbc', 'Feinstein|14', NULL
+  UNION ALL
+  SELECT 'o4', 1, 'declared_participants',
+         CAST((SELECT count(*) FROM customer) AS VARCHAR), NULL
+  UNION ALL
+  SELECT 'o4', 2, 'declared_biospecimens',
+         CAST((SELECT count(*) FROM orders) AS VARCHAR), NULL
 )
 ORDER BY arm, k, s1
 """

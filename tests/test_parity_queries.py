@@ -18,7 +18,7 @@ from nci_seronet_proc_data_validator_spark.parity import (
     sql_submission_misc,
 )
 
-TABLES = ["region", "nation", "customer", "supplier", "orders",
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "events", "documents"]
 
 
