@@ -1209,10 +1209,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
-        simhash64, spread_small_input, tokens)
+        simhash64, spread_small_input, tokens_sql)
     docs = spread_small_input(read_table(spark, sf_dir, "documents"))
     return docs.select("doc_id",
-                       simhash64(tokens("text")).alias("simhash")
+                       simhash64(tokens_sql("text")).alias("simhash")
                        ).orderBy("doc_id")
 
 

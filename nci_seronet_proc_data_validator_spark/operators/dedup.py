@@ -364,23 +364,35 @@ ORDER BY id_a, id_b
 
 
 # ------------------------------------------------------------------ SimHash
-def simhash64(tokens_col: Column) -> Column:
+def tokens_sql(col: str) -> str:
+    """``tokens()`` as a SQL string (for generated-expression builders)."""
+    return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+
+
+def simhash64(token_array_sql: str) -> Column:
     """64-bit SimHash from the two leading 32-bit words of each token's
     md5. Bit i of the result is 1 iff the sum over tokens of ±1 (bit set →
-    +1) is positive. One aggregate over the token array — map-only."""
-    def tok_bits(t: Column) -> Column:
-        # Unrolled: shiftright requires a literal shift amount.
-        h1 = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        h2 = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
-        return F.array(*[
-            F.when((F.shiftright(h1 if i < 32 else h2, i % 32) % 2) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-            for i in range(64)])
+    +1) is positive. One aggregate over the token array — map-only.
 
-    counters = F.aggregate(
-        tokens_col,
-        F.expr("array_repeat(0L, 64)"),
-        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda x, y: x + y))
+    Takes the token array as a SQL string (e.g. ``tokens_sql("text")``)
+    so the whole 64-bit counter fold is ONE generated expression with
+    self-named lambda variables — 64 per-bit ``F.when`` Columns cost
+    ~0.4 s of py4j chatter per build, and Python-lambda variables get
+    engine-generated names, so a partial string form can't bind.
+    The ``_h1/_h2`` subtrees repeat in the text, but identical trees
+    collapse in codegen subexpression elimination exactly as shared
+    Column objects would."""
+    def _h(word: int) -> str:
+        off = 1 if word == 1 else 9
+        return (f"CAST(conv(substring(md5(t), {off}, 8), 16, 10) "
+                f"AS BIGINT)")
+    bits_sql = ", ".join(
+        f"CASE WHEN (shiftright({_h(1) if i < 32 else _h(2)}, {i % 32})"
+        f" % 2) = 1 THEN 1 ELSE -1 END"
+        for i in range(64))
+    counters = F.expr(
+        f"aggregate({token_array_sql}, array_repeat(0L, 64), "
+        f"(acc, t) -> zip_with(acc, array({bits_sql}), (x, y) -> x + y))")
     # Pack bits 0..62 via exact double powers of two (shift amounts must be
     # literals in Spark, but pow(2, i) is exact for any power of two);
     # bit 63 is the sign bit, set with the min-long literal.
@@ -403,7 +415,8 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
     distances are caught probabilistically), bucket-join, verify hamming.
     """
     base = spread_small_input(docs).select(
-        F.col(id_col), simhash64(tokens(text_col)).alias("sh64")).persist()
+        F.col(id_col),
+        simhash64(tokens_sql(text_col)).alias("sh64")).persist()
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"),
                  F.shiftright(F.col("sh64"), 16 * c)

@@ -12,6 +12,7 @@ from nci_seronet_proc_data_validator_spark.operators.dedup import (
     shingles,
     simhash_pairs,
     simhash64,
+    tokens_sql,
     tokens,
 )
 
@@ -53,7 +54,7 @@ def test_minhash_signature_stability(spark):
 
 def test_simhash_near_dups(spark):
     sh = {r["doc_id"]: r["h"] for r in _docs(spark).select(
-        "doc_id", simhash64(tokens("text")).alias("h")).collect()}
+        "doc_id", simhash64(tokens_sql("text")).alias("h")).collect()}
     assert sh[1] == sh[4]
     ham12 = bin(sh[1] ^ sh[2]).count("1")
     ham13 = bin(sh[1] ^ sh[3]).count("1")
