@@ -79,3 +79,16 @@ def test_single_sort_clusters_only_its_key(span_ratios):
     assert s["c1"] < 0.2          # the sort key clusters tightly
     assert s["c2"] > 0.8          # the other dimension does not cluster
     # and z-order beats single-sort on the non-key dimension by a lot
+
+
+def test_key_width_guard():
+    # Spark's << masks shift amounts (Java) — an overflowing interleave
+    # must be rejected, not silently corrupted
+    with pytest.raises(ValueError, match="BIGINT"):
+        zorder_key_sql([(c, 0, 100) for c in ("a", "b", "c")], bits=22)
+
+
+def test_zkey_collision_guard(spark, tmp_path):
+    df = _grid(spark, 16).withColumn("__zkey", F.lit(1))
+    with pytest.raises(ValueError, match="__zkey"):
+        write_zordered(df, str(tmp_path / "x"), COLS)
