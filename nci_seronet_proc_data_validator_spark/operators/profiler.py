@@ -144,14 +144,21 @@ def profile_table(df: DataFrame,
     One global aggregate (map-side partials → single tiny row), then a
     driver-free unpivot of that row via explode(array(struct...)).
     """
-    plan = _metric_plan(df.dtypes, columns)
-    aggd = df.agg(*[F.expr(s).cast("long").alias(f"m{i}")
-                    for i, (_, _, s, _) in enumerate(plan)])
-    rows = F.array(*[
-        F.struct(F.lit(c).alias("col_name"), F.lit(m).alias("metric"),
-                 F.col(f"m{i}").alias("value"))
-        for i, (c, m, _, _) in enumerate(plan)])
-    return aggd.select(F.explode(rows).alias("r")).select("r.*")
+    return _agg_unpivot(df, _metric_plan(df.dtypes, columns))
+
+
+def _agg_unpivot(df: DataFrame, plan) -> DataFrame:
+    """``[(col, metric, spark_sql, ...)]`` → one aggregate + inline
+    unpivot, each ONE generated expression (not a Column per metric —
+    see :func:`fused_quality_pass` for why)."""
+    aggs = ", ".join(f"CAST(({s}) AS LONG) AS m{i}"
+                     for i, (_, _, s, *_) in enumerate(plan))
+    aggd = df.agg(F.expr(f"struct({aggs})").alias("_m")).select("_m.*")
+    rows = ", ".join(
+        f"named_struct('col_name', {_qs(c)}, 'metric', {_qs(m)}, "
+        f"'value', m{i})"
+        for i, (c, m, *_rest) in enumerate(plan))
+    return aggd.selectExpr(f"inline(array({rows}))")
 
 
 def profile_table_approx(df: DataFrame,
@@ -173,13 +180,7 @@ def profile_table_approx(df: DataFrame,
              f"approx_count_distinct({c}, {rsd})" if m == "distinct" else s,
              d)
             for (c, m, s, d) in _metric_plan(df.dtypes, columns)]
-    aggd = df.agg(*[F.expr(s).cast("long").alias(f"m{i}")
-                    for i, (_, _, s, _) in enumerate(plan)])
-    rows = F.array(*[
-        F.struct(F.lit(c).alias("col_name"), F.lit(m).alias("metric"),
-                 F.col(f"m{i}").alias("value"))
-        for i, (c, m, _, _) in enumerate(plan)])
-    return aggd.select(F.explode(rows).alias("r")).select("r.*")
+    return _agg_unpivot(df, plan)
 
 
 def _qs(v: str) -> str:
@@ -388,14 +389,8 @@ def verify_constraints(df: DataFrame,
     """Evaluate every constraint in ONE aggregation pass → long form
     ``(col_name, metric, value BIGINT)`` where metric is the constraint
     name and value its violation count."""
-    aggd = df.agg(*[F.expr(k.spark_sql).cast("long").alias(f"v{i}")
-                    for i, k in enumerate(constraints)])
-    rows = F.array(*[
-        F.struct(F.lit(k.col_name).alias("col_name"),
-                 F.lit(k.name).alias("metric"),
-                 F.col(f"v{i}").alias("value"))
-        for i, k in enumerate(constraints)])
-    return aggd.select(F.explode(rows).alias("r")).select("r.*")
+    return _agg_unpivot(df, [(k.col_name, k.name, k.spark_sql)
+                             for k in constraints])
 
 
 def verify_oracle_sql(table: str, constraints: list[Constraint]) -> str:
@@ -496,13 +491,11 @@ def merge_profiles(partials: DataFrame,
             aggs.append(_merge_fn(metric)(F.col(mc)).cast("long")
                         .alias(mc))
     merged = partials.agg(*aggs)
-    out_cols = [c for c in merged.columns]
-    rows = F.array(*[
-        F.struct(F.lit(c.rsplit("__", 1)[0]).alias("col_name"),
-                 F.lit(c.rsplit("__", 1)[1]).alias("metric"),
-                 F.col(c).alias("value"))
-        for c in out_cols])
-    return merged.select(F.explode(rows).alias("r")).select("r.*")
+    rows = ", ".join(
+        f"named_struct('col_name', {_qs(c.rsplit('__', 1)[0])}, "
+        f"'metric', {_qs(c.rsplit('__', 1)[1])}, 'value', {c})"
+        for c in merged.columns)
+    return merged.selectExpr(f"inline(array({rows}))")
 
 
 def detect_anomalies(history: DataFrame, current: DataFrame,
