@@ -81,6 +81,22 @@ def test_single_sort_clusters_only_its_key(span_ratios):
     # and z-order beats single-sort on the non-key dimension by a lot
 
 
+def test_interleave_is_invertible(spark):
+    """Exact Morton property: de-interleaving the Spark-computed key
+    recovers the quantized inputs bit for bit (identity quantization:
+    lo=0, hi=2**bits-1 makes quantize a no-op)."""
+    bits = 12
+    cols = [("c1", 0, 4095), ("c2", 0, 4095)]
+    rows = with_zorder_key(_grid(spark, 256), cols, bits=bits).collect()
+
+    def deinterleave(z, j, n=2):
+        return sum(((z >> (i * n + j)) & 1) << i for i in range(bits))
+
+    for r in rows:
+        assert deinterleave(r["zkey"], 0) == r["c1"]
+        assert deinterleave(r["zkey"], 1) == r["c2"]
+
+
 def test_key_width_guard():
     # Spark's << masks shift amounts (Java) — an overflowing interleave
     # must be rejected, not silently corrupted
