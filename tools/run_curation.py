@@ -1,0 +1,116 @@
+"""Curate a document corpus end-to-end — the engine's CLI face for the
+LLM-training-data pipeline (the beyond-reference tier: quality gate →
+near-dup removal → PII redaction → train/val split → packed shards).
+
+    python tools/run_curation.py DOCS_PARQUET OUT_DIR
+        [--min-words 5] [--val-pct 10] [--budget 2048]
+        [--max-records 100000] [--skip-pii]
+
+DOCS_PARQUET is a parquet table with (doc_id BIGINT, text STRING, ...);
+``/root/testdata/sf0.01/documents.parquet`` works as-is. Writes
+``OUT_DIR/train`` and ``OUT_DIR/val`` parquet shard directories plus a
+``funnel.json`` with per-stage survivor counts, and prints the funnel.
+
+Every stage is the same operator a driver query oracle-checks
+(quality_features, minhash_lsh_pairs, connected_components,
+keep_canonical, redact_pii, train_val_split, pack_sequences,
+write_training_shards) — this script only composes them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("docs_parquet")
+    ap.add_argument("out_dir")
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--val-pct", type=int, default=10)
+    ap.add_argument("--budget", type=int, default=2048,
+                    help="token budget per packed sequence")
+    ap.add_argument("--max-records", type=int, default=100_000,
+                    help="records per output shard file")
+    ap.add_argument("--skip-pii", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark import get_spark
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.graph import (
+        connected_components,
+        keep_canonical,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.pii import (
+        pii_features,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.text_quality import (
+        quality_features,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.training import (
+        pack_sequences,
+        train_val_split,
+        write_training_shards,
+    )
+
+    spark = get_spark("curation", cpus=args.cpus)
+    funnel: dict[str, int] = {}
+
+    docs = spark.read.parquet(args.docs_parquet)
+    funnel["input"] = docs.count()
+
+    # 1. quality gate (Gopher-style integer-math features, map-only)
+    qf = quality_features(docs).select("doc_id", "n_words", "is_quality")
+    kept = (docs.join(qf, "doc_id")
+            .filter((F.col("n_words") >= args.min_words)
+                    & F.col("is_quality"))
+            .drop("n_words", "is_quality"))
+    funnel["after_quality"] = kept.count()
+
+    # 2. near-dup removal: MinHash LSH pairs → connected components →
+    #    keep the canonical representative per cluster
+    pairs = minhash_lsh_pairs(kept)
+    kept = keep_canonical(kept, connected_components(pairs))
+    funnel["after_dedup"] = kept.count()
+
+    # 3. PII redaction (map-only regexp): swap text for the redacted form
+    if not args.skip_pii:
+        red = pii_features(kept).select("doc_id", "redacted")
+        kept = (kept.join(red, "doc_id")
+                .drop("text")
+                .withColumnRenamed("redacted", "text"))
+
+    # 4. deterministic split (id-hash projection joined back), then
+    #    token-budget sequence packing
+    split = kept.join(
+        train_val_split(kept, val_pct=args.val_pct).select("doc_id",
+                                                           "split"),
+        "doc_id")
+    for part in ("train", "val"):
+        sub = split.filter(F.col("split") == part).drop("split")
+        packed = pack_sequences(sub, budget=args.budget)
+        funnel[f"{part}_sequences"] = packed.count()
+        write_training_shards(packed, os.path.join(args.out_dir, part),
+                              max_records_per_file=args.max_records,
+                              id_col="shard")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "funnel.json"), "w") as f:
+        json.dump(funnel, f, indent=2)
+    for k, v in funnel.items():
+        print(f"{k:>18}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
