@@ -63,9 +63,12 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+_TOKEN_RX = "[a-z0-9]+"  # THE token definition — shared by tokens/tokens_sql
+
+
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), F.lit(0))
+    return F.regexp_extract_all(F.lower(c), F.lit(_TOKEN_RX), F.lit(0))
 
 
 def shingles(tokens_col: Column, n: int = 3) -> Column:
@@ -365,8 +368,9 @@ ORDER BY id_a, id_b
 
 # ------------------------------------------------------------------ SimHash
 def tokens_sql(col: str) -> str:
-    """``tokens()`` as a SQL string (for generated-expression builders)."""
-    return f"regexp_extract_all(lower({col}), '[a-z0-9]+', 0)"
+    """``tokens()`` as a SQL string (for generated-expression builders);
+    same ``_TOKEN_RX`` so the token definition has one source."""
+    return f"regexp_extract_all(lower({col}), '{_TOKEN_RX}', 0)"
 
 
 def simhash64(token_array_sql: str) -> Column:

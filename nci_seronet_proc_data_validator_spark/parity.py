@@ -361,8 +361,10 @@ def sql_submission_misc() -> str:
     )
     segs = ", ".join(f"'{s}'" for s in _SINK_BAD_SEGMENTS)
     exp_list = ", ".join(f"'{c}'" for c in _COLCMP_EXPECTED)
+    # each CTE is referenced exactly once — no MATERIALIZED, so DuckDB
+    # prunes the unused fixture columns/shadows down to the j2 arm's five
     fx_ctes = ",\n".join(
-        f"{cte_name(s)} AS MATERIALIZED ({fixture_sheet_cte(s)})"
+        f"{cte_name(s)} AS ({fixture_sheet_cte(s)})"
         for s in (CONFIRMATORY, ASSAY, ASSAY_TARGET))
     conf, assay, at = (cte_name(s)
                        for s in (CONFIRMATORY, ASSAY, ASSAY_TARGET))

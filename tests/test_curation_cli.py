@@ -7,10 +7,10 @@ import runpy
 import sys
 
 
-def test_curation_cli_end_to_end(spark, tmp_path):
+def test_curation_cli_end_to_end(spark, sf_dir, tmp_path):
     out = str(tmp_path / "curated")
     argv = ["run_curation.py",
-            "/root/testdata/sf0.001/documents.parquet", out,
+            os.path.join(sf_dir, "documents.parquet"), out,
             "--max-records", "1000"]
     old = sys.argv
     sys.argv = argv

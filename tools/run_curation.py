@@ -32,6 +32,9 @@ def main() -> int:
     ap.add_argument("docs_parquet")
     ap.add_argument("out_dir")
     ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--min-jaccard", type=float, default=0.8,
+                    help="exact-Jaccard threshold for near-dup pairs "
+                         "(band collisions alone are NOT duplicates)")
     ap.add_argument("--val-pct", type=int, default=10)
     ap.add_argument("--budget", type=int, default=2048,
                     help="token budget per packed sequence")
@@ -77,9 +80,11 @@ def main() -> int:
             .drop("n_words", "is_quality"))
     funnel["after_quality"] = kept.count()
 
-    # 2. near-dup removal: MinHash LSH pairs → connected components →
-    #    keep the canonical representative per cluster
-    pairs = minhash_lsh_pairs(kept)
+    # 2. near-dup removal: MinHash LSH pairs (exact-Jaccard verified —
+    #    at threshold 0 every band collision, including the shared
+    #    empty-shingle sentinel, would merge non-duplicates) → connected
+    #    components → keep the canonical representative per cluster
+    pairs = minhash_lsh_pairs(kept, min_jaccard=args.min_jaccard)
     kept = keep_canonical(kept, connected_components(pairs))
     funnel["after_dedup"] = kept.count()
 
@@ -91,18 +96,24 @@ def main() -> int:
                 .withColumnRenamed("redacted", "text"))
 
     # 4. deterministic split (id-hash projection joined back), then
-    #    token-budget sequence packing
+    #    token-budget sequence packing. The curated frame feeds the dedup
+    #    count plus two pack+write chains — persist it so the quality
+    #    join, PII regex chain, and split join run once, not per action.
     split = kept.join(
         train_val_split(kept, val_pct=args.val_pct).select("doc_id",
                                                            "split"),
-        "doc_id")
+        "doc_id").persist()
     for part in ("train", "val"):
         sub = split.filter(F.col("split") == part).drop("split")
         packed = pack_sequences(sub, budget=args.budget)
-        funnel[f"{part}_sequences"] = packed.count()
+        n_seq = packed.count()
+        funnel[f"{part}_sequences"] = n_seq
         write_training_shards(packed, os.path.join(args.out_dir, part),
                               max_records_per_file=args.max_records,
+                              n_shards=max(1, -(-n_seq
+                                                // args.max_records)),
                               id_col="shard")
+    split.unpersist()
 
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "funnel.json"), "w") as f:
