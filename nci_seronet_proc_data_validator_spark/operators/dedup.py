@@ -386,6 +386,12 @@ def simhash64(token_array_sql: str) -> Column:
     The ``_h1/_h2`` subtrees repeat in the text, but identical trees
     collapse in codegen subexpression elimination exactly as shared
     Column objects would."""
+    if isinstance(token_array_sql, Column):
+        raise TypeError(
+            "simhash64 takes a SQL string (use tokens_sql(col)), not a "
+            "Column — a Column repr interpolated into F.expr produces an "
+            "opaque parse error")
+
     def _h(word: int) -> str:
         off = 1 if word == 1 else 9
         return (f"CAST(conv(substring(md5(t), {off}, 8), 16, 10) "

@@ -40,15 +40,20 @@ driver's DuckDB compare certifies the full write→read round-trip:
   updates-not-duplicates; the final table states are oracled by plain
   SQL over the same parquet inputs.
 
-Temp artifacts are written under fresh ``tempfile.mkdtemp`` dirs and left
-in place: the returned DataFrames read them lazily (the driver collects
-after the callable returns).
+Temp artifacts are written under one session-scoped root (fresh subdir
+per invocation — repeat calls never collide) and left in place until
+process exit: the returned DataFrames read them lazily (the driver
+collects after the callable returns), so cleanup is an ``atexit`` rmtree
+of the root, not per-call — long driver/bench sessions no longer grow
+/tmp without bound.
 """
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,10 +70,24 @@ from nci_seronet_proc_data_validator_spark.errors import (
 from nci_seronet_proc_data_validator_spark.sources.readers import read_table
 
 _UNIQ = itertools.count()
+_SESSION_ROOT: str | None = None
+
+
+def _session_root() -> str:
+    """One tmp root per driver process, removed at interpreter exit.
+
+    Artifacts must outlive the query callable (lazy reads), so the only
+    safe cleanup point is process exit; ``ignore_errors`` covers files
+    the JVM still holds open (unlink-while-open is fine on POSIX)."""
+    global _SESSION_ROOT
+    if _SESSION_ROOT is None:
+        _SESSION_ROOT = tempfile.mkdtemp(prefix="spark_graft_parity_")
+        atexit.register(shutil.rmtree, _SESSION_ROOT, ignore_errors=True)
+    return _SESSION_ROOT
 
 
 def _tmpdir(tag: str) -> str:
-    return tempfile.mkdtemp(prefix=f"spark_graft_parity_{tag}_")
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_session_root())
 
 
 def _uniq() -> str:
@@ -530,15 +549,40 @@ def _run_to_memory(stream_df: DataFrame, name: str, mode: str,
     q = (stream_df.writeStream.outputMode(mode).format("memory")
          .queryName(name).trigger(availableNow=True).start())
     if stop_on_idle:
+        # Idle = a COMPLETED zero-input batch with no data pending: once
+        # the engine records numInputRows == 0 the data batches are done
+        # and everything after is the state-cleanup spin (observed: an
+        # unbounded series of empty batches, isTriggerActive flapping).
+        # Structured progress fields only — never the English status
+        # message, which is Spark-version fragile.
         deadline = _time.time() + 600
+        idle = False
         while _time.time() < deadline and q.isActive:
-            st = q.status
-            if (q.lastProgress is not None
-                    and not st["isDataAvailable"]
-                    and not st["message"].startswith("Processing")):
+            lp = q.lastProgress
+            if (lp is not None and lp["numInputRows"] == 0
+                    and not q.status["isDataAvailable"]):
+                idle = True
                 break
             _time.sleep(0.2)
         if q.isActive:
+            if not idle:
+                q.stop()
+                raise TimeoutError(
+                    f"stream '{name}' never went idle within 600 s; "
+                    "refusing to return partial memory-sink contents")
+            # The sessions/funnel oracles assume ONE emission per key,
+            # which holds only if availableNow drained the source in a
+            # single data micro-batch (maxFilesPerTrigger unset). Fail
+            # loud if a conf/default change ever splits the data across
+            # batches instead of surfacing as a value mismatch later.
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0)
+            if data_batches > 1:
+                q.stop()
+                raise AssertionError(
+                    f"stream '{name}' ran {data_batches} data batches "
+                    "under availableNow; stateful parity oracles require "
+                    "a single data batch (one emission per key)")
             q.stop()
     q.awaitTermination(600)
     return stream_df.sparkSession.table(name)

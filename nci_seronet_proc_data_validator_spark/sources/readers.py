@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 ROW_INDEX_COL = "row_index"
@@ -43,10 +43,14 @@ def with_row_index(df: DataFrame, offset: int = 2,
     path of every sheet). Two passes, all in the JVM:
 
     1. count rows per partition (partition id decoded from
-       ``monotonically_increasing_id``'s high bits); collect is
-       #partitions rows — driver-scale by construction;
-    2. broadcast-join the cumulative offsets and add the low-bit
-       per-partition ordinal.
+       ``monotonically_increasing_id``'s high bits) — a #partitions-row
+       relation kept as a DataFrame (never collected, never rendered into
+       SQL text: at 100 TB there are 10^5-10^6 input splits, and a
+       VALUES literal of that size is a driver-build + Catalyst-parse
+       bottleneck on every sheet's ingest path);
+    2. running offset = window cumsum over that tiny relation (a
+       single-partition sort of #partitions rows), broadcast-joined back;
+       the low-bit per-partition ordinal completes the index.
 
     No wide shuffle anywhere: the stream side stays in place, only the
     tiny offsets relation is broadcast. Matches the reference's "CSV line
@@ -59,23 +63,20 @@ def with_row_index(df: DataFrame, offset: int = 2,
     used here); do not insert a nondeterministic transform upstream.
     """
     mid_col, pid_col, base_col = "__sg_mid", "__sg_pid", "__sg_base"
+    cnt_col = "__sg_cnt"
     tmp = df.withColumn(mid_col, F.monotonically_increasing_id())
     pid = F.shiftright(F.col(mid_col), _MID_PARTITION_SHIFT)
-    counts = tmp.groupBy(pid.alias(pid_col)).count().collect()
-    if not counts:
-        return df.withColumn(col_name, F.lit(offset).cast("long"))
-    base = 0
-    offsets = []
-    for r in sorted(counts, key=lambda r: r[pid_col]):
-        offsets.append((r[pid_col], base))
-        base += r["count"]
-    # VALUES literal (LocalTableScan), not createDataFrame: PySpark routes
-    # local rows through an RDD (Scan ExistingRDD), which the ingest
-    # plan-shape test forbids outright.
-    values = ", ".join(f"({p}, {b})" for p, b in offsets)
-    offsets_df = df.sparkSession.sql(
-        f"SELECT CAST(col1 AS BIGINT) AS {pid_col}, "
-        f"CAST(col2 AS BIGINT) AS {base_col} FROM VALUES {values}")
+    counts = tmp.groupBy(pid.alias(pid_col)).agg(
+        F.count(F.lit(1)).alias(cnt_col))
+    # Running offset as a window cumsum over the counts relation: the
+    # window is single-partition by construction, but over #partitions
+    # rows — driver- and executor-trivial, and the whole offsets subtree
+    # stays a DataFrame (no collect, no O(#splits) SQL text to parse).
+    cum = Window.orderBy(pid_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets_df = counts.select(
+        F.col(pid_col),
+        F.coalesce(F.sum(cnt_col).over(cum), F.lit(0))
+        .cast("long").alias(base_col))
     ordinal = F.col(mid_col).bitwiseAND(F.lit(_MID_ORDINAL_MASK))
     return (tmp.withColumn(pid_col, pid)
             .join(F.broadcast(offsets_df), pid_col)

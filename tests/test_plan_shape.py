@@ -63,6 +63,13 @@ def test_row_index_multi_partition(spark):
     from nci_seronet_proc_data_validator_spark.sources import with_row_index
     df = spark.range(0, 1000, 1, 7).selectExpr("CAST(id AS STRING) AS v")
     out = with_row_index(df, offset=2)
+    # Offsets must stay a DataFrame subtree (window cumsum over the
+    # per-partition counts), never an O(#partitions) VALUES literal the
+    # driver renders and Catalyst parses — at 100 TB that's 10^5-10^6
+    # splits of SQL text per sheet (VERDICT r7 nit #1).
+    plan = _plan(out)
+    assert "LocalTableScan" not in plan
+    assert "ExistingRDD" not in plan
     idx = sorted(r["row_index"] for r in out.collect())
     assert idx == list(range(2, 1002))
     # per-partition order preserved: v ascending within the range source
