@@ -363,3 +363,47 @@ def test_data_profile_is_four_scans(spark, sf_dir):
     assert any(seg.rstrip(">,. ").endswith("o_orderkey:bigint")
                or seg.startswith("struct<o_orderkey:bigint>")
                for seg in dim_reads), dim_reads
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session enables AQE skew-join splitting; demonstrate it fires.
+
+    Shape = the reference's cross-sheet enrichment at scale
+    (File_Submission_Object.py:106-127): a fact sheet where ONE CBC id
+    owns half the rows, equi-joined to a per-id dimension too big to
+    broadcast. Production thresholds key on 256 MB partitions, so the
+    test lowers them (runtime-settable confs, restored after) and
+    asserts the executed plan split the hot partition — the scale
+    behavior no static plan test can pin.
+    """
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sheet = spark.range(1_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(14))
+            .otherwise(F.col("id") % 1000).alias("cbc_id"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string"))
+            .alias("payload"))
+        dim = spark.range(1000).select(
+            F.col("id").alias("cbc_id"), (F.col("id") * 2).alias("site"))
+        joined = sheet.join(dim, "cbc_id")
+        qe = joined._jdf.queryExecution()
+        # run the DataFrame's OWN plan JVM-side (collect would drag 1M
+        # rows into Python; a noop write is a different QueryExecution)
+        n = qe.executedPlan().execute().count()
+        assert n == 1_000_000
+        plan = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
