@@ -3502,8 +3502,8 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         icd10_dict_df,
     )
     from nci_seronet_proc_data_validator_spark.plans.rules import (
-        compile_sheet_findings as _compile,
-        dup_id_findings as _dups,
+        dup_id_findings_sql as _dups_sql,
+        sheet_findings_sql as _findings_sql,
     )
     from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
         rulebook_bound_sheets,
@@ -3512,13 +3512,20 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
     from nci_seronet_proc_data_validator_spark.operators.joins import (
         biospecimen_cross_findings,
-        outer_join_spine,
         participant_cross_findings,
+        presence_spine,
     )
     icd = icd10_dict_df(spark, sf_dir)
-    parts = []
+    # The per-sheet findings/dup legs are assembled as SQL TEXT over temp
+    # views and submitted as ONE spark.sql per dedup group: the DataFrame
+    # path costs one JVM analysis per selectExpr/unionByName leg
+    # (measured ~3.5 s of driver build at 30 legs, cProfile r8); one
+    # statement parses and analyzes once. Same plan, same findings.
+    row_legs = []     # per-row findings (Row_Index ≥ 0): map-only legs
+    aux_legs = []     # SQL legs needing dedup (aliquot rows, dup-ID −3)
+    aux_parts = []    # DataFrame legs needing dedup (cross-sheet −10)
     sheet_dfs = {}
-    for spec, bound in rulebook_bound_sheets():
+    for i, (spec, bound) in enumerate(rulebook_bound_sheets()):
         # persist=True: each sheet feeds the findings pass, a pass per
         # dup-ID column, and the cross-sheet spines — the cached cast
         # base is scanned k× instead of re-shuffled k×. (Sharing one
@@ -3530,38 +3537,65 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         sheet_dfs[spec.sheet] = df
         for col in bound.icd10_columns:
             df = icd10_flag_join(df, col, icd, col + "__icd10_valid")
+        view = f"__rulebook_sheet_{i}"
+        df.createOrReplaceTempView(view)
         # codegen_chunk=9: the persisted base makes repeated (pruned)
         # cache scans cheap, and 9-rule-group projections (3 chunks on
         # the widest sheet) stay under the JIT size ceiling — ~2x on
         # the widest sheets; fewer jobs than chunk=3 also wins under
         # CPU contention (see rules.py docstring for the sweep)
-        parts.append(_compile(df, spec.sheet, bound.column_rules,
-                              codegen_chunk=9))
+        legs = _findings_sql(view, spec.sheet, bound.column_rules,
+                             codegen_chunk=9)
+        # Sheets whose row_index is a base-table PK cannot produce two
+        # findings with one (sheet, row, column) — keep-first coalesce —
+        # so the global dedup is an identity on them; sheets with
+        # colliding keys (aliquot) keep the keyed dedup.
+        (row_legs if spec.key_unique else aux_legs).extend(legs)
         for c in bound.dup_id_columns:
-            parts.append(_dups(df, spec.sheet, c))
+            aux_legs.append(_dups_sql(view, spec.sheet, c))
+    parts = [spark.sql(" UNION ALL ".join(row_legs))]
+    aux_parts.append(spark.sql(" UNION ALL ".join(aux_legs)))
 
     # Cross-sheet presence families (J3-J5, sentinel -10). Sources are
     # distinct-ID projections (the Merged_Table shape); biospecimen
     # contributes a deterministic per-ID type (min) so multi-typed
     # duplicate IDs decode identically on both engines. All sheets are
     # "submitted" here, so the submitted-id restriction is a no-op.
+    # presence_spine: UNION ALL of raw cached-sheet projections → ONE
+    # groupBy per spine (no per-source distinct, no full-outer chain) —
+    # the join chain otherwise gates the sibling findings mega-stage
+    # behind k−1 serialized exchanges (measured: stage timeline r8).
     rpid = "Research_Participant_ID"
-    part_spine = outer_join_spine(
-        {s: sheet_dfs[s].select(rpid).distinct()
+    part_spine = presence_spine(
+        {s: sheet_dfs[s].select(rpid)
          for s in ("prior_clinical_test.csv", "demographic.csv",
                    "biospecimen.csv", "confirmatory_clinical_test.csv")},
         rpid)
-    parts.append(participant_cross_findings(part_spine, "14"))
+    aux_parts.append(participant_cross_findings(part_spine, "14"))
     bid = "Biospecimen_ID"
     bio_sources = {"biospecimen.csv":
-                   sheet_dfs["biospecimen.csv"].groupBy(bid).agg(
-                       F.min("Biospecimen_Type").alias("Biospecimen_Type"))}
+                   sheet_dfs["biospecimen.csv"].select(bid,
+                                                       "Biospecimen_Type")}
     for s in ("aliquot.csv", "equipment.csv", "reagent.csv",
               "consumable.csv"):
-        bio_sources[s] = sheet_dfs[s].select(bid).distinct()
-    bio_spine = outer_join_spine(bio_sources, bid)
-    parts.append(biospecimen_cross_findings(bio_spine, "14"))
-    return dedup_findings(union_findings(parts))
+        bio_sources[s] = sheet_dfs[s].select(bid)
+    bio_spine = presence_spine(bio_sources, bid,
+                               carry={"biospecimen.csv":
+                                      ["Biospecimen_Type"]})
+    aux_parts.append(biospecimen_cross_findings(bio_spine, "14"))
+    # Split dedup by disjoint dedup-key spaces: per-row findings
+    # (Row_Index ≥ 0) of a key_unique sheet carry at most ONE finding per
+    # (sheet, row, column) — keep-first coalesce + PK row_index — so the
+    # global dropDuplicates is an identity on them and their legs (the
+    # widest stage of the whole plan) stay shuffle-free. Everything else
+    # (aliquot's colliding row_index, −3 dup-ID, −10 cross-sheet) keeps
+    # the keyed dedup; the groups cannot collide with each other
+    # (different sheet names / sentinel Row_Index). Equality with the
+    # single global dedup is pinned by tests/test_rulebook_split.py and
+    # the driver oracle.
+    return union_findings(
+        [union_findings(parts),
+         dedup_findings(union_findings(aux_parts))])
 
 
 def _rulebook_oracle() -> str:

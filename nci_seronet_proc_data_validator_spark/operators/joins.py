@@ -115,6 +115,56 @@ def outer_join_spine(sources: dict[str, DataFrame], key: str | list[str]
     return spine.na.fill(fills)
 
 
+def presence_spine(sources: dict[str, DataFrame], key: str | list[str],
+                   carry: dict[str, list[str]] | None = None) -> DataFrame:
+    """J3/J4 spine as ONE shuffle: UNION ALL of tagged ID projections →
+    a single ``groupBy(key)`` with one ``max(__src = name)`` presence flag
+    per source.
+
+    Same output schema as :func:`outer_join_spine` (key + boolean
+    indicators + carried columns) but a chain of k−1 full-outer joins —
+    k−1 serialized exchanges of a growing spine, which at 100 TB is the
+    long pole of the cross-sheet pass and in a multi-leg plan gates every
+    sibling stage behind the join chain — becomes one map-side-combinable
+    aggregation. Mirrors the reference's cross-sheet ID reconciliation
+    intent (``File_Submission_Object.py:335-396``) without its join shape.
+
+    Semantics notes:
+    - Sources need NOT be pre-distinct: the groupBy collapses duplicate
+      keys within a source (presence stays true). ``outer_join_spine``
+      instead REPLICATES rows per key combination — callers that rely on
+      that multi-row behavior (non-unique Merged_Tables in
+      ``submission.py``) must keep using it.
+    - ``carry``: {source_name: [column, ...]} — non-key columns carried
+      through as ``min(CASE WHEN __src = name THEN col END)``; for keys
+      with several rows in that source this is the deterministic min,
+      matching the explicit ``groupBy(key).agg(min(col))`` pre-aggregation
+      the outer-join callers do by hand. NULL for keys absent from the
+      source, exactly like the outer join.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    carry = carry or {}
+    srcs = [(n, df) for n, df in sources.items() if df is not None]
+    if not srcs:
+        raise ValueError("no sources for spine")
+    all_carry = [(n, c) for n, cols in carry.items() for c in cols]
+    legs = []
+    for name, df in srcs:
+        cols = [*(F.col(k) for k in keys), F.lit(name).alias("__src")]
+        for src_of, c in all_carry:
+            cols.append(
+                (F.col(c) if src_of == name
+                 else F.lit(None).cast(sources[src_of].schema[c].dataType))
+                .alias(c))
+        legs.append(df.select(*cols))
+    u = reduce(lambda a, b: a.unionByName(b), legs)
+    aggs = [F.max(F.col("__src") == F.lit(name)).alias(_indicator(name))
+            for name, _ in srcs]
+    aggs += [F.min(F.when(F.col("__src") == F.lit(src_of), F.col(c)))
+             .alias(c) for src_of, c in all_carry]
+    return u.groupBy(*keys).agg(*aggs)
+
+
 def present(name: str) -> Column:
     return F.col(_indicator(name))
 

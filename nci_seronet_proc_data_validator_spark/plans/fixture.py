@@ -62,6 +62,11 @@ class SheetFixture:
     # extra DuckDB-only select items for the oracle CTE ("expr AS name") —
     # columns the Spark side derives with a join (e.g. the ICD-10 flag)
     oracle_extras: tuple[str, ...] = ()
+    # True iff ``key`` is unique per base row IN THIS TESTDATA (base-table
+    # PKs are; lineitem's (l_orderkey, l_linenumber) is NOT — the synthetic
+    # generator emits duplicate pairs). Consumers that skip the global
+    # findings dedup for provably collision-free sheets key off this.
+    key_unique: bool = True
 
 
 def _cyc(k: str, vals: list[str]) -> str:
@@ -333,7 +338,11 @@ ALIQUOT = SheetFixture(
             (1009, "'14_000001_001_01'")),
         "Aliquot_Volume": _float_col(_ALI_K),
         "Aliquot_Concentration": _string_col(f"{_ALI_K} + 1"),
-    })
+    },
+    # l_linenumber ∈ 1..7 would make l_orderkey*8+l_linenumber a PK on
+    # real TPC-H, but this synthetic lineitem contains duplicate
+    # (l_orderkey, l_linenumber) pairs — aliquot row_index collides.
+    key_unique=False)
 
 EQUIPMENT = SheetFixture(
     sheet="equipment.csv", base="supplier", key="s_suppkey",

@@ -111,11 +111,10 @@ def _q(s: str) -> str:
     return _sql_quote(s)
 
 
-def _compile_text(df: DataFrame, sheet_name: str,
-                  column_rules: list[ColumnRules],
-                  row_index_col: str) -> DataFrame:
-    """Text render of the same plan: per check a CASE→named_struct
-    candidate, per column a keep-first coalesce, one explode."""
+def _findings_array_sql(sheet_name: str, column_rules: list[ColumnRules],
+                        row_index_col: str) -> str | None:
+    """The explode payload as text: per check a CASE→named_struct
+    candidate, per column a keep-first coalesce, one array(...)."""
     from nci_seronet_proc_data_validator_spark.functions.checks import (
         render_spark_sql,
     )
@@ -137,6 +136,17 @@ def _compile_text(df: DataFrame, sheet_name: str,
         col_exprs.append(cands[0] if len(cands) == 1
                          else f"coalesce({', '.join(cands)})")
     if not col_exprs:
+        return None
+    return f"array({', '.join(col_exprs)})"
+
+
+def _compile_text(df: DataFrame, sheet_name: str,
+                  column_rules: list[ColumnRules],
+                  row_index_col: str) -> DataFrame:
+    """Text render of the same plan: per check a CASE→named_struct
+    candidate, per column a keep-first coalesce, one explode."""
+    arr = _findings_array_sql(sheet_name, column_rules, row_index_col)
+    if arr is None:
         from nci_seronet_proc_data_validator_spark.errors import (
             empty_findings,
         )
@@ -148,11 +158,53 @@ def _compile_text(df: DataFrame, sheet_name: str,
     # to interpreted evaluation. explode + IS NOT NULL keeps the whole
     # stage in generated code (plan guard:
     # tests/test_plan_shape.py::test_rulebook_findings_codegen).
-    arr = f"array({', '.join(col_exprs)})"
     from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
     return (df.selectExpr(f"explode({arr}) AS _f")
             .where("_f IS NOT NULL")
             .selectExpr(*[f"_f.{c} AS {c}" for c in FINDING_COLUMNS]))
+
+
+def sheet_findings_sql(view: str, sheet_name: str,
+                       column_rules: list[ColumnRules],
+                       row_index_col: str = ROW_INDEX_COL,
+                       codegen_chunk: int | None = None) -> list[str]:
+    """``compile_sheet_findings``'s text-only twin: SELECT statements (one
+    per codegen chunk) over a registered temp view.
+
+    Callers assembling a MULTI-sheet plan join the statements with
+    ``UNION ALL`` into one ``spark.sql(...)`` call: the per-leg
+    ``selectExpr``/``unionByName`` round-trips of the DataFrame path each
+    trigger a JVM-side analysis of their whole subtree — measured ~3.5 s
+    of the rulebook's driver build at 30 legs — while one statement is
+    parsed and analyzed once. Same physical plan, pinned by
+    ``tests/test_rulebook_split.py``.
+    """
+    if codegen_chunk and len(column_rules) > codegen_chunk:
+        out = []
+        for i in range(0, len(column_rules), codegen_chunk):
+            out.extend(sheet_findings_sql(
+                view, sheet_name, column_rules[i:i + codegen_chunk],
+                row_index_col))
+        return out
+    arr = _findings_array_sql(sheet_name, column_rules, row_index_col)
+    if arr is None:
+        return []
+    from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
+    cols = ", ".join(f"_f.{c} AS {c}" for c in FINDING_COLUMNS)
+    return [f"SELECT {cols} FROM (SELECT explode({arr}) AS _f FROM {view})"
+            f" WHERE _f IS NOT NULL"]
+
+
+def dup_id_findings_sql(view: str, sheet_name: str, column: str) -> str:
+    """``dup_id_findings``'s text-only twin over a temp view."""
+    msg = ("concat('Id is repeated ', CAST(cnt AS STRING),"
+           " ' times, Multiple repeats are not allowed')")
+    return (f"SELECT 'Error' AS Message_Type, {_q(sheet_name)} AS"
+            f" CSV_Sheet_Name, CAST({ROW_DUPLICATE_ID} AS BIGINT) AS"
+            f" Row_Index, {_q(column)} AS Column_Name,"
+            f" CAST({column} AS STRING) AS Column_Value, {msg} AS"
+            f" Error_Message FROM (SELECT {column}, count(*) AS cnt"
+            f" FROM {view} GROUP BY {column}) WHERE cnt > 1")
 
 
 def dup_id_findings(df: DataFrame, sheet_name: str, column: str) -> DataFrame:

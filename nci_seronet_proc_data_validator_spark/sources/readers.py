@@ -251,10 +251,29 @@ def _ensure_session_confs(spark: SparkSession) -> None:
                    "InferFiltersFromGenerate")
 
 
+# (path → StructType) schema memo for the driver testdata tables. Each
+# bare ``spark.read.parquet`` runs a footer-inference job (one task) plus
+# a driver round-trip BEFORE the real query starts; multi-sheet plans
+# (the rulebook reads 5 distinct bases for 10 sheets) and best-of-n bench
+# loops re-pay it per reference. The testdata dirs are immutable, so the
+# inferred schema is stable per path; passing it back via ``.schema(...)``
+# makes repeat reads footer-job-free. Keyed per session id too — a schema
+# inferred under one session's confs (e.g. nanosAsLong) must not leak
+# into a session configured differently.
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata parquet table."""
+    """Read one driver testdata parquet table (schema memoized per path)."""
     _ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def read_tables(spark: SparkSession, sf_dir: str,
