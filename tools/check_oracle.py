@@ -61,8 +61,12 @@ def main() -> int:
     spark = get_spark("check_oracle", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; generated scale dirs
+        # (tools/gen_scale.py) are Spark-written DIRECTORIES — glob them
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{src}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
