@@ -1,8 +1,10 @@
 """Quick timing harness for rulebook_full chunk tuning.
 
 Usage: python tools/time_rulebook.py [chunk ...]
-Monkeypatches compile_sheet_findings' codegen_chunk by wrapping it, runs
-q_rulebook_full at $SPARK_GRAFT_SF_DIR (default sf0.1) n times per value.
+Monkeypatches the codegen_chunk of the findings compiler (the SQL-text
+path ``sheet_findings_sql`` since r8 — q_rulebook_full no longer goes
+through compile_sheet_findings), runs q_rulebook_full at
+$SPARK_GRAFT_SF_DIR (default sf0.1) n times per value.
 """
 from __future__ import annotations
 
@@ -28,14 +30,16 @@ spark.sparkContext.setLogLevel("ERROR")
 import nci_seronet_proc_data_validator_spark.plans.rules as rules_mod
 from nci_seronet_proc_data_validator_spark.driver_queries import QUERIES
 
-orig = rules_mod.compile_sheet_findings
+orig = rules_mod.sheet_findings_sql
 
 chunks = [None if a == "none" else int(a) for a in sys.argv[1:]] or [None, 3, 9]
 for chunk in chunks:
-    def patched(df, sheet_name, column_rules, row_index_col=rules_mod.ROW_INDEX_COL,
+    def patched(view, sheet_name, column_rules,
+                row_index_col=rules_mod.ROW_INDEX_COL,
                 codegen_chunk=None, _c=chunk):
-        return orig(df, sheet_name, column_rules, row_index_col, codegen_chunk=_c)
-    rules_mod.compile_sheet_findings = patched
+        return orig(view, sheet_name, column_rules, row_index_col,
+                    codegen_chunk=_c)
+    rules_mod.sheet_findings_sql = patched
     # re-import binding in driver_queries uses `from ... import` inside the
     # function body, so patching the module attribute is enough
     times = []
@@ -46,4 +50,4 @@ for chunk in chunks:
         spark.catalog.clearCache()
     print(f"chunk={chunk}: rows={n} times={[round(t,2) for t in times]} "
           f"best={min(times):.2f}", flush=True)
-rules_mod.compile_sheet_findings = orig
+rules_mod.sheet_findings_sql = orig
