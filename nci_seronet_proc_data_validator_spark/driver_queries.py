@@ -3553,8 +3553,10 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (row_legs if spec.key_unique else aux_legs).extend(legs)
         for c in bound.dup_id_columns:
             aux_legs.append(_dups_sql(view, spec.sheet, c))
-    parts = [spark.sql(" UNION ALL ".join(row_legs))]
-    aux_parts.append(spark.sql(" UNION ALL ".join(aux_legs)))
+    parts = ([spark.sql(" UNION ALL ".join(row_legs))]
+             if row_legs else [])
+    if aux_legs:
+        aux_parts.append(spark.sql(" UNION ALL ".join(aux_legs)))
 
     # Cross-sheet presence families (J3-J5, sentinel -10). Sources are
     # distinct-ID projections (the Merged_Table shape); biospecimen

@@ -50,7 +50,20 @@ def _idot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
-def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
+# Auto-k when ``k=None``: k = max(8, isqrt(N)). The two cost terms pull
+# against each other — centroid assignment is O(N·k·d) (per-row argmin
+# over k literal centroids), within-cluster pairing is O(N²/k) — and
+# k ∝ √N balances them at O(N^1.5) each. Holding cluster SIZE constant
+# instead (k = N/s, the paper's LAION regime) makes pairing linear but
+# assignment quadratic under exact Lloyd (measured at sf1: 9.1 s vs
+# 2.3 s for √N — BENCH_NOTES r8); the paper escapes that with ANN
+# assignment (faiss), whose engine-side analogue here is the IVF coarse
+# quantizer in ``operators/pq.py``. Fixed k stays available for
+# oracle-pinned callers (the driver query needs a compile-time k in its
+# DuckDB CTE chain).
+
+
+def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
              threshold: float = 0.95,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> DataFrame:
@@ -58,7 +71,17 @@ def semdedup(emb: DataFrame, k: int = 8, iters: int = 2,
 
     ``keep`` is False iff a smaller-id vector in the same k-means cluster
     has cosine similarity ≥ ``threshold``.
+
+    ``k=None`` scales the cluster count with the corpus —
+    ``max(8, isqrt(N))`` via one count job — balancing assignment
+    (O(N·k·d)) against pairing (O(N²/k)) at O(N^1.5) (measured: fixed
+    k=8 goes quadratic in pairing by sf1, k=N/64 goes quadratic in
+    assignment — BENCH_NOTES r8). Pass an explicit k when a
+    deterministic model shape is required (oracle parity, tests).
     """
+    if k is None:
+        import math
+        k = max(8, math.isqrt(emb.count()))
     # localCheckpoint: the assignment feeds BOTH pair-join sides and the
     # final verdict join — unmaterialized, the Lloyd assignment subtree
     # would execute three times. Blocks are freed by the ContextCleaner

@@ -407,3 +407,32 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_rulebook_row_findings_union_shuffle_free(spark, sf_dir):
+    """r8 restructure guard: the one-statement SQL union of every
+    key_unique sheet's findings legs (what q_rulebook_full feeds the
+    final union WITHOUT a dedup exchange) must itself be exchange-free —
+    scan → casts/shadows → check explode per leg, union, nothing keyed.
+    If someone reintroduces a dropDuplicates/groupBy on this path the
+    widest stage of the flagship regains a shuffle of every finding."""
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        fixture_sheet_df,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        sheet_findings_sql,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        rulebook_bound_sheets,
+    )
+    legs = []
+    for i, (spec, bound) in enumerate(rulebook_bound_sheets()):
+        if not spec.key_unique or bound.icd10_columns:
+            continue                       # icd flag join adds a broadcast
+        view = f"__t_plan_rb_{i}"
+        fixture_sheet_df(spark, sf_dir, spec).createOrReplaceTempView(view)
+        legs.extend(sheet_findings_sql(view, spec.sheet, bound.column_rules,
+                                       codegen_chunk=9))
+    assert len(legs) >= 10
+    plan = _plan(spark.sql(" UNION ALL ".join(legs)))
+    assert "Exchange" not in plan, plan[:2000]
