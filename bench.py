@@ -8,6 +8,7 @@ nothing collected to the driver).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -214,9 +215,15 @@ def main() -> None:
     # has eaten the 2x gate to 1.23x before; five samples make the
     # best/median pair robust to a transient load spike mid-suite).
     n = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
+    # comma-separated allowlist for isolated reruns (in-suite vs isolated
+    # comparisons, single-query bisects); unset = full suite
+    only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+            .split(",") if q}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
+        if only and name not in only:
+            continue
         samples = []
         for _ in range(n):
             spark.catalog.clearCache()
@@ -227,6 +234,14 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
+        # localCheckpoint blocks (semdedup/graph/kmeans) are released by
+        # the ContextCleaner only after Python drops the plan refs — at
+        # sf1 the accumulated blocks from 38 prior queries distorted
+        # later queries up to 12× (semdedup 26.8 s in-suite vs 2.3 s
+        # isolated, BENCH_NOTES r8). Collect both heaps between queries.
+        del df
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     best_total = round(sum(timings.values()), 3)

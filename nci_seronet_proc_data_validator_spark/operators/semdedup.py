@@ -53,14 +53,14 @@ def _idot(a: Column, b: Column) -> Column:
 # Auto-k when ``k=None``: k = max(8, isqrt(N)). The two cost terms pull
 # against each other — centroid assignment is O(N·k·d) (per-row argmin
 # over k literal centroids), within-cluster pairing is O(N²/k) — and
-# k ∝ √N balances them at O(N^1.5) each. Holding cluster SIZE constant
-# instead (k = N/s, the paper's LAION regime) makes pairing linear but
-# assignment quadratic under exact Lloyd (measured at sf1: 9.1 s vs
-# 2.3 s for √N — BENCH_NOTES r8); the paper escapes that with ANN
-# assignment (faiss), whose engine-side analogue here is the IVF coarse
-# quantizer in ``operators/pq.py``. Fixed k stays available for
-# oracle-pinned callers (the driver query needs a compile-time k in its
-# DuckDB CTE chain).
+# k ∝ √N balances them at O(N^1.5) each. Measured at sf1 (20k vectors,
+# noop sink, BENCH_NOTES r8): fixed k=8 27.5 s (pairing quadratic,
+# ×13.4/decade), k=N/64 10.7 s (assignment is the growing term under
+# exact Lloyd), k=√N 6.7 s (×3.6/decade). The paper's constant-cluster-
+# size regime works because it assigns with ANN (faiss), whose
+# engine-side analogue is the IVF coarse quantizer in
+# ``operators/pq.py``. Fixed k stays available for oracle-pinned callers
+# (the driver query needs a compile-time k in its DuckDB CTE chain).
 
 
 def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
@@ -74,10 +74,10 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
 
     ``k=None`` scales the cluster count with the corpus —
     ``max(8, isqrt(N))`` via one count job — balancing assignment
-    (O(N·k·d)) against pairing (O(N²/k)) at O(N^1.5) (measured: fixed
-    k=8 goes quadratic in pairing by sf1, k=N/64 goes quadratic in
-    assignment — BENCH_NOTES r8). Pass an explicit k when a
-    deterministic model shape is required (oracle parity, tests).
+    (O(N·k·d)) against pairing (O(N²/k)) at O(N^1.5): 4.1× faster than
+    the fixed default at sf1 and sublinear per decade (BENCH_NOTES r8).
+    Pass an explicit k when a deterministic model shape is required
+    (oracle parity, tests).
     """
     if k is None:
         import math
