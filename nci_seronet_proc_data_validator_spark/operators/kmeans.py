@@ -55,6 +55,17 @@ def _sqdist(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def sqdist_sql(a: str, b: str) -> str:
+    """``_sqdist`` as SQL text. Building the Column form costs ~30 py4j
+    round-trips (each higher-order lambda is its own JVM call); the PQ
+    code/LUT builders instantiate it m·ksub ≈ 100+ times per model, which
+    made driver build — not execution — pq_ann's dominant cost (7.7 s
+    construct vs 0.9 s execute, cProfile r8). Text instantiation is
+    driver-free until one final parse."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, v) -> acc + v)")
+
+
 def _arr_sql(vals) -> str:
     """array<long> literal as ONE SQL expression — per-element ``F.lit``
     Columns cost a py4j round-trip each, which dominates model-as-literal
@@ -110,7 +121,7 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
     for _ in range(iters):
         # model-as-literal via ONE generated expression per iteration —
         # k*dim F.lit Columns cost ~0.3 s of py4j round-trips each pass
-        c_lit = F.expr("array(" + ", ".join(
+        c_lit_sql = ("array(" + ", ".join(
             "array(" + ", ".join(f"{int(x)}L" for x in c) + ")"
             for c in centers) + ")")
         cid_lit = F.expr(
@@ -120,7 +131,8 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
         # minimum and the literal is in ascending-cid order, so ties go to
         # the lowest cluster id — the documented rule. Empty clusters drop
         # out of (centers, cids) together, preserving original cid values.
-        dists = F.transform(c_lit, lambda c: _sqdist(F.col("qv"), c))
+        dists = F.expr(
+            f"transform({c_lit_sql}, c -> {sqdist_sql('qv', 'c')})")
         assigned = (v.withColumn("_d", dists)
                     .select("vid", "qv",
                             F.element_at(

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.operators.kmeans import (
-    QUANT, _arr_sql, _sqdist, quantize,
+    QUANT, _arr_sql, quantize, sqdist_sql,
 )
 
 _DIST = ("list_reduce(list_transform(list_zip({a}, {b}), "
@@ -117,14 +117,14 @@ def pq_fit_fused(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
                for lo, ln in spans]
     cids = [list(range(len(c))) for c in centers]
     for _ in range(iters):
-        c_lit = F.expr("array(" + ", ".join(
+        c_lit_sql = ("array(" + ", ".join(
             "array(" + ", ".join(_arr_sql(c) for c in book) + ")"
             for book in centers) + ")")
         cid_lit = F.expr("array(" + ", ".join(
             "array(" + ", ".join(str(int(c)) for c in cs) + ")"
             for cs in cids) + ")")
-        dists = F.transform(F.element_at(c_lit, F.col("s") + 1),
-                            lambda c: _sqdist(F.col("qv"), c))
+        dists = F.expr(f"transform(element_at({c_lit_sql}, s + 1), "
+                       f"c -> {sqdist_sql('qv', 'c')})")
         assigned = (sub.withColumn("_d", dists)
                     .select("s", "vid", "qv",
                             F.element_at(
@@ -152,17 +152,29 @@ def pq_fit_fused(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
     return centers, cids
 
 
-def _code_col(qv: Column, codebooks: list[list[list[int]]]) -> Column:
-    """m argmins over the codebook literals — one array<int> projection."""
+def _quantize_sql(vec: str) -> str:
+    """``quantize`` as SQL text over a column reference."""
+    return (f"transform({vec}, x -> CAST(round(CAST(x AS DOUBLE) * "
+            f"{QUANT}) AS LONG))")
+
+
+def _code_col(qv_sql: str, codebooks: list[list[list[int]]]) -> Column:
+    """m argmins over the codebook literals — ONE array<int> expression.
+
+    Instantiated as text: the Column form built m·ksub ``_sqdist`` trees
+    (~30 py4j round-trips each — the dominant pq_ann driver cost, r8
+    cProfile). ``qv_sql`` should reference a STAGED projection column,
+    not an inline expression, or each of the m·ksub distance terms
+    re-embeds (and without CSE re-evaluates) the whole quantize tree."""
     dsub = len(codebooks[0][0])
     codes = []
     for s, book in enumerate(codebooks):
-        sub = F.slice(qv, s * dsub + 1, dsub)
-        d = F.array(*[
-            _sqdist(sub, F.expr(_arr_sql(c)))
-            for c in book])
-        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
-    return F.array(*codes)
+        sub = f"slice({qv_sql}, {s * dsub + 1}, {dsub})"
+        d = ("array(" + ", ".join(
+            sqdist_sql(sub, _arr_sql(c)) for c in book) + ")")
+        codes.append(f"CAST(array_position({d}, array_min({d})) - 1 "
+                     f"AS INT)")
+    return F.expr("array(" + ", ".join(codes) + ")")
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[int]]],
@@ -170,34 +182,36 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[int]]],
               out_col: str = "pq_code") -> DataFrame:
     """Append ``out_col``: array<int> of m codebook indices (0-based),
     one argmin per subspace, computed entirely map-side over the
-    quantized vector."""
-    return emb.withColumn(out_col,
-                          _code_col(quantize(F.col(vec_col)), codebooks))
+    quantized vector (staged once per row, then sliced per subspace)."""
+    tmp = "__pq_qv"
+    return (emb.withColumn(tmp, quantize(F.col(vec_col)))
+            .withColumn(out_col, _code_col(tmp, codebooks))
+            .drop(tmp))
 
 
-def _lut_col(qq: Column, codebooks: list[list[list[int]]]) -> Column:
+def _lut_col(qq_sql: str, codebooks: list[list[list[int]]]) -> Column:
     """The query's ADC lookup table — array<array<long>> of m×ksub
     integer subspace distances against the codebook literals. Computed
     ONCE per query row BEFORE the candidate join, so the O(m·ksub·dsub)
-    expression never rides the per-candidate scan."""
+    expression never rides the per-candidate scan. Text-instantiated for
+    the same reason as ``_code_col``; query frames are tiny, so the
+    quantize tree is inlined per term rather than staged."""
     dsub = len(codebooks[0][0])
-    return F.array(*[
-        F.array(*[
-            _sqdist(F.slice(qq, s * dsub + 1, dsub),
-                    F.expr(_arr_sql(c)))
-            for c in book])
-        for s, book in enumerate(codebooks)])
+    return F.expr("array(" + ", ".join(
+        "array(" + ", ".join(
+            sqdist_sql(f"slice({qq_sql}, {s * dsub + 1}, {dsub})",
+                       _arr_sql(c))
+            for c in book) + ")"
+        for s, book in enumerate(codebooks)) + ")")
 
 
-def _adc_dist(code_col: Column, lut: Column, m: int) -> Column:
+def _adc_dist(code_col: str, lut: str, m: int) -> Column:
     """Σ_s LUT[s][code_s]: m array lookups per candidate row — the whole
-    per-candidate ADC cost."""
-    total = F.lit(0).cast("long")
-    for s in range(m):
-        total = total + F.element_at(
-            F.element_at(lut, s + 1),
-            F.element_at(code_col, s + 1).cast("int") + 1)
-    return total
+    per-candidate ADC cost. One generated sum expression."""
+    return F.expr(" + ".join(
+        f"element_at(element_at({lut}, {s + 1}), "
+        f"CAST(element_at({code_col}, {s + 1}) AS INT) + 1)"
+        for s in range(m)))
 
 
 def pq_adc_topk(codes: DataFrame, queries: DataFrame,
@@ -213,11 +227,11 @@ def pq_adc_topk(codes: DataFrame, queries: DataFrame,
     self-filter: a query that is also a corpus row ranks itself."""
     from pyspark.sql import Window as W
     q = queries.select(query_id,
-                       _lut_col(quantize(F.col(query_vec)), codebooks)
+                       _lut_col(_quantize_sql(query_vec), codebooks)
                        .alias("_lut"))
     scored = (codes.crossJoin(F.broadcast(q))
               .select(query_id, F.col(id_col).alias("neighbor_id"),
-                      _adc_dist(F.col(code_col), F.col("_lut"),
+                      _adc_dist(code_col, "_lut",
                                 len(codebooks)).alias("adc_dist")))
     w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -261,7 +275,7 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
         probes = (ivf_probes_literal(queries, centroid_list, nprobe,
                                      qid_col=query_id, qvec_col=query_vec)
                   .select(query_id,
-                          _lut_col(quantize(F.col(query_vec)), codebooks)
+                          _lut_col(_quantize_sql(query_vec), codebooks)
                           .alias("_lut"),
                           "cluster_id"))
     else:
@@ -274,13 +288,13 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
                   .withColumn("_rn", F.row_number().over(wq))
                   .filter(F.col("_rn") <= nprobe)
                   .select(query_id,
-                          _lut_col(quantize(F.col(query_vec)), codebooks)
+                          _lut_col(_quantize_sql(query_vec), codebooks)
                           .alias("_lut"),
                           F.col("centroid_id").alias("cluster_id")))
     w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
     return (probes.join(codes, "cluster_id")
             .select(query_id, F.col(id_col).alias("neighbor_id"),
-                    _adc_dist(F.col("pq_code"), F.col("_lut"),
+                    _adc_dist("pq_code", "_lut",
                               len(codebooks)).alias("adc_dist"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
