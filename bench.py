@@ -219,6 +219,11 @@ def main() -> None:
     # comparisons, single-query bisects); unset = full suite
     only = {q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
             .split(",") if q}
+    unknown = only - set(BENCH_QUERIES)
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown queries: "
+                         f"{sorted(unknown)} (known: "
+                         f"{sorted(BENCH_QUERIES)})")
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():

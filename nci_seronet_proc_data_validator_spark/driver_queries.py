@@ -3525,6 +3525,11 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     aux_legs = []     # SQL legs needing dedup (aliquot rows, dup-ID −3)
     aux_parts = []    # DataFrame legs needing dedup (cross-sheet −10)
     sheet_dfs = {}
+    # unique view names per invocation: concurrent builds in one session
+    # (e.g. a thread pool constructing QUERIES) must not replace each
+    # other's views between registration and spark.sql analysis
+    import uuid as _uuid
+    run_id = _uuid.uuid4().hex[:8]
     for i, (spec, bound) in enumerate(rulebook_bound_sheets()):
         # persist=True: each sheet feeds the findings pass, a pass per
         # dup-ID column, and the cross-sheet spines — the cached cast
@@ -3537,7 +3542,7 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         sheet_dfs[spec.sheet] = df
         for col in bound.icd10_columns:
             df = icd10_flag_join(df, col, icd, col + "__icd10_valid")
-        view = f"__rulebook_sheet_{i}"
+        view = f"__rulebook_sheet_{run_id}_{i}"
         df.createOrReplaceTempView(view)
         # codegen_chunk=9: the persisted base makes repeated (pruned)
         # cache scans cheap, and 9-rule-group projections (3 chunks on
@@ -3557,6 +3562,10 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
              if row_legs else [])
     if aux_legs:
         aux_parts.append(spark.sql(" UNION ALL ".join(aux_legs)))
+    # spark.sql resolves views eagerly at the call above; drop them so
+    # repeated invocations don't grow the session catalog
+    for i in range(len(sheet_dfs)):
+        spark.catalog.dropTempView(f"__rulebook_sheet_{run_id}_{i}")
 
     # Cross-sheet presence families (J3-J5, sentinel -10). Sources are
     # distinct-ID projections (the Merged_Table shape); biospecimen

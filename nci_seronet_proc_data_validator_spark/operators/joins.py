@@ -135,6 +135,13 @@ def presence_spine(sources: dict[str, DataFrame], key: str | list[str],
       instead REPLICATES rows per key combination — callers that rely on
       that multi-row behavior (non-unique Merged_Tables in
       ``submission.py``) must keep using it.
+    - NULL keys: groupBy unifies NULLs into ONE group across all sources
+      (a NULL-keyed row in two sources yields one spine row with both
+      flags true), while the full-outer join keeps each source's NULL
+      rows as separate never-matching rows. Filter NULLs out first — or
+      use ``outer_join_spine`` — when NULL-keyed rows are meaningful.
+      (The rulebook callers are unaffected: ingest stores blanks as
+      ``''``, and the cross-finding decoders rlike-filter malformed IDs.)
     - ``carry``: {source_name: [column, ...]} — non-key columns carried
       through as ``min(CASE WHEN __src = name THEN col END)``; for keys
       with several rows in that source this is the deterministic min,

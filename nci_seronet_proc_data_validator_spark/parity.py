@@ -564,25 +564,28 @@ def _run_to_memory(stream_df: DataFrame, name: str, mode: str,
                 idle = True
                 break
             _time.sleep(0.2)
+        if q.isActive and not idle:
+            q.stop()
+            raise TimeoutError(
+                f"stream '{name}' never went idle within 600 s; "
+                "refusing to return partial memory-sink contents")
+        # The sessions/funnel oracles assume ONE emission per key, which
+        # holds only if availableNow drained the source in a single data
+        # micro-batch (maxFilesPerTrigger unset). Fail loud if a conf/
+        # default change ever splits the data across batches instead of
+        # surfacing as a value mismatch later. Checked regardless of HOW
+        # the stream ended — a multi-batch run that self-terminates
+        # before the idle poll sees it must not slip past the guard.
+        data_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0)
+        if data_batches > 1:
+            if q.isActive:
+                q.stop()
+            raise AssertionError(
+                f"stream '{name}' ran {data_batches} data batches "
+                "under availableNow; stateful parity oracles require "
+                "a single data batch (one emission per key)")
         if q.isActive:
-            if not idle:
-                q.stop()
-                raise TimeoutError(
-                    f"stream '{name}' never went idle within 600 s; "
-                    "refusing to return partial memory-sink contents")
-            # The sessions/funnel oracles assume ONE emission per key,
-            # which holds only if availableNow drained the source in a
-            # single data micro-batch (maxFilesPerTrigger unset). Fail
-            # loud if a conf/default change ever splits the data across
-            # batches instead of surfacing as a value mismatch later.
-            data_batches = sum(
-                1 for p in q.recentProgress if p["numInputRows"] > 0)
-            if data_batches > 1:
-                q.stop()
-                raise AssertionError(
-                    f"stream '{name}' ran {data_batches} data batches "
-                    "under availableNow; stateful parity oracles require "
-                    "a single data batch (one emission per key)")
             q.stop()
     q.awaitTermination(600)
     return stream_df.sparkSession.table(name)

@@ -61,6 +61,13 @@ def with_row_index(df: DataFrame, offset: int = 2,
     Determinism caveat: both passes re-evaluate the id over the same scan,
     which is stable for file sources and local relations (the only inputs
     used here); do not insert a nondeterministic transform upstream.
+
+    Cost note: the counts subtree re-runs per ACTION on a non-persisted
+    input (the collect()-based predecessor paid its scan once at build
+    time instead). Multi-action consumers should persist the indexed
+    frame — which the rulebook/submission paths already do per sheet;
+    one-action pipelines see one extra narrow scan, the price of keeping
+    the offsets distributed instead of an O(#splits) SQL literal.
     """
     mid_col, pid_col, base_col = "__sg_mid", "__sg_pid", "__sg_base"
     cnt_col = "__sg_cnt"
@@ -264,10 +271,21 @@ _SCHEMA_MEMO: dict[tuple[str, str], object] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver testdata parquet table (schema memoized per path)."""
+    """Read one driver testdata parquet table (schema memoized per path).
+
+    The memo key includes the path's mtime: a regenerated dir (e.g.
+    ``tools/gen_scale.py`` rewriting ``.scale/sf1`` with different
+    columns) re-infers instead of serving a stale schema — an explicit
+    ``.schema()`` read would otherwise mask drift as NULL columns rather
+    than erroring.
+    """
     _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (spark.sparkContext.applicationId, os.path.abspath(path))
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
     schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)

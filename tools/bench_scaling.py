@@ -77,6 +77,15 @@ def main() -> int:
                               "samples": [round(s, 3) for s in samples]}),
                   flush=True)
 
+    if len(args.dirs) < 2 or rows[args.dirs[-1]] == rows[args.dirs[-2]]:
+        # nothing to fit an exponent against — still emit the raw cells
+        print(json.dumps({"metric": "scaling", "rows": {
+            os.path.basename(d): rows[d] for d in args.dirs},
+            "queries": {q: {"t": {os.path.basename(d): results[q][d]
+                                  for d in args.dirs}}
+                        for q in args.queries},
+            "note": "alpha omitted: need two dirs with distinct sizes"}))
+        return 0
     lo, hi = args.dirs[-2], args.dirs[-1]
     decade = math.log(rows[hi] / rows[lo])
     summary = {}

@@ -105,14 +105,23 @@ def main() -> int:
 
     lower = string.ascii_lowercase
 
+    # Per-copy affine cipher x -> a*x + b (mod 26): 12 units × 26 shifts
+    # = 312 distinct substitutions, so copies stay content-distinct up to
+    # factor 312 (a bare rotation cycles at 26 — copies 0 and 26 would be
+    # byte-identical, quadratically inflating dedup candidate pairs).
+    _UNITS = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+    if K > len(_UNITS) * 26:
+        raise SystemExit(f"--factor {K} exceeds the {len(_UNITS) * 26} "
+                         "distinct substitution ciphers available")
+
     def cipher_expr(col: str, copy_col: str):
-        """Per-copy alphabet rotation via a CASE over the K rotations
+        """Per-copy affine substitution via a CASE over the K mappings
         (translate() needs literal mappings)."""
-        branches = F
         expr = None
         for i in range(K):
-            rot = (i * 7) % 26
-            tgt = lower[rot:] + lower[:rot]
+            a = _UNITS[(i // 26) % len(_UNITS)]
+            b = (i * 7) % 26
+            tgt = "".join(lower[(a * j + b) % 26] for j in range(26))
             mapped = F.translate(F.col(col), lower + lower.upper(),
                                  tgt + tgt.upper())
             expr = (F.when(F.col(copy_col) == i, mapped) if expr is None
