@@ -43,6 +43,7 @@ from nci_seronet_proc_data_validator_spark.plans.rulebook import (
 from nci_seronet_proc_data_validator_spark.plans.rules import (
     compile_sheet_findings,
     dup_id_findings,
+    sheet_findings_sql,
 )
 from nci_seronet_proc_data_validator_spark.sources.readers import cleanup_sheet
 
@@ -156,6 +157,17 @@ class SubmissionValidator:
         part_sheets: list[tuple[str, DataFrame, BoundSheet]] = []
         bio_sheets: list[tuple[str, DataFrame, BoundSheet]] = []
 
+        # Findings legs accumulate as SQL text over per-sheet temp views
+        # and submit as ONE spark.sql: each compile_sheet_findings +
+        # unionByName leg costs a JVM analysis of its whole subtree —
+        # the dominant driver-latency term of a multi-sheet validate()
+        # (same restructure as q_rulebook_full, r8; global dedup below
+        # is unchanged, so findings are identical).
+        import uuid as _uuid
+        run_id = _uuid.uuid4().hex[:8]
+        sql_legs: list[str] = []
+        view_names: list[str] = []
+
         for name, df in clean.items():
             original_cols = [c for c in df.columns if c != "row_index"]
             enriched, drop_list = merge_tables(name, df, merged)
@@ -173,14 +185,29 @@ class SubmissionValidator:
                                                _icd10_flag(c))
                 else:
                     enriched = enriched.withColumn(_icd10_flag(c), F.lit(False))
-            parts.append(compile_sheet_findings(enriched, name,
-                                                bound.column_rules))
+            texty = all(isinstance(ce.violation, str)
+                        and isinstance(ce.message, str)
+                        for cr in bound.column_rules for ce in cr.checks)
+            if texty:
+                view = f"__submission_{run_id}_{len(view_names)}"
+                enriched.createOrReplaceTempView(view)
+                view_names.append(view)
+                sql_legs.extend(sheet_findings_sql(view, name,
+                                                   bound.column_rules))
+            else:   # Column-valued checks force the classic compile path
+                parts.append(compile_sheet_findings(enriched, name,
+                                                    bound.column_rules))
             for c in bound.dup_id_columns:
                 parts.append(dup_id_findings(df, name, c))
             if bound.registers_participants:
                 part_sheets.append((name, df, bound))
             if bound.registers_biospecimens:
                 bio_sheets.append((name, df, bound))
+
+        if sql_legs:
+            parts.insert(0, self.spark.sql(" UNION ALL ".join(sql_legs)))
+        for view in view_names:    # resolved eagerly by spark.sql above
+            self.spark.catalog.dropTempView(view)
 
         parts.extend(self._cross_sheet_findings(clean, merged))
 
