@@ -251,8 +251,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     best_total = round(sum(timings.values()), 3)
     med_total = round(sum(medians.values()), 3)
+    # A filtered run's totals cover only the allowlisted queries —
+    # stamp the filter so the artifact can't be misread as a full-suite
+    # total when comparing across rounds.
+    partial = {"only": sorted(only)} if only else {}
     print(json.dumps({
-        "metric": "bench_suite_total",
+        "metric": ("bench_suite_partial" if only else "bench_suite_total"),
+        **partial,
         "value": best_total,
         "unit": "sec",
         "queries": timings,

@@ -2773,21 +2773,77 @@ FROM ({bpe_encode_oracle_sql(n_merges=12).strip()})
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (arXiv:2303.09540): k-means clusters bound the candidate
-    pairs, integer-exact within-cluster cosine, deterministic id-minimal
-    keep rule (``operators/semdedup.py``)."""
+    """SemDeDup (arXiv:2303.09540), BOTH parameterizations as one tagged
+    union: k-means clusters bound the candidate pairs, integer-exact
+    within-cluster cosine, deterministic id-minimal keep rule
+    (``operators/semdedup.py``).
+
+    - ``arm='pinned'``: fixed ``k=8``. **Scale warning — this is the
+      suite's one superlinear configuration**: a FIXED cluster count
+      means within-cluster pair work grows as N²/8 — measured
+      ×13.4/decade at sf1 (BENCH_NOTES r8). It exists for deterministic
+      model shape, not production.
+    - ``arm='auto'``: ``k=None`` → k = max(8, isqrt(N)) via one count
+      job, balancing assignment O(N·k·d) against pairing O(N²/k) at
+      O(N^1.5) — ×3.6/decade measured. **Copy THIS arm for anything
+      beyond test scale** (``q_semdedup_auto``). Its oracle mirrors the
+      runtime k with a scalar-subquery LIMIT in the centroid init, so
+      the auto arm is fully hash-checked too, not rows-only."""
+    return (q_semdedup_pinned(spark, sf_dir)
+            .select(F.lit("pinned").alias("arm"), "*")
+            .unionAll(q_semdedup_auto(spark, sf_dir)
+                      .select(F.lit("auto").alias("arm"), "*"))
+            .orderBy("arm", "vec_id"))
+
+
+def q_semdedup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k SemDeDup (oracle-deterministic model shape; see the scale
+    warning on ``q_semdedup`` — do not copy this for production)."""
     from nci_seronet_proc_data_validator_spark.operators.semdedup import (
         semdedup)
     emb = read_table(spark, sf_dir, "embeddings")
-    return (semdedup(emb, k=8, iters=2, threshold=0.45)
-            .orderBy("vec_id"))
+    return semdedup(emb, k=8, iters=2, threshold=0.45)
 
 
 def _sql_semdedup() -> str:
     from nci_seronet_proc_data_validator_spark.operators.semdedup import (
         semdedup_oracle_sql)
-    return (f"SELECT * FROM ({semdedup_oracle_sql(k=8, iters=2, threshold=0.45).strip()})"
-            f" ORDER BY vec_id")
+    pinned = semdedup_oracle_sql(k=8, iters=2, threshold=0.45).strip()
+    return (f"SELECT 'pinned' AS arm, * FROM ({pinned})"
+            f" UNION ALL {_sql_semdedup_auto_arm()}"
+            f" ORDER BY arm, vec_id")
+
+
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's production configuration: ``k=None`` scales the cluster
+    count with the corpus (k = max(8, isqrt(N)), one count job), keeping
+    assignment O(N·k·d) and within-cluster pairing O(N²/k) balanced at
+    O(N^1.5) — ×3.6/decade measured vs ×13.4 for the pinned-k form
+    (BENCH_NOTES r8)."""
+    from nci_seronet_proc_data_validator_spark.operators.semdedup import (
+        semdedup)
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=None, iters=2, threshold=0.45)
+
+
+def _sql_semdedup_auto_arm() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.semdedup import (
+        semdedup_oracle_sql)
+    # Exact integer sqrt (Python's math.isqrt) in SQL: start from the
+    # float sqrt and correct the ±1-ulp edge, so k matches the Spark
+    # driver's isqrt(count) bit-for-bit at any N.
+    isqrt = ("CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)")
+    k_expr = (f"(SELECT GREATEST(8, CASE WHEN (s + 1) * (s + 1) <= n "
+              f"THEN s + 1 WHEN s * s > n THEN s - 1 ELSE s END) FROM "
+              f"(SELECT {isqrt} AS s, count(*) AS n FROM embeddings))")
+    auto = semdedup_oracle_sql(k=k_expr, iters=2, threshold=0.45).strip()
+    return f"SELECT 'auto' AS arm, * FROM ({auto})"
+
+
+def _sql_semdedup_auto() -> str:
+    """Standalone oracle for ``q_semdedup_auto`` (test surface)."""
+    return (f"SELECT vec_id, cluster_id, keep FROM "
+            f"({_sql_semdedup_auto_arm()}) ORDER BY vec_id")
 
 
 _HOUR_US = 3_600_000_000
@@ -3392,6 +3448,9 @@ ORDER BY c.doc_id
         # both ANN paths (brute baseline + trained IVF) as one tagged
         # union, freeing the slot SemDeDup takes
         "embedding_ann": (q_embedding_ann, _sql_embedding_ann()),
+        # both parameterizations (pinned k=8 + production auto k≈√N) as
+        # one tagged union; the auto arm's dynamic-k oracle computes the
+        # same k via a scalar-subquery LIMIT
         "semdedup": (q_semdedup, _sql_semdedup()),
         # learned tokenizer; slot freed by folding the per-doc lang-id
         # prediction into the text_stats profile scan
@@ -3530,6 +3589,7 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other's views between registration and spark.sql analysis
     import uuid as _uuid
     run_id = _uuid.uuid4().hex[:8]
+    view_names: list[str] = []
     for i, (spec, bound) in enumerate(rulebook_bound_sheets()):
         # persist=True: each sheet feeds the findings pass, a pass per
         # dup-ID column, and the cross-sheet spines — the cached cast
@@ -3544,6 +3604,7 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = icd10_flag_join(df, col, icd, col + "__icd10_valid")
         view = f"__rulebook_sheet_{run_id}_{i}"
         df.createOrReplaceTempView(view)
+        view_names.append(view)
         # codegen_chunk=9: the persisted base makes repeated (pruned)
         # cache scans cheap, and 9-rule-group projections (3 chunks on
         # the widest sheet) stay under the JIT size ceiling — ~2x on
@@ -3562,10 +3623,11 @@ def q_rulebook_full(spark: SparkSession, sf_dir: str) -> DataFrame:
              if row_legs else [])
     if aux_legs:
         aux_parts.append(spark.sql(" UNION ALL ".join(aux_legs)))
-    # spark.sql resolves views eagerly at the call above; drop them so
-    # repeated invocations don't grow the session catalog
-    for i in range(len(sheet_dfs)):
-        spark.catalog.dropTempView(f"__rulebook_sheet_{run_id}_{i}")
+    # spark.sql resolves views eagerly at the call above; drop exactly
+    # the views created (sheet_dfs is keyed by sheet name, which could
+    # in principle collide — len(sheet_dfs) would then undercount)
+    for view in view_names:
+        spark.catalog.dropTempView(view)
 
     # Cross-sheet presence families (J3-J5, sentinel -10). Sources are
     # distinct-ID projections (the Merged_Table shape); biospecimen

@@ -159,7 +159,7 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
     return sums, assigned
 
 
-def kmeans_ctes(k: int = 8, iters: int = 2,
+def kmeans_ctes(k: int | str = 8, iters: int = 2,
                 table: str = "embeddings", prefix: str = "") -> list[str]:
     """The unrolled-Lloyd CTE chain shared by the k-means oracle and any
     oracle composing on top of the trained centroids (``{prefix}c{iters}``

@@ -110,7 +110,7 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
             )
 
 
-def semdedup_oracle_sql(k: int = 8, iters: int = 2,
+def semdedup_oracle_sql(k: int | str = 8, iters: int = 2,
                         threshold: float = 0.95,
                         table: str = "embeddings") -> str:
     """DuckDB twin over the shared unrolled-Lloyd CTE chain

@@ -557,7 +557,15 @@ def _run_to_memory(stream_df: DataFrame, name: str, mode: str,
         # message, which is Spark-version fragile.
         deadline = _time.time() + 600
         idle = False
+        # Accumulate data-batch ids as progress arrives: recentProgress
+        # retains only the last ~100 entries, and the empty-batch idle
+        # spin below can evict early data batches before a one-shot
+        # read at the end would see them.
+        data_batch_ids: set[int] = set()
         while _time.time() < deadline and q.isActive:
+            for p in q.recentProgress:
+                if p["numInputRows"] > 0:
+                    data_batch_ids.add(p["batchId"])
             lp = q.lastProgress
             if (lp is not None and lp["numInputRows"] == 0
                     and not q.status["isDataAvailable"]):
@@ -576,8 +584,10 @@ def _run_to_memory(stream_df: DataFrame, name: str, mode: str,
         # surfacing as a value mismatch later. Checked regardless of HOW
         # the stream ended — a multi-batch run that self-terminates
         # before the idle poll sees it must not slip past the guard.
-        data_batches = sum(
-            1 for p in q.recentProgress if p["numInputRows"] > 0)
+        for p in q.recentProgress:
+            if p["numInputRows"] > 0:
+                data_batch_ids.add(p["batchId"])
+        data_batches = len(data_batch_ids)
         if data_batches > 1:
             if q.isActive:
                 q.stop()

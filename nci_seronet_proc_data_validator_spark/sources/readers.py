@@ -267,28 +267,42 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 # makes repeat reads footer-job-free. Keyed per session id too — a schema
 # inferred under one session's confs (e.g. nanosAsLong) must not leak
 # into a session configured differently.
-_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+_SCHEMA_MEMO: dict[tuple[str, str, float], object] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata parquet table (schema memoized per path).
 
-    The memo key includes the path's mtime: a regenerated dir (e.g.
-    ``tools/gen_scale.py`` rewriting ``.scale/sf1`` with different
+    The memo key includes the path's content mtime: a regenerated dir
+    (e.g. ``tools/gen_scale.py`` rewriting ``.scale/sf1`` with different
     columns) re-infers instead of serving a stale schema — an explicit
     ``.schema()`` read would otherwise mask drift as NULL columns rather
-    than erroring.
+    than erroring. For a parquet *directory* the mtime is the max over
+    its data files, not the directory inode: rewriting a part file in
+    place does not bump the directory mtime. Older mtime entries for
+    the same path are evicted on insert so the memo stays one entry per
+    (app, path).
     """
     _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    abspath = os.path.abspath(path)
+    mtime = 0.0
     try:
-        mtime = os.path.getmtime(path)
+        if os.path.isdir(abspath):
+            with os.scandir(abspath) as it:
+                mtimes = [e.stat().st_mtime for e in it if e.is_file()]
+            mtime = max(mtimes, default=os.path.getmtime(abspath))
+        else:
+            mtime = os.path.getmtime(abspath)
     except OSError:
-        mtime = 0.0
-    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+        pass
+    app = spark.sparkContext.applicationId
+    key = (app, abspath, mtime)
     schema = _SCHEMA_MEMO.get(key)
     if schema is None:
         df = spark.read.parquet(path)
+        for k in [k for k in _SCHEMA_MEMO if k[:2] == (app, abspath)]:
+            del _SCHEMA_MEMO[k]
         _SCHEMA_MEMO[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)

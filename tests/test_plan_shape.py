@@ -436,3 +436,34 @@ def test_rulebook_row_findings_union_shuffle_free(spark, sf_dir):
     assert len(legs) >= 10
     plan = _plan(spark.sql(" UNION ALL ".join(legs)))
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_row_index_offsets_stay_distributed(spark):
+    """r8 ingest-path guard (`with_row_index`, sources/readers.py): the
+    offsets relation must ride the plan as a broadcast-joined DataFrame.
+    A refactor back to the collect()+VALUES form would show up as a
+    LocalTableScan proportional to the input split count (10^5-10^6 rows
+    at 100 TB, parsed by Catalyst on every sheet ingest); a keyed join
+    instead of the broadcast would shuffle the full-width stream side.
+    Pins: broadcast hash join on the pid, no LocalTableScan anywhere,
+    and every (non-broadcast) exchange confined to the tiny counts
+    subtree — pid/count columns only, never the data columns."""
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        with_row_index,
+    )
+    df = spark.range(0, 100_000, 1, 16).select(
+        F.col("id").alias("payload_a"), (F.col("id") * 2).alias("payload_b"))
+    plan = _plan(with_row_index(df, offset=2))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "LocalTableScan" not in plan, plan[:2000]
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert ("SinglePartition" in line
+                    or "_groupingexpression" in line
+                    or "__sg_pid" in line), line
+            assert "payload_a" not in line and "payload_b" not in line, line
+    # two tiny exchanges (pid agg + single-partition window), one
+    # broadcast — anything more means the stream side got keyed
+    wide = [ln for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln]
+    assert len(wide) <= 2, plan[:2000]

@@ -94,3 +94,28 @@ def test_fixture_exercises_all_families(findings):
             "Missing Values where found", "Id is repeated",
             "is not found in the table of valid"]:
         assert marker in msgs, marker
+
+
+def test_key_unique_sheets_actually_unique():
+    """key_unique=True lets q_rulebook_full skip the global findings
+    dedup for a sheet's per-row legs (driver_queries.py) — an unnoticed
+    key collision would silently emit duplicate findings. Pin the claim
+    against the data itself: every key_unique sheet's row_index must be
+    distinct in the fixture at both local scale factors. Sessionless by
+    design (DuckDB over the same parquet + identical key expression)."""
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+        for spec, _ in sql_oracle.rulebook_bound_sheets():
+            n, d = con.execute(
+                f"SELECT count(*), count(DISTINCT CAST({spec.key} AS "
+                f"BIGINT)) FROM {spec.base}").fetchone()
+            if spec.key_unique:
+                assert n == d, (sf_dir, spec.sheet, n, d)
+            else:
+                # the one non-unique sheet must stay non-unique, or its
+                # keyed-dedup arm stops being exercised by the fixture
+                assert n > d, (sf_dir, spec.sheet, n, d)
+        con.close()

@@ -74,3 +74,37 @@ def test_pair_join_is_cluster_bucketed(spark, sf_dir):
 def test_validates_args(spark):
     with pytest.raises(ValueError):
         semdedup(_emb(spark, [(0, [1.0])]), k=0, iters=1)
+
+
+def test_auto_k_matches_dynamic_oracle(spark, sf_dir):
+    """The production auto-k arm (k=None → max(8, isqrt(N))) against the
+    dynamic-k oracle, whose centroid-init LIMIT computes the same k with
+    a scalar subquery (exact-isqrt correction of floor(sqrt(N))). Pins
+    that the two k derivations agree on real data — a mismatch would
+    cluster differently and cascade into every verdict."""
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        _sql_semdedup_auto,
+        q_semdedup_auto,
+    )
+    got = sorted(tuple(r) for r in q_semdedup_auto(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = sorted(tuple(r) for r in con.execute(_sql_semdedup_auto()).fetchall())
+    assert got == want
+
+
+def test_auto_k_isqrt_correction_exact():
+    """The oracle's SQL isqrt must equal Python math.isqrt for every N,
+    including perfect squares and off-by-one-ulp edges."""
+    import math
+
+    con = duckdb.connect()
+    for n in [1, 2, 3, 63, 64, 65, 80, 81, 82, 499, 500, 2000,
+              10**6, 10**6 - 1, (10**3 + 1) ** 2, (10**3 + 1) ** 2 - 1]:
+        (k,) = con.execute(
+            "SELECT GREATEST(8, CASE WHEN (s + 1) * (s + 1) <= n THEN s + 1 "
+            "WHEN s * s > n THEN s - 1 ELSE s END) FROM (SELECT "
+            "CAST(floor(sqrt(CAST(? AS DOUBLE))) AS BIGINT) AS s, "
+            "CAST(? AS BIGINT) AS n)", [n, n]).fetchone()
+        assert k == max(8, math.isqrt(n)), (n, k)
