@@ -43,6 +43,12 @@ def q_classifier_score(spark, sf_dir):
     return hashed_linear_score(docs, demo_weights(4096))
 
 
+def q_data_profile_approx(spark, sf_dir):
+    from nci_seronet_proc_data_validator_spark.driver_queries import (
+        q_data_profile)
+    return q_data_profile(spark, sf_dir, approx=True)
+
+
 def q_funnel_conversion(spark, sf_dir):
     from nci_seronet_proc_data_validator_spark.driver_queries import (
         FUNNEL_STEPS, read_events)
@@ -183,6 +189,10 @@ BENCH_QUERIES = {
     "graph_metrics": QUERIES["graph_metrics"][0],
     # round-6: the schema-driven profile/verify/fk/drift tier (new key)
     "data_profile": QUERIES["data_profile"][0],
+    # production approx_count_distinct switch (no Expand) — NON-canonical
+    # scale-evidence key: values are approximate, no oracle; see
+    # BENCH_NOTES "Canonical bench comparison set"
+    "data_profile_approx": q_data_profile_approx,
 }
 
 

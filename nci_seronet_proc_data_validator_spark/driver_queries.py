@@ -3285,7 +3285,8 @@ def _profile_constraints():
     ]
 
 
-def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_data_profile(spark: SparkSession, sf_dir: str,
+                   approx: bool = False) -> DataFrame:
     """Deequ-style schema-driven data-quality tier (operators/profiler.py)
     in one tagged union of ``(arm, col_name, metric, value BIGINT)``:
 
@@ -3322,9 +3323,14 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "o_orderdate_d", F.to_date("o_orderdate"))
     assert [c for c, _ in orders.dtypes] == [c for c, _ in _PROFILE_DTYPES]
+    # approx=True is the production switch (approx_count_distinct, no
+    # Expand — 3.1x at sf1, BENCH_NOTES r8); exact stays the registered
+    # default because it is oracle-checkable. bench key:
+    # data_profile_approx (non-canonical, scale evidence only).
     fused = fused_quality_pass(orders, _profile_constraints(),
                                slice_sql="o_orderkey % 2 = 0",
-                               drift_added=("o_orderdate_d",))
+                               drift_added=("o_orderdate_d",),
+                               approx_distinct=approx)
     anom = anomaly_slices_pass(
         orders, [f"o_orderkey % 4 = {j}" for j in range(3)],
         "o_orderkey % 4 = 3", columns=list(_ANOM_COLS), k=3).select(

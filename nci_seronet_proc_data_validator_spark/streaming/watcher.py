@@ -24,13 +24,27 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
                     sheet_name: str, columns: list[str], cbc_id: str,
                     output_dir: str,
                     status_cb=None,
-                    bind_kwargs: dict | None = None) -> "StreamingQuery":
+                    bind_kwargs: dict | None = None,
+                    max_files_per_trigger: int | None = None
+                    ) -> "StreamingQuery":
     """Continuously validate CSV sheets landing in ``input_dir``.
 
     Each micro-batch runs the SAME batch rule compiler via foreachBatch —
     one code path for batch and streaming (the Spark idiom for exactly this
     Lambda-trigger pattern). AvailableNow drains pending files then stops;
     swap the trigger for processingTime to run resident.
+
+    ``max_files_per_trigger``: bound on files per micro-batch. At 100 TB
+    a cold start (or a long outage) faces the WHOLE backlog at once;
+    unbounded, availableNow would put every pending file into one giant
+    batch — one shuffle-sized-by-the-backlog, one retry domain, one
+    commit. With the bound set, availableNow still drains the full
+    backlog to completion but in bounded micro-batches (each its own
+    checkpointed commit), so executor memory and retry cost are sized by
+    the bound, not the outage length. Findings are identical either way
+    up to the per-batch ``row_index`` (see below); keep it unset only
+    when batches are known-small (the reference's per-submission Lambda
+    granularity, nci-seronet-data-validator.py:152-159).
 
     ``status_cb(findings_df, epoch_id)``: optional per-batch hook after
     the findings write — the wiring point for the S11 job-status upsert
@@ -51,12 +65,15 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
 
     schema = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in columns])
-    raw = (spark.readStream
-           .option("header", "true")
-           .option("nullValue", "\u0000")
-           .option("emptyValue", "")
-           .schema(schema)
-           .csv(input_dir))
+    reader = (spark.readStream
+              .option("header", "true")
+              .option("nullValue", "\u0000")
+              .option("emptyValue", "")
+              .schema(schema))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    raw = reader.csv(input_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         df = batch_df.na.fill("")

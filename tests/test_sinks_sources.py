@@ -709,3 +709,57 @@ def test_xlsx_roundtrip_property():
         assert got_rows == [[str(v) for v in r] for r in rows]
 
     run()
+
+
+def test_streaming_backfill_bounded_microbatches(spark, tmp_path):
+    """100 TB backlog posture: with ``max_files_per_trigger`` set,
+    availableNow drains a multi-file backlog in MULTIPLE bounded
+    micro-batches (each its own checkpointed commit, memory/retry sized
+    by the bound, not the outage) and the union of their findings equals
+    the batch compile over the same rows — identity up to ``row_index``,
+    which is per-batch by documented deviation."""
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules)
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        compile_sheet_findings)
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows)
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream)
+
+    in_dir, cp, out = (str(tmp_path / d) for d in ("in", "cp", "out"))
+    os.makedirs(in_dir)
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    # 6 files x 2 rows; one planted error per file so every micro-batch
+    # contributes findings
+    for i in range(6):
+        with open(os.path.join(in_dir, f"demo_{i}.csv"), "w") as f:
+            f.write("Research_Participant_ID,Age,Race\n"
+                    f"14_00000{i},30,White\n"
+                    f"14_10000{i},99{i},Martian\n")
+    epochs = []
+    q = validate_stream(spark, in_dir, cp, "demographic.csv", cols, "14",
+                        out, status_cb=lambda _f, e: epochs.append(e),
+                        max_files_per_trigger=2)
+    q.awaitTermination(120)
+    assert not q.isActive
+    # 6 files / 2 per trigger = 3 data micro-batches
+    assert len(epochs) == 3, epochs
+    got = spark.read.parquet(out)
+    assert got.select("epoch").distinct().count() == 3
+
+    # batch twin over the same rows (row_index excluded from the compare)
+    batch = (spark.read.option("header", "true")
+             .option("nullValue", "\u0000").option("emptyValue", "")
+             .csv(in_dir).na.fill("")
+             .withColumn("row_index", F.monotonically_increasing_id() + 2))
+    bound = bind_sheet_rules("demographic.csv", cols, "14")
+    want = compile_sheet_findings(
+        with_typed_shadows(batch).withColumn(
+            "SARS_CoV_2_PCR_Test_Result", F.lit("")),
+        "demographic.csv", bound.column_rules)
+    keep = ["Message_Type", "CSV_Sheet_Name", "Column_Name",
+            "Column_Value", "Error_Message"]
+    got_rows = sorted(map(tuple, got.select(*keep).collect()))
+    want_rows = sorted(map(tuple, want.select(*keep).collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
