@@ -763,3 +763,32 @@ def test_streaming_backfill_bounded_microbatches(spark, tmp_path):
     got_rows = sorted(map(tuple, got.select(*keep).collect()))
     want_rows = sorted(map(tuple, want.select(*keep).collect()))
     assert got_rows == want_rows and len(got_rows) > 0
+
+
+def test_read_table_schema_memo_tracks_dir_content(spark, tmp_path):
+    """Advisor-r8 fix: the schema memo must key on the parquet dir's DATA
+    FILE mtimes (rewriting a part file in place does not bump the dir
+    inode mtime) and hold one entry per (app, path) — a stale entry would
+    serve the old schema and mask drift as NULL columns."""
+    import time as _time
+
+    from nci_seronet_proc_data_validator_spark.sources import readers
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_table)
+
+    d = str(tmp_path / "memo_sf")
+    os.makedirs(d)
+    p = os.path.join(d, "events.parquet")
+    spark.range(5).selectExpr("id AS a").write.mode("overwrite").parquet(p)
+    assert read_table(spark, d, "events").columns == ["a"]
+    n0 = sum(1 for k in readers._SCHEMA_MEMO if k[1] == os.path.abspath(p))
+    assert n0 == 1
+    # rewrite with a DIFFERENT schema; ensure mtimes differ even on
+    # coarse filesystem clocks
+    _time.sleep(1.1)
+    spark.range(5).selectExpr("id AS a", "id * 2 AS b") \
+        .write.mode("overwrite").parquet(p)
+    assert sorted(read_table(spark, d, "events").columns) == ["a", "b"]
+    # eviction: still exactly one memo entry for this path
+    n1 = sum(1 for k in readers._SCHEMA_MEMO if k[1] == os.path.abspath(p))
+    assert n1 == 1
