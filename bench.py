@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.driver_queries import (
     QUERIES,
+    q_semdedup_auto,
+    q_semdedup_pinned,
     q_asof_join,
     q_c6_dup_ids,
     q_dedup_clusters,
@@ -168,7 +170,11 @@ BENCH_QUERIES = {
     "dsir_importance": q_dsir_importance,
     "boilerplate_removal": QUERIES["boilerplate_removal"][0],
     "vocab_pipeline": QUERIES["vocab_pipeline"][0],
-    "semdedup": QUERIES["semdedup"][0],
+    # "semdedup" keeps the PINNED-arm timing series unbroken (the
+    # registry query unions both arms since r9); the production auto-k
+    # arm gets its own key so each series stays comparable across rounds
+    "semdedup": q_semdedup_pinned,
+    "semdedup_auto": q_semdedup_auto,
     "bpe_train": QUERIES["bpe_train"][0],
     # round-4: substring-level dedup (winnowing posting lists) + hashed
     # linear classifier inference (model-as-literal, map-only)
