@@ -42,6 +42,11 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Collect bound for oracle-parity harnesses that pull full result
+        # tables (e.g. the 11M-row sf1 rulebook findings); default
+        # matches Spark's own 1g — raise via env only for those runs.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "1g"))
         # The default 100-entry codegen class cache thrashes when a
         # workload cycles through many distinct large plans (measured: the
         # minhash signature expression re-compiles for ~5s once 12 other
