@@ -3208,7 +3208,7 @@ def _sql_graph_metrics() -> str:
     knn = knn_graph_oracle_sql(_SUPP_PAIRS_SQL, k=_KNN_K)
     tri = triangle_counts_oracle_sql("SELECT * FROM knn_edges")
     return f"""
-WITH knn_edges AS ({knn})
+WITH knn_edges AS MATERIALIZED ({knn})
 SELECT * FROM (
   SELECT 'pagerank' AS arm, node_id, rank AS val FROM ({pr})
   UNION ALL

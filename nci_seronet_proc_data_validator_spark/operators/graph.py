@@ -133,11 +133,15 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 3,
                         limit: int | None = None) -> str:
     """Unrolled-iteration oracle (same integer fixed-point contract).
     ``edges_sql`` must emit ``src``/``dst``."""
-    ctes = [f"raw AS ({edges_sql})", """e AS (
+    # AS MATERIALIZED throughout: every CTE here is referenced by each
+    # unrolled iteration; inlined, DuckDB re-evaluates edges_sql once per
+    # reference and the chain explodes combinatorially with iters (OOM
+    # observed at 6M edges, round 9). Values are unchanged.
+    ctes = [f"raw AS MATERIALIZED ({edges_sql})", """e AS MATERIALIZED (
   SELECT src AS s, dst AS d FROM raw
   UNION
-  SELECT dst AS s, src AS d FROM raw)""", """deg AS (
-  SELECT s, count(*) AS deg FROM e GROUP BY s)""", f"""r0 AS (
+  SELECT dst AS s, src AS d FROM raw)""", """deg AS MATERIALIZED (
+  SELECT s, count(*) AS deg FROM e GROUP BY s)""", f"""r0 AS MATERIALIZED (
   SELECT s AS node_id, deg,
          CAST({_PR_SCALE} AS BIGINT)
            // (SELECT count(*) FROM deg) AS rank
@@ -145,7 +149,7 @@ def pagerank_oracle_sql(edges_sql: str, iters: int = 3,
     base = (f"(15 * (CAST({_PR_SCALE} AS BIGINT) "
             f"// (SELECT count(*) FROM deg))) // 100")
     for i in range(1, iters + 1):
-        ctes.append(f"""r{i} AS (
+        ctes.append(f"""r{i} AS MATERIALIZED (
   SELECT n.node_id, n.deg,
          {base} + (85 * COALESCE(c.sc, 0)) // 100 AS rank
   FROM r0 n
@@ -336,7 +340,7 @@ def knn_graph_oracle_sql(pairs_sql: str, k: int, src: str = "a",
                          dst: str = "b", weight: str = "w") -> str:
     """DuckDB twin of ``knn_graph`` (same rank contract)."""
     return f"""
-WITH knn_pairs AS ({pairs_sql}),
+WITH knn_pairs AS MATERIALIZED ({pairs_sql}),
 directed AS (
   SELECT {src} AS s, {dst} AS d, {weight} AS w FROM knn_pairs
   UNION ALL
@@ -389,8 +393,8 @@ def triangle_counts_oracle_sql(edges_sql: str, src: str = "a",
                                dst: str = "b") -> str:
     """DuckDB twin of ``triangle_counts``."""
     return f"""
-WITH e AS (SELECT {src} AS x, {dst} AS y FROM ({edges_sql})),
-tri AS (
+WITH e AS MATERIALIZED (SELECT {src} AS x, {dst} AS y FROM ({edges_sql})),
+tri AS MATERIALIZED (
   SELECT e1.x AS ta, e1.y AS tb, e2.y AS tc
   FROM e e1
   JOIN e e2 ON e1.y = e2.x
