@@ -281,7 +281,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     its data files, not the directory inode: rewriting a part file in
     place does not bump the directory mtime. Older mtime entries for
     the same path are evicted on insert so the memo stays one entry per
-    (app, path).
+    (app, path). The scan is recursive (advisor r9): for a
+    HIVE-PARTITIONED dir, rewriting a part file inside ``key=.../``
+    bumps neither a top-level file mtime nor the root inode, so a flat
+    scandir would serve the stale schema — the exact failure the memo
+    key exists to prevent.
     """
     _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -289,8 +293,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     mtime = 0.0
     try:
         if os.path.isdir(abspath):
-            with os.scandir(abspath) as it:
-                mtimes = [e.stat().st_mtime for e in it if e.is_file()]
+            mtimes = []
+            for root, _dirs, files in os.walk(abspath):
+                mtimes.extend(os.path.getmtime(os.path.join(root, f))
+                              for f in files)
             mtime = max(mtimes, default=os.path.getmtime(abspath))
         else:
             mtime = os.path.getmtime(abspath)

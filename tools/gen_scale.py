@@ -76,13 +76,34 @@ def _pow10_span(max_val: int) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", required=False)
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--cpus", type=int, default=16)
     ap.add_argument("--files-per-table", type=int, default=16,
                     help="output parquet files for scaled fact tables "
                          "(scan parallelism at read time)")
+    ap.add_argument("--clean", action="store_true",
+                    help="delete the generated scale trees under .scale/ "
+                         "(they are regenerate-on-demand; leaving multi-GB "
+                         "parquet resident skews page-cache state for "
+                         "later bench runs — BENCH_NOTES r9/r10)")
     args = ap.parse_args()
+
+    if args.clean:
+        import shutil
+        root = args.out or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale")
+        if not os.path.isdir(root):
+            print(f"nothing to clean at {root}")
+            return 0
+        for entry in sorted(os.listdir(root)):
+            p = os.path.join(root, entry)
+            print(f"removing {p}")
+            shutil.rmtree(p)
+        return 0
+    if not args.out:
+        ap.error("--out is required unless --clean")
 
     from pyspark.sql import functions as F
 

@@ -76,10 +76,19 @@ def main() -> int:
         arms[label] = _load_tree(path, args.queries)
 
     # session from the FIRST tree (confs identical across rounds; a conf
-    # difference would itself be a code change worth flagging)
-    sys.path.insert(0, os.path.abspath(args.trees[0].partition("=")[2]))
-    from nci_seronet_proc_data_validator_spark import get_spark  # noqa: E402
-    spark = get_spark("time_ab", cpus=args.cpus)
+    # difference would itself be a code change worth flagging). After the
+    # _load_tree loop sys.modules still holds the LAST tree's package, so
+    # purge it again — otherwise this import hits the module cache and
+    # the session would silently build under tree 2's confs (advisor r9).
+    for m in [m for m in sys.modules
+              if m == PKG or m.startswith(PKG + ".")]:
+        del sys.modules[m]
+    tree1 = os.path.abspath(args.trees[0].partition("=")[2])
+    sys.path.insert(0, tree1)
+    import nci_seronet_proc_data_validator_spark as _pkg  # noqa: E402
+    assert _pkg.__file__ and _pkg.__file__.startswith(tree1), (
+        f"session package resolved to {_pkg.__file__}, wanted {tree1}")
+    spark = _pkg.get_spark("time_ab", cpus=args.cpus)
 
     samples: dict[tuple[str, str], list[float]] = {
         (q, lb): [] for q in args.queries for lb in labels}
