@@ -55,6 +55,24 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     ``bind_kwargs``: extra keyword args for ``bind_sheet_rules``
     (``drop_list``, ``today``, ``fix_reference_bugs``) so a watcher can
     pin the same binding a batch run uses.
+
+    **Sink idempotence (restart-recovery contract).** foreachBatch is
+    at-least-once: if the process dies between the findings write and the
+    checkpoint commit, the restarted query REPLAYS that batch with the
+    SAME ``epoch_id``. A plain ``mode("append")`` sink would then hold the
+    batch's findings twice. The sink below is therefore keyed on the
+    epoch: findings are written ``partitionBy("epoch")`` with dynamic
+    partition overwrite, so a replayed batch overwrites exactly its own
+    ``epoch=<id>`` directory and nothing else — committed epochs are
+    untouched, the half-written epoch is replaced, and the drained output
+    equals the batch compile with no duplicates or gaps. This mirrors the
+    reference's Lambda retry model, where a re-invoked submission
+    overwrites its own status row / error report rather than appending
+    (nci-seronet-data-validator.py:152-159,
+    File_Submission_Object.py:439-499). Any replacement sink wired in via
+    ``status_cb`` must honor the same contract: dedupe or upsert on
+    ``epoch_id`` (the S11 job-status upsert already does — it keys on the
+    sheet and overwrites the status row).
     """
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         with_typed_shadows)
@@ -88,8 +106,14 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
         if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
             df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
         findings = compile_sheet_findings(df, sheet_name, bound.column_rules)
+        # Idempotent under batch replay: a restarted query re-runs an
+        # uncommitted batch with the same epoch_id, and dynamic partition
+        # overwrite replaces only that epoch's directory (see docstring).
         (findings.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("append").parquet(output_dir))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(output_dir))
         if status_cb is not None:
             status_cb(findings, epoch_id)
 

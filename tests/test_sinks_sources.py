@@ -765,6 +765,90 @@ def test_streaming_backfill_bounded_microbatches(spark, tmp_path):
     assert got_rows == want_rows and len(got_rows) > 0
 
 
+def test_streaming_restart_recovery_from_checkpoint(spark, tmp_path):
+    """Restart-recovery contract (reference Lambda retry model,
+    nci-seronet-data-validator.py:152-159): kill the watcher mid-backlog —
+    AFTER a batch's findings write but BEFORE its checkpoint commit (the
+    at-least-once replay window) — restart from the same checkpoint, and
+    assert the drained findings equal the batch compile with NO duplicates
+    and NO gaps. This is precisely what the epoch-keyed dynamic-overwrite
+    sink guarantees: the replayed epoch overwrites its own half-committed
+    partition instead of appending a second copy."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows)
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules)
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        compile_sheet_findings)
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream)
+
+    in_dir, cp, out = (str(tmp_path / d) for d in ("in", "cp", "out"))
+    os.makedirs(in_dir)
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    # 6 files x 2 rows, 2 files per trigger -> 3 micro-batches; every file
+    # plants a unique error so each batch contributes distinguishable rows
+    for i in range(6):
+        with open(os.path.join(in_dir, f"demo_{i}.csv"), "w") as f:
+            f.write("Research_Participant_ID,Age,Race\n"
+                    f"14_00000{i},30,White\n"
+                    f"14_10000{i},99{i},Martian_{i}\n")
+
+    seen = []
+
+    def crash_on_second_batch(_findings, epoch_id):
+        seen.append(epoch_id)
+        if len(seen) == 2:
+            # findings for this epoch are ALREADY on disk; the checkpoint
+            # commit has not happened yet — the worst-case crash point
+            raise RuntimeError("injected crash after write, before commit")
+
+    q = validate_stream(spark, in_dir, cp, "demographic.csv", cols, "14",
+                        out, status_cb=crash_on_second_batch,
+                        max_files_per_trigger=2)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+    assert not q.isActive
+    crashed_epoch = seen[-1]
+    # the crashed epoch's findings ARE on disk (this is the duplicate
+    # hazard a plain append sink would hit on replay)
+    pre = spark.read.parquet(out)
+    assert pre.filter(F.col("epoch") == crashed_epoch).count() > 0
+
+    # restart from the SAME checkpoint: the uncommitted batch replays
+    # with the SAME epoch id, then the remaining backlog drains
+    q2 = validate_stream(spark, in_dir, cp, "demographic.csv", cols, "14",
+                         out, status_cb=lambda _f, e: seen.append(e),
+                         max_files_per_trigger=2)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    assert seen[2] == crashed_epoch          # replay, same epoch id
+    assert sorted(set(seen)) == [0, 1, 2]    # no gaps
+
+    got = spark.read.parquet(out)
+    assert got.select("epoch").distinct().count() == 3
+
+    # batch twin over the same rows — MULTISET equality (sorted tuples
+    # with duplicates kept): a replayed-epoch double write would fail
+    # this, not just a set compare
+    batch = (spark.read.option("header", "true")
+             .option("nullValue", "\u0000").option("emptyValue", "")
+             .csv(in_dir).na.fill("")
+             .withColumn("row_index", F.monotonically_increasing_id() + 2))
+    bound = bind_sheet_rules("demographic.csv", cols, "14")
+    want = compile_sheet_findings(
+        with_typed_shadows(batch).withColumn(
+            "SARS_CoV_2_PCR_Test_Result", F.lit("")),
+        "demographic.csv", bound.column_rules)
+    keep = ["Message_Type", "CSV_Sheet_Name", "Column_Name",
+            "Column_Value", "Error_Message"]
+    got_rows = sorted(map(tuple, got.select(*keep).collect()))
+    want_rows = sorted(map(tuple, want.select(*keep).collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
+
+
 def test_read_table_schema_memo_tracks_dir_content(spark, tmp_path):
     """Advisor-r8 fix: the schema memo must key on the parquet dir's DATA
     FILE mtimes (rewriting a part file in place does not bump the dir
