@@ -2802,7 +2802,11 @@ def q_semdedup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.operators.semdedup import (
         semdedup)
     emb = read_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, k=8, iters=2, threshold=0.45)
+    # max_rows declares the bound this pinned-k form relies on: the
+    # oracle/bench scales top out at 20k vectors (sf1), declared with 5x
+    # headroom. Without a declared bound the scale advisor flags fixed k
+    # over unbounded input — correctly (plans/advisor.py).
+    return semdedup(emb, k=8, iters=2, threshold=0.45, max_rows=100_000)
 
 
 def _sql_semdedup() -> str:

@@ -88,13 +88,25 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
 
 
 def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
-                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_rows: int | None = None, advise: bool = True
                        ) -> DataFrame:
     """The FINAL Lloyd assignment ``(vid, qv, cid)`` — the cluster
     partition downstream consumers (IVF build, SemDeDup) group by.
     Matches the oracle CTE ``a{iters}`` (assignment under the
     ``c{iters-1}`` model, i.e. the argmin computed in the last
-    iteration before the final mean update)."""
+    iteration before the final mean update).
+
+    A pinned k over input with no declared ``max_rows`` bound trips the
+    scale advisor: assignment itself is linear in N, but every downstream
+    within-cluster consumer (SemDeDup pairing, IVF probe lists) inherits
+    mean cluster size N/k, which grows without bound when k is a
+    compile-time constant. ``advise=False`` is for callers that already
+    ran the rule for this invocation (semdedup)."""
+    if advise:
+        from nci_seronet_proc_data_validator_spark.plans.advisor import (
+            warn_fixed_k)
+        warn_fixed_k("kmeans_assignments", k, max_rows)
     _sums, assigned = _lloyd(emb, k, iters, id_col, vec_col)
     return assigned
 

@@ -65,8 +65,8 @@ def _idot(a: Column, b: Column) -> Column:
 
 def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
              threshold: float = 0.95,
-             id_col: str = "vec_id", vec_col: str = "embedding"
-             ) -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_rows: int | None = None) -> DataFrame:
     """Per-vector SemDeDup verdict: ``(vec_id, cluster_id, keep)``.
 
     ``keep`` is False iff a smaller-id vector in the same k-means cluster
@@ -77,8 +77,14 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
     (O(N·k·d)) against pairing (O(N²/k)) at O(N^1.5): 4.1× faster than
     the fixed default at sf1 and sublinear per decade (BENCH_NOTES r8).
     Pass an explicit k when a deterministic model shape is required
-    (oracle parity, tests).
+    (oracle parity, tests) — and declare the input bound you are relying
+    on via ``max_rows=``, or the scale advisor flags the call
+    (``plans.advisor.warn_fixed_k``): a compile-time k over unbounded
+    input makes within-cluster pairing a quadratic time bomb.
     """
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        warn_fixed_k)
+    warn_fixed_k("semdedup", k, max_rows)
     if k is None:
         import math
         k = max(8, math.isqrt(emb.count()))
@@ -86,9 +92,12 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
     # final verdict join — unmaterialized, the Lloyd assignment subtree
     # would execute three times. Blocks are freed by the ContextCleaner
     # when the plan is garbage-collected (no session-lifetime pin).
+    # advise=False: the fixed-k hazard for this call was already judged
+    # above (semdedup's pairing term is the binding constraint, not the
+    # linear-in-N assignment kmeans itself would flag).
     assigned = kmeans_assignments(emb, k=k, iters=iters,
-                                  id_col=id_col,
-                                  vec_col=vec_col).localCheckpoint()
+                                  id_col=id_col, vec_col=vec_col,
+                                  advise=False).localCheckpoint()
     a = assigned.select(F.col("vid").alias("id_a"),
                         F.col("qv").alias("qa"), "cid")
     b = assigned.select(F.col("vid").alias("id_b"),

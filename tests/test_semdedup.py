@@ -26,7 +26,7 @@ def test_planted_semantic_dups_dropped(spark):
         (11, [0.0, 0.999, 0.02]),
     ]
     out = {r["vec_id"]: r["keep"]
-           for r in semdedup(_emb(spark, rows), k=3, iters=2,
+           for r in semdedup(_emb(spark, rows), k=3, iters=2, max_rows=100,
                              threshold=0.99).collect()}
     # id-minimal representatives survive
     assert out[0] and out[1] and out[2]
@@ -36,7 +36,7 @@ def test_planted_semantic_dups_dropped(spark):
 def test_threshold_boundary_keeps_distinct(spark):
     # orthogonal vectors in one cluster: cosine 0 < any threshold
     rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
-    out = semdedup(_emb(spark, rows), k=1, iters=1, threshold=0.5)
+    out = semdedup(_emb(spark, rows), k=1, iters=1, threshold=0.5, max_rows=100)
     assert all(r["keep"] for r in out.collect())
 
 
@@ -47,7 +47,7 @@ def test_semdedup_matches_duckdb_oracle(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     got = sorted(
         (r["vec_id"], r["cluster_id"], r["keep"])
-        for r in semdedup(emb, k=4, iters=1, threshold=0.4).collect())
+        for r in semdedup(emb, k=4, iters=1, threshold=0.4, max_rows=100).collect())
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/embeddings.parquet')")
@@ -65,7 +65,7 @@ def test_pair_join_is_cluster_bucketed(spark, sf_dir):
         read_table,
     )
     emb = read_table(spark, sf_dir, "embeddings")
-    plan = semdedup(emb, k=4, iters=1) \
+    plan = semdedup(emb, k=4, iters=1, max_rows=100) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
