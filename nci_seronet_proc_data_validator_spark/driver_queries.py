@@ -3327,10 +3327,18 @@ def q_data_profile(spark: SparkSession, sf_dir: str,
     orders = read_table(spark, sf_dir, "orders").withColumn(
         "o_orderdate_d", F.to_date("o_orderdate"))
     assert [c for c, _ in orders.dtypes] == [c for c, _ in _PROFILE_DTYPES]
-    # approx=True is the production switch (approx_count_distinct, no
-    # Expand — 3.1x at sf1, BENCH_NOTES r8); exact stays the registered
-    # default because it is oracle-checkable. bench key:
-    # data_profile_approx (non-canonical, scale evidence only).
+    # approx=True swaps the FUSED pass's distinct metric for
+    # approx_count_distinct. Do NOT copy it as an unconditional
+    # "production switch": the sf10 A/B measured it SLOWER once the
+    # global profile is scan-bound (SCALING_r09, 56.7 vs 31.3 s) —
+    # production callers should pass approx_distinct="auto" to
+    # fused_quality_pass, which applies the measured decision rule
+    # (profiler.decide_approx_distinct: sketch for grouped/wide, exact
+    # for narrow global). Exact stays the registered default because it
+    # is oracle-checkable. bench key: data_profile_approx
+    # (non-canonical, scale evidence only). Note the anomaly leg keeps
+    # its masked exact distincts in BOTH arms, so this composite's
+    # approx arm measures HLL cost ON TOP of a retained Expand.
     fused = fused_quality_pass(orders, _profile_constraints(),
                                slice_sql="o_orderkey % 2 = 0",
                                drift_added=("o_orderdate_d",),

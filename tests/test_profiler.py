@@ -346,3 +346,54 @@ def test_detect_anomalies_bands_and_degenerates(spark):
     flag = detect_anomalies(history, bad, k=3).collect()[0]
     assert flag["is_anomaly"] is True
     assert flag["band_lo"] <= 10000 <= flag["band_hi"]   # 100 in centi
+
+
+def test_decide_approx_distinct_regimes():
+    """Pin the measured decision rule (verdict-r9 ask 3) on both regimes:
+    grouped always sketches; global stays exact up to the width budget
+    (sf10 A/B: exact faster at ~26 groups scan-bound) and switches to
+    approx beyond it (width probe: exact superlinear by W=32)."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        APPROX_DISTINCT_WIDTH_BUDGET, decide_approx_distinct)
+    # global / narrow: exact (the sf10-measured regime, ~26 groups)
+    assert decide_approx_distinct(26, grouped=False) is False
+    assert decide_approx_distinct(APPROX_DISTINCT_WIDTH_BUDGET,
+                                  grouped=False) is False
+    # global / wide: approx (probe: 8.6x at W=32+, 15x at W=64)
+    assert decide_approx_distinct(APPROX_DISTINCT_WIDTH_BUDGET + 1,
+                                  grouped=False) is True
+    assert decide_approx_distinct(64, grouped=False) is True
+    # grouped: always approx, at any width
+    assert decide_approx_distinct(2, grouped=True) is True
+
+
+def test_fused_quality_pass_auto_picks_by_width(spark, sf_dir):
+    """approx_distinct='auto' applies decide_approx_distinct to the
+    pass's own distinct-group width (slice twin doubles it): orders'
+    ~10-column profile stays exact (Expand present, oracle-comparable);
+    a wide frame flips to distinct_approx (no Expand)."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        fused_quality_pass)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    narrow = fused_quality_pass(orders, [], approx_distinct="auto")
+    nplan = narrow._jdf.queryExecution().executedPlan().toString()
+    nmetrics = {r["metric"] for r in narrow.collect()}
+    assert "distinct" in nmetrics and "distinct_approx" not in nmetrics
+    assert "Expand" in nplan
+    # 40 string columns -> 40 distinct groups > budget -> approx
+    wide = orders.selectExpr(
+        *[f"CAST(o_orderkey % {3 + i} AS STRING) AS w{i}"
+          for i in range(40)])
+    auto = fused_quality_pass(wide, [], approx_distinct="auto")
+    aplan = auto._jdf.queryExecution().executedPlan().toString()
+    ametrics = {r["metric"] for r in auto.collect()}
+    assert "distinct_approx" in ametrics and "distinct" not in ametrics
+    assert "Expand" not in aplan
+    # slice twin counts toward the width: 17 columns x 2 twins = 34 > 32
+    mid = orders.selectExpr(
+        *[f"CAST(o_orderkey % {3 + i} AS STRING) AS w{i}"
+          for i in range(17)])
+    sliced = fused_quality_pass(mid, [], slice_sql="w0 = '1'",
+                                approx_distinct="auto")
+    smetrics = {r["metric"] for r in sliced.collect()}
+    assert "distinct_approx" in smetrics
