@@ -88,7 +88,22 @@ def merge_tables(sheet_name: str, df: DataFrame,
         have_keys = [k for k in keys if k in df.columns and k in pt.columns]
         if len(have_keys) != len(keys):
             continue
-        df = df.join(F.broadcast(pt), on=have_keys, how="left")
+        # Only join columns the sheet does not already carry: a submitted
+        # sheet that includes a dependency column (e.g. demographic.csv
+        # shipping its own SARS_CoV_2_PCR_Test_Result) keeps ITS values
+        # and the column stays subject to rules (it is not in drop_list).
+        # Joining the parent copy anyway would produce two same-named
+        # columns and AMBIGUOUS_REFERENCE on the first downstream
+        # selectExpr. (The reference's pandas merge would suffix the
+        # duplicate to _x/_y and silently break rule lookup —
+        # File_Submission_Object.py:96-105; taking the submitted values
+        # is the defined behavior here.)
+        add = [c for c in pt.columns
+               if c not in have_keys and c not in df.columns]
+        if not add:
+            continue
+        df = df.join(F.broadcast(pt.select(*have_keys, *add)),
+                     on=have_keys, how="left")
     drop_list = [c for c in df.columns if c not in before]
     return df, drop_list
 

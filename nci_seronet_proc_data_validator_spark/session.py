@@ -78,6 +78,14 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
+        # FAIR scheduling so concurrent submission validations (see
+        # orchestrate.validate_concurrent) share executor slots round-
+        # robin across per-submission pools instead of head-of-line
+        # blocking behind the largest submission. With one caller thread
+        # the behavior is identical to FIFO (one pool, one job at a
+        # time), so batch/bench paths are unaffected. Static conf —
+        # effective on fresh JVMs only.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

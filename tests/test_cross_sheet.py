@@ -5,6 +5,7 @@ import datetime
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from nci_seronet_proc_data_validator_spark.sources.readers import with_row_index
 from nci_seronet_proc_data_validator_spark.submission import SubmissionValidator
@@ -135,3 +136,49 @@ def test_column_findings(spark):
     got = {(r["Column_Name"], r["Error_Message"])
            for r in res.column_findings.collect()}
     assert ("Race", "This Column is Expected and is missing from CSV File") in got
+
+
+def test_enrichment_skips_columns_the_sheet_already_has(spark):
+    """A submitted sheet that carries its own copy of a dependency column
+    (e.g. demographic.csv shipping SARS_CoV_2_PCR_Test_Result) keeps the
+    SUBMITTED values — merge_tables must not join a second same-named
+    column (AMBIGUOUS_REFERENCE on the next selectExpr) and the column
+    must NOT land in drop_list (it was not added by the join)."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        merge_tables)
+    demo = spark.createDataFrame(
+        [("14_000001", "30", "White", "OwnValue")],
+        "Research_Participant_ID string, Age string, Race string, "
+        "SARS_CoV_2_PCR_Test_Result string")
+    prior_mt = spark.createDataFrame(
+        [("14_000001", "Positive")],
+        "Research_Participant_ID string, SARS_CoV_2_PCR_Test_Result string")
+    enriched, drop_list = merge_tables(
+        "demographic.csv", demo,
+        {"prior_clinical_test.csv": prior_mt})
+    assert enriched.columns.count("SARS_CoV_2_PCR_Test_Result") == 1
+    assert drop_list == []
+    row = enriched.collect()[0]
+    assert row["SARS_CoV_2_PCR_Test_Result"] == "OwnValue"
+    # and the full validate() path no longer raises AMBIGUOUS_REFERENCE
+    import datetime
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SubmissionValidator)
+    prior = spark.createDataFrame(
+        [("14_000001", "Positive", "From Medical Record", "2020-05-01", 2)],
+        "Research_Participant_ID string, SARS_CoV_2_PCR_Test_Result string, "
+        "SARS_CoV_2_PCR_Test_Result_Provenance string, "
+        "Date_of_SARS_CoV_2_PCR_sample_collection string, row_index long")
+    demo_rx = demo.withColumn("row_index", F.lit(2).cast("long"))
+    res = SubmissionValidator(
+        spark, {"prior_clinical_test.csv": prior,
+                "demographic.csv": demo_rx},
+        cbc_id="14", today=datetime.date(2026, 1, 1)).validate()
+    rows = res.findings.collect()     # must not raise AMBIGUOUS_REFERENCE
+    # no finding may carry the parent's value for the duplicated column —
+    # the submitted copy is the one in play (demographic's rulebook has
+    # no rule for the column, so it simply yields no findings)
+    assert not [r for r in rows
+                if r["Column_Name"] == "SARS_CoV_2_PCR_Test_Result"
+                and r["Column_Value"] == "Positive"
+                and r["CSV_Sheet_Name"] == "demographic.csv"]

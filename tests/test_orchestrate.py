@@ -1,0 +1,88 @@
+"""Concurrent multi-submission orchestration (orchestrate.py): >=3
+submissions validated concurrently in ONE session produce findings
+identical to the serial loop (the reference's processing model,
+nci-seronet-data-validator.py:69), with per-submission error isolation."""
+
+import datetime
+
+import pytest
+
+from nci_seronet_proc_data_validator_spark.orchestrate import (
+    validate_concurrent)
+from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+from nci_seronet_proc_data_validator_spark.submission import (
+    SubmissionValidator)
+
+TODAY = datetime.date(2026, 1, 1)
+
+
+def _submission_csvs(i: int) -> dict[str, str]:
+    """Three sheets per submission, with submission-specific planted
+    errors so cross-contamination between concurrent runs would show."""
+    return {
+        "demographic.csv": (
+            "Research_Participant_ID,Age,Race\n"
+            f"14_00000{i},30,White\n"
+            f"14_10000{i},9{i}9,Race_{i}\n"),      # range + vocab, unique per i
+        "biospecimen.csv": (
+            "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+            f"14_00000{i},14_00000{i}_001,PBMC\n"
+            f"14_90000{i},14_90000{i}_001,Serum\n"),  # cross-sheet orphan
+    }
+
+
+def _load(spark, tmp_path, i: int) -> dict:
+    d = tmp_path / f"sub{i}"
+    d.mkdir()
+    sheets = {}
+    for name, content in _submission_csvs(i).items():
+        (d / name).write_text(content)
+        sheets[name] = read_sheet_csv(spark, str(d / name))
+    return {"sheets": sheets, "cbc_id": "14", "today": TODAY}
+
+
+def _finding_set(findings):
+    return sorted(
+        (r["Message_Type"], r["CSV_Sheet_Name"], r["Row_Index"],
+         r["Column_Name"], r["Column_Value"], r["Error_Message"])
+        for r in findings.collect())
+
+
+def test_concurrent_matches_serial(spark, tmp_path):
+    subs = {f"sub{i}": _load(spark, tmp_path, i) for i in range(3)}
+
+    serial = {sid: _finding_set(
+        SubmissionValidator(spark, **kw).validate().findings)
+        for sid, kw in subs.items()}
+    # every submission has its own planted findings, and they differ
+    assert all(len(v) > 0 for v in serial.values())
+    assert len({tuple(v) for v in serial.values()}) == 3
+
+    out = validate_concurrent(spark, subs, max_parallel=3)
+    assert set(out) == set(subs)
+    for sid, oc in out.items():
+        assert oc.error is None, (sid, oc.error)
+        assert _finding_set(oc.result.findings) == serial[sid], sid
+        assert oc.materialized["errors"] > 0
+        assert oc.seconds > 0
+
+
+def test_concurrent_isolates_failures(spark, tmp_path):
+    good = _load(spark, tmp_path, 7)
+    bad = {"sheets": {"demographic.csv": None}, "cbc_id": "14",
+           "today": TODAY}    # None sheet -> raises inside the worker
+    out = validate_concurrent(spark, {"ok": good, "broken": bad},
+                              max_parallel=2)
+    assert out["broken"].error is not None
+    assert out["broken"].result is None
+    assert out["ok"].error is None
+    assert out["ok"].materialized["errors"] > 0
+
+
+def test_scheduler_pool_restored(spark, tmp_path):
+    """The worker clears its pool tag — later jobs on the same thread
+    (pool reuse) must not inherit a submission's FAIR pool."""
+    subs = {"s0": _load(spark, tmp_path, 0)}
+    validate_concurrent(spark, subs, max_parallel=1)
+    assert spark.sparkContext.getLocalProperty(
+        "spark.scheduler.pool") in (None, "")
