@@ -110,6 +110,47 @@ def _plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
 
 
+_SINGLE_ROW_RE = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)"
+    r"\((?:keys|key)=\[\]"          # global aggregate → exactly one row
+    r"|GlobalLimit 1[,\s)]")        # LIMIT 1
+
+
+def _nested_loop_hazards(df: DataFrame) -> list[str]:
+    """Flag ``BroadcastNestedLoopJoin`` nodes UNLESS one side is provably
+    single-row (a global aggregate or LIMIT 1 subtree) — the
+    scalar-subquery pattern (join a 1-row threshold/total against every
+    row) is the one legitimate BNLJ at scale: the "nested loop" is one
+    probe per stream row. Everything else is O(|stream| × |broadcast|)
+    comparisons and flagged."""
+    hazards: list[str] = []
+    stack = [df._jdf.queryExecution().executedPlan()]  # noqa: SLF001
+    while stack:
+        node = stack.pop()
+        if "AdaptiveSparkPlan" in node.nodeName():
+            # AQE's wrapper is a LEAF node (children() is empty) holding
+            # the real tree in a field — without piercing it the whole
+            # traversal is vacuous.
+            try:
+                stack.append(node.executedPlan())
+            except Exception:      # pre-execution: fall back
+                stack.append(node.initialPlan())
+            continue
+        ch = node.children()
+        kids = [ch.apply(i) for i in range(ch.size())]
+        if "BroadcastNestedLoopJoin" in node.nodeName():
+            benign = any(_SINGLE_ROW_RE.search(k.toString()) for k in kids)
+            if not benign:
+                hazards.append(
+                    "nested-loop-join: BroadcastNestedLoopJoin with a "
+                    "multi-row broadcast side — every stream row scans "
+                    "the full broadcast side. Add an equi-key, or band/"
+                    "block the condition (operators/interval, "
+                    "operators/linkage).")
+        stack.extend(kids)
+    return hazards
+
+
 def advise_plan(df: DataFrame, warn: bool = True) -> list[str]:
     """Scan ``df``'s physical plan for scale hazards; return the list of
     hazard messages (empty = clean). With ``warn=True`` each is also
@@ -138,10 +179,7 @@ def advise_plan(df: DataFrame, warn: bool = True) -> list[str]:
         hazards.append(
             "cartesian-product: CartesianProduct in plan — O(|L|*|R|) "
             "rows; add an equi-key or band/block the condition.")
-    if "BroadcastNestedLoopJoin" in plan:
-        hazards.append(
-            "nested-loop-join: BroadcastNestedLoopJoin in plan — every "
-            "stream row scans the full broadcast side.")
+    hazards.extend(_nested_loop_hazards(df))
     for line in plan.splitlines():
         if not _WINDOW_RE.search(line):
             continue

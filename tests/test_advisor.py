@@ -99,3 +99,41 @@ def test_advise_plan_clean_join(spark):
     a = spark.range(100).withColumn("k", F.col("id") % 10)
     b = spark.range(10).withColumnRenamed("id", "k")
     assert advise_plan(a.join(F.broadcast(b), "k"), warn=False) == []
+
+
+# Queries whose plans INTENTIONALLY contain a bounded nested-loop join:
+# the brute-force ANN baselines broadcast a literal-bounded query set
+# (vec_id < 5) or the k-row centroid/codebook model — "every stream row
+# scans the full broadcast side" is exactly what brute-force top-k does,
+# by design, with IVF/PQ as the registered scale paths. The advisor
+# cannot prove those bounds from the plan, so the audit allows the flag
+# HERE and nowhere else.
+_ALLOWED_NESTED_LOOP = {"embedding_ann", "pq_ann", "vocab_pipeline"}
+
+# Plan-construction-only sample of the registry: the heavies plus every
+# operator family with a historically hazardous shape. Side-effecting
+# registry entries (streaming_parity, jdbc_roundtrip, submission_misc
+# sinks) execute work on construction and are audited by the sweep in
+# tools, not per-test.
+_AUDIT_QUERIES = [
+    "rulebook_full", "dedup_keep_canonical", "minhash_lsh_pairs",
+    "substr_dup_pairs", "graph_metrics", "data_profile", "bm25_topk",
+    "sessionize", "skew_salted", "temporal_joins", "stratified_sample",
+    "embedding_ann", "pq_ann", "vocab_pipeline", "semdedup",
+]
+
+
+def test_registry_plans_are_advisor_clean(spark, sf_dir):
+    """Regression guard: no registered query may grow a cartesian
+    product, an unpartitioned ordered window, or an unbounded
+    nested-loop join (modulo the documented brute-force allowance)."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    bad = {}
+    for name in _AUDIT_QUERIES:
+        hz = advise_plan(qs[name](spark, sf_dir), warn=False)
+        if name in _ALLOWED_NESTED_LOOP:
+            hz = [h for h in hz if not h.startswith("nested-loop-join")]
+        if hz:
+            bad[name] = hz
+    assert not bad, bad
