@@ -1,12 +1,18 @@
-"""Validate a submission directory end-to-end — the engine's CLI face for
+"""Validate submission directories end-to-end — the engine's CLI face for
 the reference's Lambda flow (nci-seronet-data-validator.py:33-117).
 
-    python tools/run_submission.py SUBMISSION_DIR [--out OUT_DIR]
-        [--cbc NAME=ID ...] [--keep-reference-bugs]
+    python tools/run_submission.py SUBMISSION_DIR [SUBMISSION_DIR ...]
+        [--out OUT_DIR] [--jobs N] [--cbc NAME=ID ...]
+        [--keep-reference-bugs]
 
-SUBMISSION_DIR holds the sheet CSVs (submission.csv, demographic.csv, …).
-Writes per-sheet error reports + findings parquet under OUT_DIR and prints
-the summary + notification text.
+Each SUBMISSION_DIR holds that submission's sheet CSVs (submission.csv,
+demographic.csv, …). With one dir the flow matches the reference's
+per-submission Lambda body; with several, ``--jobs N`` validates up to N
+submissions CONCURRENTLY in one SparkSession on per-submission FAIR
+scheduler pools (``orchestrate.validate_concurrent`` — the reference
+loops serially, nci-seronet-data-validator.py:69; measured 4x on 4
+submissions, BENCH_NOTES r10). Per-sheet error reports + findings
+parquet land under OUT_DIR (per-submission subdirs in multi mode).
 """
 
 from __future__ import annotations
@@ -19,23 +25,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("submission_dir")
-    ap.add_argument("--out", default=None)
-    ap.add_argument("--cbc", action="append", default=[],
-                    metavar="NAME=ID", help="CBC name → 2-digit id mapping")
-    ap.add_argument("--keep-reference-bugs", action="store_true",
-                    help="reproduce the reference's buggy behaviors instead "
-                         "of the documented fixes")
-    args = ap.parse_args()
-
-    from nci_seronet_proc_data_validator_spark.session import get_spark
-    from nci_seronet_proc_data_validator_spark.sinks import (
-        build_notification_payload,
-        write_error_reports,
-        write_findings_parquet,
-    )
+def _load(spark, sub_dir: str, cbc_map: dict, fix_bugs: bool):
+    """Read one submission dir → (validator kwargs, metadata, sheets)."""
     from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
     from nci_seronet_proc_data_validator_spark.sources.catalog import (
         static_expected_columns,
@@ -44,35 +35,37 @@ def main() -> int:
         load_icd10_codes,
     )
     from nci_seronet_proc_data_validator_spark.submission import (
-        SubmissionValidator,
-        check_submission_quality,
         parse_submission_metadata,
     )
-
-    spark = get_spark("run_submission")
-    paths = sorted(glob.glob(os.path.join(args.submission_dir, "*.csv")))
+    paths = sorted(glob.glob(os.path.join(sub_dir, "*.csv")))
     if not paths:
-        print(f"no CSV sheets found in {args.submission_dir}")
-        return 2
+        return None, None, None
     sheets = {os.path.basename(p): read_sheet_csv(spark, p) for p in paths}
-    print(f"loaded {len(sheets)} sheets: {', '.join(sorted(sheets))}")
-
-    cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
     meta = {"cbc_id": "0", "declared_participants": None,
             "declared_biospecimens": None}
     if "submission.csv" in sheets:
         meta = parse_submission_metadata(sheets["submission.csv"], cbc_map)
-        print(f"submission metadata: {meta}")
-
-    validator = SubmissionValidator(
-        spark, sheets, cbc_id=str(meta["cbc_id"]),
+    kwargs = dict(
+        sheets=sheets, cbc_id=str(meta["cbc_id"]),
         declared_participants=meta.get("declared_participants"),
         declared_biospecimens=meta.get("declared_biospecimens"),
         icd10_codes=load_icd10_codes(spark),
         expected_columns=static_expected_columns(),
-        fix_reference_bugs=not args.keep_reference_bugs)
-    result = validator.validate()
+        fix_reference_bugs=fix_bugs)
+    return kwargs, meta, sheets
 
+
+def _report(result, sheets, meta, sub_dir: str, out: str | None) -> bool:
+    """Quality gate + summary + notification + sinks for one result.
+    Returns the quality-gate verdict."""
+    from nci_seronet_proc_data_validator_spark.sinks import (
+        build_notification_payload,
+        write_error_reports,
+        write_findings_parquet,
+    )
+    from nci_seronet_proc_data_validator_spark.submission import (
+        check_submission_quality,
+    )
     n_col_errors = result.column_findings.count()
     ok, why = check_submission_quality(sheets, n_col_errors,
                                        str(meta["cbc_id"]))
@@ -85,16 +78,80 @@ def main() -> int:
     summary_rows = [r.asDict() for r in result.summary.collect()]
     result.summary.show(50, truncate=False)
     payload = build_notification_payload(
-        summary_rows, os.path.basename(args.submission_dir.rstrip("/")))
+        summary_rows, os.path.basename(sub_dir.rstrip("/")))
     print(payload["blocks"][0]["text"]["text"])
 
-    if args.out:
-        write_error_reports(result.findings, os.path.join(args.out,
-                                                          "Data_Validation_Results"))
+    if out:
+        write_error_reports(result.findings,
+                            os.path.join(out, "Data_Validation_Results"))
         write_findings_parquet(result.findings,
-                               os.path.join(args.out, "findings.parquet"))
-        print(f"reports written under {args.out}")
-    return 0 if ok else 1
+                               os.path.join(out, "findings.parquet"))
+        print(f"reports written under {out}")
+    return ok
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("submission_dirs", nargs="+")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="max submissions validated concurrently "
+                         "(FAIR pool per submission)")
+    ap.add_argument("--cbc", action="append", default=[],
+                    metavar="NAME=ID", help="CBC name → 2-digit id mapping")
+    ap.add_argument("--keep-reference-bugs", action="store_true",
+                    help="reproduce the reference's buggy behaviors instead "
+                         "of the documented fixes")
+    args = ap.parse_args()
+
+    from nci_seronet_proc_data_validator_spark.session import get_spark
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SubmissionValidator,
+    )
+
+    spark = get_spark("run_submission")
+    cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
+
+    loaded: dict[str, tuple] = {}
+    for d in args.submission_dirs:
+        kwargs, meta, sheets = _load(spark, d, cbc_map,
+                                     not args.keep_reference_bugs)
+        if kwargs is None:
+            print(f"no CSV sheets found in {d}")
+            return 2
+        print(f"{d}: loaded {len(sheets)} sheets: "
+              f"{', '.join(sorted(sheets))}")
+        if meta.get("cbc_id") not in (None, "0"):
+            print(f"{d}: submission metadata: {meta}")
+        loaded[d] = (kwargs, meta, sheets)
+
+    if len(loaded) == 1:
+        ((d, (kwargs, meta, sheets)),) = loaded.items()
+        result = SubmissionValidator(spark, **kwargs).validate()
+        return 0 if _report(result, sheets, meta, d, args.out) else 1
+
+    # Multi-submission: validate concurrently, then report serially (the
+    # reports are driver-side prints; the heavy lifting overlapped in
+    # the workers' materialize hooks).
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        validate_concurrent,
+    )
+    subs = {d: kwargs for d, (kwargs, _m, _s) in loaded.items()}
+    out = validate_concurrent(spark, subs, max_parallel=max(1, args.jobs))
+    rc = 0
+    for d, (kwargs, meta, sheets) in loaded.items():
+        oc = out[d]
+        print(f"\n=== {d} ({oc.seconds:.1f}s) ===")
+        if oc.error is not None:
+            print(f"FAILED: {oc.error}")
+            rc = 1
+            continue
+        sub_out = (os.path.join(args.out,
+                                os.path.basename(d.rstrip("/")))
+                   if args.out else None)
+        if not _report(oc.result, sheets, meta, d, sub_out):
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":
