@@ -173,6 +173,10 @@ def advise_plan(df: DataFrame, warn: bool = True) -> list[str]:
       bracket groups; a global ordered one prints 2 with ASC/DESC in the
       trailing group.
     """
+    if df.isStreaming:
+        # no executed plan exists before a sink starts the query; the
+        # batch twin of the same transformation is the auditable form
+        return []
     plan = _plan_string(df)
     hazards: list[str] = []
     if "CartesianProduct" in plan:

@@ -137,3 +137,10 @@ def test_registry_plans_are_advisor_clean(spark, sf_dir):
         if hz:
             bad[name] = hz
     assert not bad, bad
+
+
+def test_advise_plan_streaming_noop(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    spark.range(3).write.parquet(src)
+    sdf = spark.readStream.schema("id long").parquet(src)
+    assert advise_plan(sdf, warn=False) == []
