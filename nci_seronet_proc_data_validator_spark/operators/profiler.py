@@ -269,15 +269,25 @@ def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
     The one CPU caveat: fusing doubles the DISTINCT-aggregate groups
     (full + slice-masked per column), and every distinct group widens
     the Expand. ``approx_distinct=True`` forces ``approx_count_distinct``
-    for both twins (no Expand at all); ``"auto"`` applies the measured
-    decision rule :func:`decide_approx_distinct` on the pass's own
-    distinct-group width (slice twin counted). Exact stays the default
-    because it is oracle-checkable."""
+    for both twins (no Expand from the PROFILE metrics — ``unique()``
+    constraints keep their exact DISTINCT, and with it a residual
+    Expand, in either arm: a correctness constraint cannot be
+    approximated); ``"auto"`` applies the measured decision rule
+    :func:`decide_approx_distinct` on the pass's own distinct-group
+    width (slice twin and constraint DISTINCTs counted). Exact stays
+    the default because it is oracle-checkable."""
     base_plan = _metric_tpl_plan(df.dtypes, columns)
     if approx_distinct == "auto":
+        # Expand width = profile distincts (doubled by the slice twin)
+        # PLUS any exact DISTINCT aggregates the constraints contribute
+        # (e.g. unique()) — those stay exact either way (a correctness
+        # constraint cannot be approximated), so they widen the Expand
+        # in BOTH arms and count toward the calibrated budget.
         n_distinct = (sum(1 for (_c, n, _s, _d) in base_plan
                           if n == "distinct")
-                      * (2 if slice_sql else 1))
+                      * (2 if slice_sql else 1)
+                      + sum(1 for k in constraints
+                            if "distinct" in k.spark_sql.lower()))
         approx_distinct = decide_approx_distinct(n_distinct, grouped=False)
 
     def _tpl(name: str, s_tpl: str) -> tuple[str, str]:

@@ -81,6 +81,11 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
     on via ``max_rows=``, or the scale advisor flags the call
     (``plans.advisor.warn_fixed_k``): a compile-time k over unbounded
     input makes within-cluster pairing a quadratic time bomb.
+    ``max_rows`` is a TRUSTED declaration (validating it would cost the
+    count job whose absence is the point of declaring); a false bound
+    disarms the advisor, not the blowup — it is the declared-intent
+    audit trail, the analogue of the plan-guard allowances in
+    tests/test_advisor.py.
     """
     from nci_seronet_proc_data_validator_spark.plans.advisor import (
         warn_fixed_k)

@@ -89,29 +89,37 @@ def validate_concurrent(
     own status row and the batch continues.
     """
     materialize = materialize or _default_materialize
-    sc = spark.sparkContext
 
     def _run(item: tuple[str, dict]) -> tuple[str, ConcurrentOutcome]:
         sub_id, kwargs = item
-        t0 = time.time()
-        # Pool + description are thread-local job properties (pinned
-        # thread mode): they tag exactly this submission's jobs.
-        sc.setLocalProperty("spark.scheduler.pool", f"submission-{sub_id}")
-        sc.setJobDescription(f"validate submission {sub_id}")
-        try:
-            res = SubmissionValidator(spark, **kwargs).validate()
-            mat = materialize(res)
-            return sub_id, ConcurrentOutcome(
-                result=res, materialized=mat, seconds=time.time() - t0)
-        except Exception as exc:  # noqa: BLE001 — isolate per submission
-            return sub_id, ConcurrentOutcome(
-                result=None, materialized=None,
-                seconds=time.time() - t0, error=exc)
-        finally:
-            sc.setLocalProperty("spark.scheduler.pool", None)
-            sc.setJobDescription(None)
+        return sub_id, _run_one(spark, sub_id, kwargs, materialize)
 
     width = max(1, min(max_parallel, len(submissions) or 1))
     with ThreadPoolExecutor(max_workers=width,
                             thread_name_prefix="submission") as pool:
         return dict(pool.map(_run, submissions.items()))
+
+
+def _run_one(spark: SparkSession, sub_id: str, kwargs: dict,
+             materialize: Callable[[ValidationResult], Any]
+             ) -> ConcurrentOutcome:
+    """One submission's worker body. Pool + description are THREAD-LOCAL
+    job properties (pinned thread mode) tagging exactly this submission's
+    jobs; the finally clears them so nothing later on the same thread
+    inherits a submission's pool."""
+    sc = spark.sparkContext
+    t0 = time.time()
+    sc.setLocalProperty("spark.scheduler.pool", f"submission-{sub_id}")
+    sc.setJobDescription(f"validate submission {sub_id}")
+    try:
+        res = SubmissionValidator(spark, **kwargs).validate()
+        mat = materialize(res)
+        return ConcurrentOutcome(
+            result=res, materialized=mat, seconds=time.time() - t0)
+    except Exception as exc:  # noqa: BLE001 — isolate per submission
+        return ConcurrentOutcome(
+            result=None, materialized=None,
+            seconds=time.time() - t0, error=exc)
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+        sc.setJobDescription(None)

@@ -139,7 +139,15 @@ def _nested_loop_hazards(df: DataFrame) -> list[str]:
         ch = node.children()
         kids = [ch.apply(i) for i in range(ch.size())]
         if "BroadcastNestedLoopJoin" in node.nodeName():
-            benign = any(_SINGLE_ROW_RE.search(k.toString()) for k in kids)
+            # Judge the BROADCAST side only (the child rooted at a
+            # BroadcastExchange): a global aggregate buried in the STREAM
+            # side (e.g. an earlier scalar-subquery enrichment) must not
+            # whitelist a multi-row broadcast side.
+            bcast = [k for k in kids
+                     if "BroadcastExchange" in k.nodeName()
+                     or "BroadcastQueryStage" in k.nodeName()]
+            judged = bcast or kids
+            benign = any(_SINGLE_ROW_RE.search(k.toString()) for k in judged)
             if not benign:
                 hazards.append(
                     "nested-loop-join: BroadcastNestedLoopJoin with a "

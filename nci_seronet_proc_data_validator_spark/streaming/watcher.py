@@ -73,6 +73,14 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     ``status_cb`` must honor the same contract: dedupe or upsert on
     ``epoch_id`` (the S11 job-status upsert already does — it keys on the
     sheet and overwrites the status row).
+
+    Layout note: the epoch-partitioned layout is NOT compatible with an
+    ``output_dir`` written by the pre-r10 flat-append sink (``epoch`` was
+    a data column there; mixing flat part files with ``epoch=N/``
+    subdirectories breaks partition discovery on read). When upgrading a
+    deployed watcher, point it at a fresh ``output_dir`` + ``checkpoint``
+    pair, or one-shot rewrite the old output
+    (``read.parquet(old).write.partitionBy("epoch").parquet(new)``).
     """
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         with_typed_shadows)

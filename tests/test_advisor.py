@@ -144,3 +144,16 @@ def test_advise_plan_streaming_noop(spark, tmp_path):
     spark.range(3).write.parquet(src)
     sdf = spark.readStream.schema("id long").parquet(src)
     assert advise_plan(sdf, warn=False) == []
+
+
+def test_bnlj_stream_side_aggregate_does_not_whitelist(spark):
+    """Review fix: a global aggregate buried in the STREAM side (scalar-
+    subquery enrichment) must not mark a multi-row broadcast side benign
+    — only the broadcast child's subtree is judged."""
+    big = spark.range(1000)
+    thr = spark.range(50).agg(F.count("*").alias("n"))
+    enriched = big.crossJoin(thr)          # benign scalar join, in-plan
+    multi = spark.range(6).withColumnRenamed("id", "jd")
+    df = enriched.crossJoin(F.broadcast(multi))   # the real hazard
+    hazards = advise_plan(df, warn=False)
+    assert any(h.startswith("nested-loop-join") for h in hazards), hazards

@@ -79,10 +79,28 @@ def test_concurrent_isolates_failures(spark, tmp_path):
     assert out["ok"].materialized["errors"] > 0
 
 
-def test_scheduler_pool_restored(spark, tmp_path):
-    """The worker clears its pool tag — later jobs on the same thread
-    (pool reuse) must not inherit a submission's FAIR pool."""
-    subs = {"s0": _load(spark, tmp_path, 0)}
-    validate_concurrent(spark, subs, max_parallel=1)
-    assert spark.sparkContext.getLocalProperty(
-        "spark.scheduler.pool") in (None, "")
+def test_scheduler_pool_set_during_and_cleared_after(spark, tmp_path):
+    """The worker's finally clears the pool tag — later jobs on the SAME
+    thread must not inherit a submission's FAIR pool. Local properties
+    are per-thread (pinned mode), so the clear is only observable on the
+    thread that set it: drive the worker body (_run_one) directly on
+    THIS thread, assert the pool is tagged while the submission's jobs
+    run (inside the materialize hook) and cleared afterwards."""
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        _default_materialize, _run_one)
+    sc = spark.sparkContext
+    seen = {}
+
+    def materialize(res):
+        seen["during"] = sc.getLocalProperty("spark.scheduler.pool")
+        return _default_materialize(res)
+
+    oc = _run_one(spark, "s0", _load(spark, tmp_path, 0), materialize)
+    assert oc.error is None
+    assert seen["during"] == "submission-s0"
+    assert sc.getLocalProperty("spark.scheduler.pool") in (None, "")
+    # the clear also runs on the error path
+    oc2 = _run_one(spark, "bad", {"sheets": {"demographic.csv": None},
+                                  "cbc_id": "14"}, materialize)
+    assert oc2.error is not None
+    assert sc.getLocalProperty("spark.scheduler.pool") in (None, "")

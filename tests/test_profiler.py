@@ -397,3 +397,18 @@ def test_fused_quality_pass_auto_picks_by_width(spark, sf_dir):
                                 approx_distinct="auto")
     smetrics = {r["metric"] for r in sliced.collect()}
     assert "distinct_approx" in smetrics
+
+
+def test_fused_auto_counts_constraint_distincts(spark, sf_dir):
+    """Review fix: unique() constraints contribute exact DISTINCT groups
+    to the Expand in BOTH arms, so 'auto' must count them toward the
+    width budget: one profiled column + 40 unique() constraints is a
+    wide pass and flips to approx for the profile metric."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        fused_quality_pass, unique)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    wide_cons = [unique("o_orderkey") for _ in range(40)]
+    auto = fused_quality_pass(orders, wide_cons, columns=["o_orderkey"],
+                              approx_distinct="auto")
+    metrics = {r["metric"] for r in auto.collect()}
+    assert "distinct_approx" in metrics and "distinct" not in metrics

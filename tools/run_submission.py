@@ -25,15 +25,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _load(spark, sub_dir: str, cbc_map: dict, fix_bugs: bool):
-    """Read one submission dir → (validator kwargs, metadata, sheets)."""
+def _load(spark, sub_dir: str, cbc_map: dict, fix_bugs: bool,
+          icd10_codes, expected_columns):
+    """Read one submission dir → (validator kwargs, metadata, sheets).
+    ``icd10_codes`` / ``expected_columns`` are shared reference data,
+    loaded ONCE by the caller (identical across submissions)."""
     from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
-    from nci_seronet_proc_data_validator_spark.sources.catalog import (
-        static_expected_columns,
-    )
-    from nci_seronet_proc_data_validator_spark.sources.icd10 import (
-        load_icd10_codes,
-    )
     from nci_seronet_proc_data_validator_spark.submission import (
         parse_submission_metadata,
     )
@@ -49,10 +46,24 @@ def _load(spark, sub_dir: str, cbc_map: dict, fix_bugs: bool):
         sheets=sheets, cbc_id=str(meta["cbc_id"]),
         declared_participants=meta.get("declared_participants"),
         declared_biospecimens=meta.get("declared_biospecimens"),
-        icd10_codes=load_icd10_codes(spark),
-        expected_columns=static_expected_columns(),
+        icd10_codes=icd10_codes,
+        expected_columns=expected_columns,
         fix_reference_bugs=fix_bugs)
     return kwargs, meta, sheets
+
+
+def _out_names(dirs: list[str]) -> dict[str, str]:
+    """Unique per-submission output subdir names: the basename, suffixed
+    with an index on collision (two dirs named .../sub1 must not clobber
+    each other's reports)."""
+    names: dict[str, str] = {}
+    seen: dict[str, int] = {}
+    for d in dirs:
+        base = os.path.basename(d.rstrip("/")) or "submission"
+        n = seen.get(base, 0)
+        seen[base] = n + 1
+        names[d] = base if n == 0 else f"{base}_{n}"
+    return names
 
 
 def _report(result, sheets, meta, sub_dir: str, out: str | None) -> bool:
@@ -112,10 +123,20 @@ def main() -> int:
     spark = get_spark("run_submission")
     cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
 
+    from nci_seronet_proc_data_validator_spark.sources.catalog import (
+        static_expected_columns,
+    )
+    from nci_seronet_proc_data_validator_spark.sources.icd10 import (
+        load_icd10_codes,
+    )
+    icd10 = load_icd10_codes(spark)
+    expected = static_expected_columns()
+
     loaded: dict[str, tuple] = {}
     for d in args.submission_dirs:
         kwargs, meta, sheets = _load(spark, d, cbc_map,
-                                     not args.keep_reference_bugs)
+                                     not args.keep_reference_bugs,
+                                     icd10, expected)
         if kwargs is None:
             print(f"no CSV sheets found in {d}")
             return 2
@@ -138,6 +159,7 @@ def main() -> int:
     )
     subs = {d: kwargs for d, (kwargs, _m, _s) in loaded.items()}
     out = validate_concurrent(spark, subs, max_parallel=max(1, args.jobs))
+    out_names = _out_names(list(loaded))
     rc = 0
     for d, (kwargs, meta, sheets) in loaded.items():
         oc = out[d]
@@ -146,8 +168,7 @@ def main() -> int:
             print(f"FAILED: {oc.error}")
             rc = 1
             continue
-        sub_out = (os.path.join(args.out,
-                                os.path.basename(d.rstrip("/")))
+        sub_out = (os.path.join(args.out, out_names[d])
                    if args.out else None)
         if not _report(oc.result, sheets, meta, d, sub_out):
             rc = 1
