@@ -876,3 +876,44 @@ def test_read_table_schema_memo_tracks_dir_content(spark, tmp_path):
     # eviction: still exactly one memo entry for this path
     n1 = sum(1 for k in readers._SCHEMA_MEMO if k[1] == os.path.abspath(p))
     assert n1 == 1
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """The stateful complement of the watcher recovery test: the
+    dropDuplicatesWithinWatermark STATE STORE must recover from the
+    checkpoint across a query restart — a content hash seen before the
+    stop, re-arriving within the watermark after the restart, is still
+    deduplicated (an engine that lost state would emit it twice)."""
+    import os as _os
+
+    from nci_seronet_proc_data_validator_spark.streaming import dedup_stream
+
+    src, cp, out = (str(tmp_path / d) for d in ("src", "cp", "out"))
+    _os.makedirs(src)
+
+    def _write(name, rows):
+        (spark.createDataFrame(rows, "ts_s string, doc_id long, text string")
+         .selectExpr("cast(ts_s as timestamp) as ts", "doc_id", "text")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def _drain():
+        stream = (spark.readStream
+                  .schema("ts timestamp, doc_id long, text string")
+                  .parquet(src))
+        q = (dedup_stream(stream).writeStream.outputMode("append")
+             .option("checkpointLocation", cp)
+             .format("parquet").option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    _write("b1", [("2024-01-01 10:00:00", 1, "alpha beta"),
+                  ("2024-01-01 10:01:00", 2, "gamma delta")])
+    _drain()                                     # run 1: both texts emit
+    # restart from the same checkpoint with a re-arrival INSIDE the
+    # 30-minute watermark horizon plus one genuinely new text
+    _write("b2", [("2024-01-01 10:05:00", 3, "alpha beta"),
+                  ("2024-01-01 10:06:00", 4, "epsilon zeta")])
+    _drain()                                     # run 2: dup suppressed
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
