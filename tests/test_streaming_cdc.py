@@ -140,3 +140,39 @@ def test_bucketed_merge_skips_target_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {snapshot_table(base, 0)}")
+
+
+def test_cdc_replay_is_content_idempotent(spark, tmp_path):
+    """At-least-once apply contract (cdc.py module docstring): the two
+    crash/replay windows differ in which base version the replayed batch
+    re-merges into, and BOTH must converge to the same snapshot content.
+
+    - crash AFTER the snapshot write, BEFORE the pointer swap: the
+      pointer still names v, so the replay re-merges into v and
+      OVERWRITES the half-committed v+1 — same content, same version.
+    - crash AFTER the pointer swap, BEFORE the stream checkpoint commit:
+      the replay re-merges the same batch into v+1 — upserts rewrite the
+      same values, deletes delete already-absent keys, so v+2's content
+      equals v+1's (only the version number advances)."""
+    base = str(tmp_path / "tbl")
+    init_snapshot(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long"), base)
+    b1 = spark.createDataFrame(
+        [(2, "B", 200, "upsert"), (9, "z", 900, "upsert"),
+         (3, None, None, "delete")], _SCHEMA)
+    want = {(1, "a", 10), (2, "B", 200), (9, "z", 900)}
+
+    assert apply_cdc_batch(b1, base, "k") == 1
+    assert _snap(spark, base) == want
+
+    # window 2: pointer already at v+1, batch replays on top of it
+    assert apply_cdc_batch(b1, base, "k") == 2
+    assert _snap(spark, base) == want
+
+    # window 1: pointer rolled back to v (simulated), half-written v+1
+    # on disk; the replay overwrites it and re-commits
+    with open(os.path.join(base, "_VERSION"), "w") as f:
+        f.write("0")
+    assert apply_cdc_batch(b1, base, "k") == 1
+    assert _snap(spark, base) == want
