@@ -165,23 +165,29 @@ def write_job_status_jdbc(status: DataFrame, url: str | None,
     return True
 
 
-def build_upsert_statements(table: str, cols: list[str], key: str,
+def build_upsert_statements(table: str, cols: list[str],
+                            key: str | list[str],
                             paramstyle: str = "qmark"
                             ) -> tuple[str, str, str]:
     """(probe, update, insert) DBAPI statements for the S11 upsert — the
     reference's cursor loop shapes (File_Submission_Object.py:439-499:
     ``SELECT``-probe then ``UPDATE .. WHERE key = %s`` / ``INSERT``).
-    Identifiers are validated; values always travel as bind parameters."""
+    ``key`` may be a list for a composite row identity (e.g.
+    ``["orig_file_id", "file_name"]`` when many submissions share one
+    jobs table). Identifiers are validated; values always travel as bind
+    parameters."""
     import re
-    for ident in [table, key, *cols]:
+    keys = [key] if isinstance(key, str) else list(key)
+    for ident in [table, *keys, *cols]:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", ident):
             raise ValueError(f"unsafe SQL identifier: {ident!r}")
     ph = "?" if paramstyle == "qmark" else "%s"
-    non_key = [c for c in cols if c != key]
-    probe_sql = f"SELECT 1 FROM {table} WHERE {key} = {ph}"
+    non_key = [c for c in cols if c not in keys]
+    where = " AND ".join(f"{k} = {ph}" for k in keys)
+    probe_sql = f"SELECT 1 FROM {table} WHERE {where}"
     update_sql = (f"UPDATE {table} SET "
                   + ", ".join(f"{c} = {ph}" for c in non_key)
-                  + f" WHERE {key} = {ph}")
+                  + f" WHERE {where}")
     insert_sql = (f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
                   f"({', '.join([ph] * len(cols))})")
     return probe_sql, update_sql, insert_sql
@@ -189,7 +195,7 @@ def build_upsert_statements(table: str, cols: list[str], key: str,
 
 def upsert_job_status(status: DataFrame, connection_factory,
                       table: str = "table_data_validator",
-                      key: str = "file_name",
+                      key: str | list[str] = "file_name",
                       paramstyle: str = "qmark") -> None:
     """S11 upsert for real (File_Submission_Object.py:439-499): per row,
     probe ``SELECT .. WHERE key = ?`` then UPDATE or INSERT — exactly the
@@ -201,6 +207,13 @@ def upsert_job_status(status: DataFrame, connection_factory,
     file instead of appending a duplicate (the r1 gap, VERDICT "What's
     missing" #1).
 
+    The default single-column key matches the reference's per-submission
+    Lambda granularity (one submission's sheets per jobs-table scope).
+    When MANY submissions share one jobs table — the concurrent
+    orchestration model (``orchestrate.validate_concurrent``) — pass the
+    composite row identity ``key=["orig_file_id", "file_name"]`` or
+    submissions with same-named sheets clobber each other's rows.
+
     Scale shape: no driver collect — rows flow through foreachPartition;
     status tables are per-file (driver-scale) today, but the operator
     stays partition-parallel for arbitrarily large status frames. On
@@ -209,18 +222,21 @@ def upsert_job_status(status: DataFrame, connection_factory,
     wholesale, at the cost of portability.
     """
     cols = list(status.columns)
-    if key not in cols:
-        raise ValueError(f"key column {key!r} not in status columns {cols}")
+    keys = [key] if isinstance(key, str) else list(key)
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key column(s) {missing} not in status "
+                         f"columns {cols}")
     # Co-locate every occurrence of a key in ONE partition: the probe →
     # INSERT/UPDATE pair is not atomic, so two partitions carrying the
     # same key could both miss the probe and double-insert. Hash
     # repartitioning on the key serializes same-key rows through a single
     # connection (concurrent *re-runs* still need a DB-side unique key or
     # native upsert — documented above).
-    status = status.repartition(F.col(key))
+    status = status.repartition(*[F.col(k) for k in keys])
     probe_sql, update_sql, insert_sql = build_upsert_statements(
-        table, cols, key, paramstyle)
-    non_key = [c for c in cols if c != key]
+        table, cols, keys, paramstyle)
+    non_key = [c for c in cols if c not in keys]
 
     def _apply(rows) -> None:
         rows = list(rows)
@@ -231,10 +247,11 @@ def upsert_job_status(status: DataFrame, connection_factory,
             cur = conn.cursor()
             for r in rows:
                 d = r.asDict()
-                cur.execute(probe_sql, (d[key],))
+                kv = tuple(d[k] for k in keys)
+                cur.execute(probe_sql, kv)
                 if cur.fetchone():
                     cur.execute(update_sql,
-                                tuple(d[c] for c in non_key) + (d[key],))
+                                tuple(d[c] for c in non_key) + kv)
                 else:
                     cur.execute(insert_sql, tuple(d[c] for c in cols))
             conn.commit()

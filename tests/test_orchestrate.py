@@ -104,3 +104,57 @@ def test_scheduler_pool_set_during_and_cleared_after(spark, tmp_path):
                                   "cbc_id": "14"}, materialize)
     assert oc2.error is not None
     assert sc.getLocalProperty("spark.scheduler.pool") in (None, "")
+
+
+def test_concurrent_job_status_upserts_one_db(spark, tmp_path):
+    """Orchestration + S11: concurrent submissions upserting their job
+    rows into ONE jobs table (per-thread connections, the reference's
+    shared MySQL model). Requires the COMPOSITE key
+    (orig_file_id, file_name) — the default per-submission file_name key
+    would let same-named sheets from different submissions clobber each
+    other (that is what this test caught when first written)."""
+    import sqlite3
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        job_status_rows, upsert_job_status)
+
+    db = str(tmp_path / "jobs.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE table_data_validator ("
+        "orig_file_id TEXT, file_name TEXT, data_validation_status TEXT, "
+        "batch_validation_status TEXT, n_errors INTEGER, n_warnings INTEGER, "
+        "data_validation_date TEXT)")
+    conn.commit()
+    conn.close()
+
+    def factory():
+        return sqlite3.connect(db, timeout=30)
+
+    def materialize_for(sub_id):
+        def materialize(res):
+            upsert_job_status(
+                job_status_rows(res.findings, sub_id, f"day-{sub_id}"),
+                factory, key=["orig_file_id", "file_name"])
+            return sub_id
+        return materialize
+
+    subs = {f"sub{i}": _load(spark, tmp_path, i) for i in range(3)}
+    # per-submission materialize: close over the id
+    from nci_seronet_proc_data_validator_spark.orchestrate import _run_one
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {sid: pool.submit(_run_one, spark, sid, kw,
+                                 materialize_for(sid))
+                for sid, kw in subs.items()}
+        outs = {sid: f.result() for sid, f in futs.items()}
+    assert all(oc.error is None for oc in outs.values())
+
+    conn = sqlite3.connect(db)
+    rows = conn.execute(
+        "SELECT orig_file_id, file_name, count(*) FROM table_data_validator "
+        "GROUP BY 1, 2").fetchall()
+    conn.close()
+    # each submission contributed its two sheets, exactly once each
+    assert sorted({r[0] for r in rows}) == ["sub0", "sub1", "sub2"]
+    assert all(r[2] == 1 for r in rows)
+    assert len(rows) == 6

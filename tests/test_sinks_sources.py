@@ -917,3 +917,51 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path):
     _drain()                                     # run 2: dup suppressed
     texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+
+def test_streaming_rollup_window_state_recovers(spark, tmp_path):
+    """Watermarked windowed-aggregation state recovery: run 1 leaves an
+    OPEN window in the state store (append mode emits only finalized
+    windows); the restarted query folds a late-but-in-horizon event into
+    that recovered window and finalizes it once the watermark passes —
+    one output row with BOTH events counted. Lost state would emit the
+    window with only the second event (or twice)."""
+    import os as _os
+
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        hourly_rollup_stream)
+
+    src, cp, out = (str(tmp_path / d) for d in ("src", "cp", "out"))
+    _os.makedirs(src)
+
+    def land(rows):
+        (spark.createDataFrame(rows, "ts_s string, event_type string, "
+                                     "value double")
+         .selectExpr("cast(ts_s as timestamp) as ts", "event_type", "value")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def drain():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, value double")
+                  .parquet(src))
+        q = (hourly_rollup_stream(stream, watermark="2 hours")
+             .writeStream.outputMode("append")
+             .option("checkpointLocation", cp)
+             .format("parquet").option("path", out)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    land([("2024-01-01 10:05:00", "click", 1.0)])
+    drain()          # window [10:00,11:00) open in state, nothing emitted
+    # restart: second event lands in the SAME window, then a far-future
+    # event advances the watermark past 11:00 + 2h and finalizes it
+    land([("2024-01-01 10:45:00", "click", 2.0),
+          ("2024-01-01 14:00:00", "view", 9.0)])
+    drain()
+    rows = {(r["hour"].isoformat(), r["event_type"]): r
+            for r in spark.read.parquet(out).collect()}
+    k = ("2024-01-01T10:00:00", "click")
+    assert k in rows, rows
+    assert rows[k]["n"] == 2 and rows[k]["total_value"] == 3.0
+    assert len([kk for kk in rows if kk[1] == "click"]) == 1   # exactly once
