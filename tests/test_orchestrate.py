@@ -158,3 +158,38 @@ def test_concurrent_job_status_upserts_one_db(spark, tmp_path):
     assert sorted({r[0] for r in rows}) == ["sub0", "sub1", "sub2"]
     assert all(r[2] == 1 for r in rows)
     assert len(rows) == 6
+
+
+def test_two_watchers_drain_concurrently(spark, tmp_path):
+    """Streaming + concurrency: two validate_stream watchers (different
+    sheets, checkpoints, outputs) started in one session drain their
+    backlogs concurrently — Structured Streaming queries are already
+    session-concurrent; this pins that the watcher's epoch-keyed sink
+    and per-query checkpoints do not interfere."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream)
+
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    qs = []
+    outs = []
+    for w in range(2):
+        in_dir, cp, out = (str(tmp_path / f"{d}{w}")
+                           for d in ("in", "cp", "out"))
+        os.makedirs(in_dir)
+        with open(os.path.join(in_dir, "demographic.csv"), "w") as f:
+            f.write("Research_Participant_ID,Age,Race\n"
+                    f"14_00000{w},999,Martian_{w}\n")
+        qs.append(validate_stream(spark, in_dir, cp, "demographic.csv",
+                                  cols, "14", out))
+        outs.append(out)
+    for q in qs:
+        q.awaitTermination(120)
+        assert not q.isActive
+    for w, out in enumerate(outs):
+        vals = {r["Column_Value"]
+                for r in spark.read.parquet(out).collect()}
+        assert f"Martian_{w}" in vals and f"Martian_{1-w}" not in vals
