@@ -98,7 +98,17 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
 
     - all columns as strings (typing is a *validation concern*, §1.2);
     - blanks preserved as ``''`` (``na_filter=False`` semantics);
-    - ``row_index`` = CSV line number (header = line 1, first data row = 2).
+    - ``row_index`` = CSV RECORD number + 1 (header = 1, first data
+      record = 2) — the reference's ``pandas index + 2``
+      (File_Submission_Object.py:159). Record == physical line except
+      when a quoted field embeds a newline, where pandas still counts
+      records — hence ``multiLine`` below: without it Spark splits the
+      quoted record into phantom rows (silent data corruption, not just
+      an off-by-one). Cost: a multiLine file is not SPLITTABLE, so one
+      sheet file parses on one task — the right trade for submission
+      sheets, whose parallelism comes from many files, not from splits
+      within one; a single huge machine-generated CSV known free of
+      embedded newlines can re-split via ``spark.read`` directly.
     """
     df = (spark.read
           .option("header", "true")
@@ -106,6 +116,7 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
           # Make nothing parse as null: empty stays empty string.
           .option("nullValue", "\u0000")
           .option("emptyValue", "")
+          .option("multiLine", "true")
           .csv(path))
     # Defensive: any residual nulls (e.g. short rows) become ''.
     df = df.na.fill("")

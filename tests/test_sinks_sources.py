@@ -965,3 +965,22 @@ def test_streaming_rollup_window_state_recovers(spark, tmp_path):
     assert k in rows, rows
     assert rows[k]["n"] == 2 and rows[k]["total_value"] == 3.0
     assert len([kk for kk in rows if kk[1] == "click"]) == 1   # exactly once
+
+
+def test_read_sheet_csv_quoted_embedded_newline(spark, tmp_path):
+    """Parity with pandas record semantics (Row_Index = index + 2,
+    File_Submission_Object.py:159): a quoted field embedding a newline is
+    ONE record. Without multiLine, Spark split it into a phantom row
+    ('line two\"' as a participant id) and shifted every later row_index
+    — silent corruption, found by probing the reference's na_filter
+    behavior."""
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    p = str(tmp_path / "ml.csv")
+    with open(p, "w") as f:
+        f.write('Research_Participant_ID,Age,Comments\n'
+                '14_000001,30,"line one\nline two"\n'
+                '14_000002,31,plain\n')
+    rows = {r["row_index"]: r for r in read_sheet_csv(spark, p).collect()}
+    assert set(rows) == {2, 3}
+    assert rows[2]["Comments"] == "line one\nline two"
+    assert rows[3]["Research_Participant_ID"] == "14_000002"
