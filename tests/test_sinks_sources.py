@@ -984,3 +984,32 @@ def test_read_sheet_csv_quoted_embedded_newline(spark, tmp_path):
     assert set(rows) == {2, 3}
     assert rows[2]["Comments"] == "line one\nline two"
     assert rows[3]["Research_Participant_ID"] == "14_000002"
+
+
+def test_read_sheet_csv_excel_artifacts(spark, tmp_path):
+    """Real-world Excel-export artifacts must parse like the reference's
+    pandas reader: a UTF-8 BOM is stripped from the first header (not
+    folded into the column name, which would make every catalog compare
+    flag it), CRLF line endings are records, duplicate headers are
+    deduplicated (Spark's Age1/Age2 vs pandas' Age/Age.1 — either way
+    the catalog compare flags the extras), and leading spaces in cells
+    are preserved (na_filter=False raw-string semantics)."""
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    bom = str(tmp_path / "bom.csv")
+    with open(bom, "wb") as f:
+        f.write(b'\xef\xbb\xbfResearch_Participant_ID,Age\r\n'
+                b'14_000001,30\r\n'
+                b'14_000002,  31\r\n')
+    df = read_sheet_csv(spark, bom)
+    assert df.columns[0] == "Research_Participant_ID"   # BOM stripped
+    rows = {r["row_index"]: r for r in df.collect()}
+    assert set(rows) == {2, 3}                          # CRLF records
+    assert rows[3]["Age"] == "  31"                     # spaces kept
+
+    dup = str(tmp_path / "dup.csv")
+    with open(dup, "w") as f:
+        f.write("Research_Participant_ID,Age,Age\n14_000001,30,40\n")
+    ddf = read_sheet_csv(spark, dup)
+    assert len(set(ddf.columns)) == len(ddf.columns)    # deduplicated
+    assert [r["Research_Participant_ID"] for r in ddf.collect()] \
+        == ["14_000001"]
