@@ -179,3 +179,56 @@ def test_stateful_session_state_recovers_from_checkpoint(spark, tmp_path):
     got2 = rows2[0]
     assert got2["session_count"] == 1        # recovered state rolled over
     assert got2["n_events"] == 1
+
+
+def test_funnel_state_recovers_from_checkpoint(spark, tmp_path):
+    """Funnel-frontier state recovery: run 1 advances user 1 to step 1
+    (view); the restarted query (same checkpoint, only the new file)
+    advances to step 2 ONLY if the recovered frontier is honored — a
+    replayed 'view' at an older timestamp must not advance, and a 'buy'
+    later than the recovered frontier must. Lost state would re-report
+    reached_step 1 (or advance on the stale event)."""
+    from nci_seronet_proc_data_validator_spark.streaming.stateful import (
+        track_funnel)
+
+    src, cp, out = (str(tmp_path / d) for d in ("src", "cp", "out"))
+    os.makedirs(src)
+
+    def land(rows):
+        (spark.createDataFrame(rows,
+                               "user_id long, ts_us long, event_type string")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    def run(want_rows):
+        q = (track_funnel(
+                spark.readStream
+                .schema("user_id long, ts_us long, event_type string")
+                .parquet(src), steps=["view", "buy"])
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    rows = spark.read.parquet(out).collect()
+                except Exception:
+                    rows = []
+                if len(rows) >= want_rows:
+                    return rows
+                time.sleep(0.3)
+            raise AssertionError(f"wanted {want_rows}, got {len(rows)}")
+        finally:
+            q.stop()
+
+    land([(1, 1000, "view")])
+    r1 = run(1)
+    assert (r1[0]["reached_step"], r1[0]["frontier_us"]) == (1, 1000)
+
+    # stale 'view' (ts 500 < frontier) must NOT reset/advance;
+    # 'buy' at 2000 > frontier advances to step 2
+    land([(1, 500, "view"), (1, 2000, "buy")])
+    r2 = sorted(run(2), key=lambda r: r["frontier_us"])
+    final = r2[-1]
+    assert (final["reached_step"], final["frontier_us"]) == (2, 2000)
+    assert len(r2) == 2              # exactly one new row this run
