@@ -10,7 +10,7 @@ demographic.csv, …). With one dir the flow matches the reference's
 per-submission Lambda body; with several, ``--jobs N`` validates up to N
 submissions CONCURRENTLY in one SparkSession on per-submission FAIR
 scheduler pools (``orchestrate.validate_concurrent`` — the reference
-loops serially, nci-seronet-data-validator.py:69; measured 4x on 4
+loops serially, nci-seronet-data-validator.py:69; measured ~2.6-2.9x warm on 4
 submissions, BENCH_NOTES r10). Per-sheet error reports + findings
 parquet land under OUT_DIR (per-submission subdirs in multi mode).
 """
