@@ -1013,3 +1013,20 @@ def test_read_sheet_csv_excel_artifacts(spark, tmp_path):
     assert len(set(ddf.columns)) == len(ddf.columns)    # deduplicated
     assert [r["Research_Participant_ID"] for r in ddf.collect()] \
         == ["14_000001"]
+
+
+def test_read_sheet_csv_gzip_with_multiline(spark, tmp_path):
+    """S2 gzip sheets (reference s3.py handles .csv.gz): transparent
+    decompression composes with multiLine record parsing and record-order
+    row_index."""
+    import gzip
+
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    p = str(tmp_path / "sheet.csv.gz")
+    with gzip.open(p, "wt") as f:
+        f.write('Research_Participant_ID,Age\n'
+                '14_000001,30\n'
+                '14_000002,"3\n1"\n')
+    got = sorted((r["row_index"], r["Age"])
+                 for r in read_sheet_csv(spark, p).collect())
+    assert got == [(2, "30"), (3, "3\n1")]
