@@ -46,10 +46,16 @@ variants (timestamp epoch, regex match) are explicit named pairs.
 from __future__ import annotations
 
 import datetime
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Exact-DISTINCT syntax only: count(DISTINCT x) adds an Expand group;
+# approx_count_distinct(x) does not (and contains "distinct" as a bare
+# substring, so a substring test would miscount the width).
+_EXACT_DISTINCT_RE = re.compile(r"count\s*\(\s*distinct\b", re.I)
 
 
 # --------------------------------------------------------------- metrics
@@ -282,12 +288,14 @@ def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
         # PLUS any exact DISTINCT aggregates the constraints contribute
         # (e.g. unique()) — those stay exact either way (a correctness
         # constraint cannot be approximated), so they widen the Expand
-        # in BOTH arms and count toward the calibrated budget.
+        # in BOTH arms and count toward the calibrated budget. Only
+        # exact COUNT(DISTINCT ...) adds an Expand group; a constraint
+        # spelled approx_count_distinct must not inflate the width.
         n_distinct = (sum(1 for (_c, n, _s, _d) in base_plan
                           if n == "distinct")
                       * (2 if slice_sql else 1)
                       + sum(1 for k in constraints
-                            if "distinct" in k.spark_sql.lower()))
+                            if _EXACT_DISTINCT_RE.search(k.spark_sql)))
         approx_distinct = decide_approx_distinct(n_distinct, grouped=False)
 
     def _tpl(name: str, s_tpl: str) -> tuple[str, str]:

@@ -81,18 +81,26 @@ def semdedup(emb: DataFrame, k: int | None = 8, iters: int = 2,
     on via ``max_rows=``, or the scale advisor flags the call
     (``plans.advisor.warn_fixed_k``): a compile-time k over unbounded
     input makes within-cluster pairing a quadratic time bomb.
-    ``max_rows`` is a TRUSTED declaration (validating it would cost the
-    count job whose absence is the point of declaring); a false bound
-    disarms the advisor, not the blowup — it is the declared-intent
-    audit trail, the analogue of the plan-guard allowances in
-    tests/test_advisor.py.
+    ``max_rows`` is a TRUSTED declaration at call time (validating it
+    would cost the count job whose absence is the point of declaring);
+    a false bound disarms the advisor, not the blowup — it is the
+    declared-intent audit trail, the analogue of the plan-guard
+    allowances in tests/test_advisor.py. The auto-k path (``k=None``)
+    computes the true N anyway and there the declaration IS checked
+    (``plans.advisor.check_declared_bound``) — a breach warns at the
+    point N becomes known, at zero added jobs.
     """
     from nci_seronet_proc_data_validator_spark.plans.advisor import (
-        warn_fixed_k)
+        check_declared_bound, warn_fixed_k)
     warn_fixed_k("semdedup", k, max_rows)
     if k is None:
         import math
-        k = max(8, math.isqrt(emb.count()))
+        n = emb.count()
+        # The auto-k path learns the true N anyway — validate any
+        # max_rows declaration for free (advisor.check_declared_bound):
+        # a false bound disarms the advisor on OTHER calls that trust it.
+        check_declared_bound("semdedup", max_rows, n)
+        k = max(8, math.isqrt(n))
     # localCheckpoint: the assignment feeds BOTH pair-join sides and the
     # final verdict join — unmaterialized, the Lloyd assignment subtree
     # would execute three times. Blocks are freed by the ContextCleaner

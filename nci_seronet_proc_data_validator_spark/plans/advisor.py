@@ -32,7 +32,8 @@ import warnings
 from pyspark.sql import DataFrame
 
 __all__ = ["ScaleHazardWarning", "advise_plan", "warn_fixed_k",
-           "PAIR_BUDGET"]
+           "check_declared_bound", "warn_nonsplittable_csv",
+           "PAIR_BUDGET", "NONSPLITTABLE_CSV_BUDGET"]
 
 
 class ScaleHazardWarning(UserWarning):
@@ -84,6 +85,93 @@ def warn_fixed_k(op: str, k: int | None, max_rows: int | None,
         warnings.warn(msg, ScaleHazardWarning, stacklevel=3)
         return msg
     return None
+
+
+def check_declared_bound(op: str, max_rows: int | None,
+                         actual_rows: int) -> str | None:
+    """Post-hoc validation of a ``max_rows`` trust declaration.
+
+    ``max_rows`` is deliberately TRUSTED at call time (validating it
+    would cost the count job whose absence is the declaration's point).
+    But when an operator later learns the true N anyway — semdedup's
+    auto-k ``emb.count()``, a profiler pass, the orchestrator — the
+    check is free: assert the declaration there and warn on breach,
+    turning the audit trail into a checked one at zero added jobs.
+
+    Returns the warning message (also emitted) or None when the
+    declaration holds (or none was made).
+    """
+    if max_rows is None or actual_rows <= max_rows:
+        return None
+    msg = (f"{op}: declared max_rows={max_rows} but the input actually "
+           f"has {actual_rows} rows — the bound the scale advisor "
+           f"trusted is FALSE. Fix the declaration (a false bound "
+           f"disarms the advisor, not the blowup).")
+    warnings.warn(msg, ScaleHazardWarning, stacklevel=3)
+    return msg
+
+
+#: A single multiLine CSV above this size parses on ONE task (multiLine
+#: makes the file non-splittable). 256 MB = 2× the default
+#: ``spark.sql.files.maxPartitionBytes``: below it a splittable read
+#: would use ≤2 tasks anyway, so single-task parsing costs at most one
+#: lost split; above it the lost parallelism grows linearly with the
+#: file.
+NONSPLITTABLE_CSV_BUDGET = 256 * 1024 * 1024
+
+
+def warn_nonsplittable_csv(paths: "str | list[str]",
+                           budget_bytes: int = NONSPLITTABLE_CSV_BUDGET
+                           ) -> list[str]:
+    """Invocation rule: oversized single-file multiLine CSV reads.
+
+    ``multiLine=true`` (the record-correct default of
+    ``sources.readers.read_sheet_csv``) makes each CSV file
+    non-splittable — one task parses the whole file. Fine for
+    submission sheets (parallelism comes from MANY files); a single
+    machine-generated multi-GB export silently serializes onto one
+    core. This rule stats the resolved input files and warns for each
+    one over ``budget_bytes``; the caller's escape hatch is
+    ``read_sheet_csv(..., multiline=False)`` when the file is KNOWN
+    free of quoted embedded newlines.
+
+    Local-filesystem stat only (globs and directories resolved one
+    level); non-local URIs are skipped — on an object store the driver
+    cannot cheaply stat here, and the cluster's own input-split metrics
+    surface the same hazard.
+    """
+    import glob as _glob
+    import os
+
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    files: list[str] = []
+    for p in path_list:
+        if "://" in p and not p.startswith("file://"):
+            continue
+        p = p.removeprefix("file://")
+        for hit in (_glob.glob(p) if _glob.has_magic(p) else [p]):
+            if os.path.isdir(hit):
+                files.extend(os.path.join(hit, f)
+                             for f in os.listdir(hit)
+                             if not f.startswith((".", "_")))
+            elif os.path.isfile(hit):
+                files.append(hit)
+    msgs: list[str] = []
+    for f in files:
+        try:
+            size = os.path.getsize(f)
+        except OSError:
+            continue
+        if size > budget_bytes:
+            msg = (f"non-splittable-csv: {f} is {size / 1024**2:.0f} MiB "
+                   f"and multiLine CSV parses each file on ONE task "
+                   f"(budget {budget_bytes / 1024**2:.0f} MiB). If the "
+                   f"file cannot contain quoted embedded newlines, read "
+                   f"it with multiline=False to restore splittability; "
+                   f"otherwise pre-split it at generation time.")
+            warnings.warn(msg, ScaleHazardWarning, stacklevel=3)
+            msgs.append(msg)
+    return msgs
 
 
 # -- plan rules ------------------------------------------------------------

@@ -168,14 +168,17 @@ def write_job_status_jdbc(status: DataFrame, url: str | None,
 def build_upsert_statements(table: str, cols: list[str],
                             key: str | list[str],
                             paramstyle: str = "qmark"
-                            ) -> tuple[str, str, str]:
+                            ) -> tuple[str, str | None, str]:
     """(probe, update, insert) DBAPI statements for the S11 upsert — the
     reference's cursor loop shapes (File_Submission_Object.py:439-499:
     ``SELECT``-probe then ``UPDATE .. WHERE key = %s`` / ``INSERT``).
     ``key`` may be a list for a composite row identity (e.g.
     ``["orig_file_id", "file_name"]`` when many submissions share one
     jobs table). Identifiers are validated; values always travel as bind
-    parameters."""
+    parameters. When ``key`` covers every column there is nothing to
+    UPDATE — ``update_sql`` comes back ``None`` and a probe hit means
+    the identical row already exists (upsert degenerates to
+    insert-if-absent)."""
     import re
     keys = [key] if isinstance(key, str) else list(key)
     for ident in [table, *keys, *cols]:
@@ -185,9 +188,13 @@ def build_upsert_statements(table: str, cols: list[str],
     non_key = [c for c in cols if c not in keys]
     where = " AND ".join(f"{k} = {ph}" for k in keys)
     probe_sql = f"SELECT 1 FROM {table} WHERE {where}"
+    # A key covering every column leaves nothing to SET — the rendered
+    # UPDATE would be invalid SQL that only fails at execute time on the
+    # first probe hit. A probe hit then means the row already exists
+    # verbatim, so the upsert is a no-op: signal it with update_sql=None.
     update_sql = (f"UPDATE {table} SET "
                   + ", ".join(f"{c} = {ph}" for c in non_key)
-                  + f" WHERE {where}")
+                  + f" WHERE {where}") if non_key else None
     insert_sql = (f"INSERT INTO {table} ({', '.join(cols)}) VALUES "
                   f"({', '.join([ph] * len(cols))})")
     return probe_sql, update_sql, insert_sql
@@ -250,8 +257,9 @@ def upsert_job_status(status: DataFrame, connection_factory,
                 kv = tuple(d[k] for k in keys)
                 cur.execute(probe_sql, kv)
                 if cur.fetchone():
-                    cur.execute(update_sql,
-                                tuple(d[c] for c in non_key) + kv)
+                    if update_sql is not None:
+                        cur.execute(update_sql,
+                                    tuple(d[c] for c in non_key) + kv)
                 else:
                     cur.execute(insert_sql, tuple(d[c] for c in cols))
             conn.commit()

@@ -93,7 +93,7 @@ def with_row_index(df: DataFrame, offset: int = 2,
 
 
 def read_sheet_csv(spark: SparkSession, path: str | list[str],
-                   offset: int = 2) -> DataFrame:
+                   offset: int = 2, multiline: bool = True) -> DataFrame:
     """Read a submission sheet CSV the way the reference does.
 
     - all columns as strings (typing is a *validation concern*, §1.2);
@@ -107,16 +107,25 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
       an off-by-one). Cost: a multiLine file is not SPLITTABLE, so one
       sheet file parses on one task — the right trade for submission
       sheets, whose parallelism comes from many files, not from splits
-      within one; a single huge machine-generated CSV known free of
-      embedded newlines can re-split via ``spark.read`` directly.
+      within one. ``multiline=False`` is the engine-level escape hatch
+      for a single huge machine-generated CSV KNOWN free of embedded
+      newlines: the file splits across tasks again and ``row_index``
+      keeps its sentinel semantics, but a quoted embedded newline would
+      once more parse as phantom rows — caller asserts that can't
+      happen. :func:`..plans.advisor.warn_nonsplittable_csv` flags
+      oversized multiLine inputs.
     """
+    if multiline:
+        from nci_seronet_proc_data_validator_spark.plans.advisor import (
+            warn_nonsplittable_csv)
+        warn_nonsplittable_csv(path)
     df = (spark.read
           .option("header", "true")
           .option("inferSchema", "false")
           # Make nothing parse as null: empty stays empty string.
           .option("nullValue", "\u0000")
           .option("emptyValue", "")
-          .option("multiLine", "true")
+          .option("multiLine", "true" if multiline else "false")
           .csv(path))
     # Defensive: any residual nulls (e.g. short rows) become ''.
     df = df.na.fill("")

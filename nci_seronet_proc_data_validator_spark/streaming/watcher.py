@@ -95,6 +95,12 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
               .option("header", "true")
               .option("nullValue", "\u0000")
               .option("emptyValue", "")
+              # Record-parity with the batch reader (readers.py): a
+              # quoted field embedding a newline is ONE record, not
+              # phantom rows — same silent-corruption fix, same
+              # non-splittable-file trade (streaming parallelism comes
+              # from many landed files anyway).
+              .option("multiLine", "true")
               .schema(schema))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger",

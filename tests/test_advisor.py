@@ -157,3 +157,57 @@ def test_bnlj_stream_side_aggregate_does_not_whitelist(spark):
     df = enriched.crossJoin(F.broadcast(multi))   # the real hazard
     hazards = advise_plan(df, warn=False)
     assert any(h.startswith("nested-loop-join") for h in hazards), hazards
+
+
+def test_check_declared_bound():
+    """r11: max_rows declarations are validated wherever the true N is
+    learned anyway — declared 1e5 with actual 2e5 warns; a holding (or
+    absent) declaration is silent."""
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        check_declared_bound)
+    with pytest.warns(ScaleHazardWarning, match="declared max_rows=100000"):
+        msg = check_declared_bound("semdedup", 100_000, 200_000)
+    assert msg and "200000 rows" in msg
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert check_declared_bound("semdedup", 100_000, 100_000) is None
+        assert check_declared_bound("semdedup", None, 10**9) is None
+
+
+def test_semdedup_auto_k_validates_declared_bound(spark):
+    """The auto-k path computes emb.count() anyway; a false max_rows
+    declaration warns at the point N becomes known (zero added jobs)."""
+    from nci_seronet_proc_data_validator_spark.operators.semdedup import (
+        semdedup)
+    emb = _emb(spark, FOUR)           # N = 4
+    with pytest.warns(ScaleHazardWarning, match="declared max_rows=2"):
+        semdedup(emb, k=None, iters=1, max_rows=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        semdedup(emb, k=None, iters=1, max_rows=4)   # holds → silent
+
+
+def test_warn_nonsplittable_csv(tmp_path):
+    """multiLine CSV reads are single-task per file; files over the
+    budget warn, smaller ones and non-local URIs don't."""
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        warn_nonsplittable_csv)
+    big = tmp_path / "big.csv"
+    big.write_text("h\n" + "x\n" * 600)       # ~1.2 KB
+    small = tmp_path / "small.csv"
+    small.write_text("h\n")
+    with pytest.warns(ScaleHazardWarning, match="non-splittable-csv"):
+        msgs = warn_nonsplittable_csv(str(big), budget_bytes=1024)
+    assert len(msgs) == 1 and "multiline=False" in msgs[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert warn_nonsplittable_csv(str(small), budget_bytes=1024) == []
+        # directory resolves one level; both files judged
+        assert len(warn_nonsplittable_csv(
+            str(tmp_path), budget_bytes=10**9)) == 0
+        # object-store URI: skipped (driver can't cheaply stat here)
+        assert warn_nonsplittable_csv(
+            "s3a://bucket/huge.csv", budget_bytes=1) == []
+    with pytest.warns(ScaleHazardWarning):
+        assert len(warn_nonsplittable_csv(
+            [str(big), str(small)], budget_bytes=1024)) == 1

@@ -131,3 +131,15 @@ def test_upsert_statement_shapes():
     assert probe_f == "SELECT 1 FROM t WHERE k = %s"
     with pytest.raises(ValueError):
         build_upsert_statements("t; DROP TABLE x", ["k"], "k")
+
+
+def test_upsert_fully_keyed_update_is_none():
+    """r11 (ADVICE): a composite key covering every column leaves nothing
+    to SET — update_sql must come back None (insert-if-absent semantics),
+    not an invalid 'UPDATE t SET  WHERE ...' that fails at execute time
+    on the first probe hit."""
+    probe, update, insert = build_upsert_statements(
+        "t", ["k1", "k2"], ["k1", "k2"])
+    assert update is None
+    assert probe == "SELECT 1 FROM t WHERE k1 = ? AND k2 = ?"
+    assert insert == "INSERT INTO t (k1, k2) VALUES (?, ?)"

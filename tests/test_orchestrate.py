@@ -193,3 +193,34 @@ def test_two_watchers_drain_concurrently(spark, tmp_path):
         vals = {r["Column_Value"]
                 for r in spark.read.parquet(out).collect()}
         assert f"Martian_{w}" in vals and f"Martian_{1-w}" not in vals
+
+
+def test_cli_empty_dir_isolated_in_multi_mode(spark, tmp_path, monkeypatch,
+                                              capsys):
+    """r11 (ADVICE): one submission dir with no CSVs must not abort the
+    whole multi-submission run — it records its own failure (rc=1) and
+    the remaining submissions still validate (per-submission isolation,
+    same model as validate_concurrent's error capture)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_submission as rs
+    finally:
+        sys.path.pop(0)
+    good = tmp_path / "good"
+    good.mkdir()
+    for name, content in _submission_csvs(1).items():
+        (good / name).write_text(content)
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    monkeypatch.setattr(sys, "argv",
+                        ["run_submission.py", str(good), str(empty)])
+    rc = rs.main()
+    out = capsys.readouterr().out
+    assert rc == 1                       # empty dir recorded as failure
+    assert f"no CSV sheets found in {empty}" in out
+    assert "loaded 2 sheets" in out      # the good one still validated
+    # single-dir mode keeps the hard exit-2 contract
+    monkeypatch.setattr(sys, "argv", ["run_submission.py", str(empty)])
+    assert rs.main() == 2

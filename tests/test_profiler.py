@@ -412,3 +412,23 @@ def test_fused_auto_counts_constraint_distincts(spark, sf_dir):
                               approx_distinct="auto")
     metrics = {r["metric"] for r in auto.collect()}
     assert "distinct_approx" in metrics and "distinct" not in metrics
+
+
+def test_fused_auto_ignores_approx_spelled_constraints(spark, sf_dir):
+    """r11 (ADVICE): 'auto' counts only exact-DISTINCT syntax toward the
+    Expand width — a constraint spelled approx_count_distinct adds no
+    Expand group and must not flip the decision. 40 approx-spelled
+    constraints + 1 profiled column stays narrow → exact distinct."""
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        Constraint, fused_quality_pass)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    approx_cons = [
+        Constraint("adx", "o_orderkey",
+                   "approx_count_distinct(o_orderkey) - "
+                   "approx_count_distinct(o_orderkey)",
+                   "0")
+        for _ in range(40)]
+    auto = fused_quality_pass(orders, approx_cons, columns=["o_orderkey"],
+                              approx_distinct="auto")
+    metrics = {r["metric"] for r in auto.collect()}
+    assert "distinct" in metrics and "distinct_approx" not in metrics

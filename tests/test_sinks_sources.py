@@ -1030,3 +1030,77 @@ def test_read_sheet_csv_gzip_with_multiline(spark, tmp_path):
     got = sorted((r["row_index"], r["Age"])
                  for r in read_sheet_csv(spark, p).collect())
     assert got == [(2, "30"), (3, "3\n1")]
+
+
+def test_upsert_fully_keyed_probe_hit_is_noop(spark, tmp_path):
+    """r11 (ADVICE): key covering every status column — re-running the
+    upsert must treat a probe hit as a no-op (the identical row already
+    exists), not execute an invalid empty-SET UPDATE."""
+    import sqlite3
+
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        upsert_job_status)
+    db = str(tmp_path / "jobs_fk.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE seen_files (orig_file_id TEXT, "
+                 "file_name TEXT)")
+    conn.commit()
+    conn.close()
+    status = spark.createDataFrame(
+        [("sub-1", "demographic.csv"), ("sub-1", "biospecimen.csv")],
+        "orig_file_id string, file_name string")
+    for _ in range(2):       # second run: every probe hits → no-op
+        upsert_job_status(status, _sqlite_factory(db), table="seen_files",
+                          key=["orig_file_id", "file_name"])
+    conn = sqlite3.connect(db)
+    got = conn.execute("SELECT orig_file_id, file_name, count(*) "
+                       "FROM seen_files GROUP BY 1, 2").fetchall()
+    conn.close()
+    assert sorted(got) == [("sub-1", "biospecimen.csv", 1),
+                           ("sub-1", "demographic.csv", 1)]
+
+
+def test_streaming_multiline_record_parity(spark, tmp_path):
+    """r11 (ADVICE): the streaming reader now carries the same multiLine
+    record semantics as the batch reader — a quoted field embedding a
+    newline in a landed sheet is ONE record, not phantom rows with
+    shifted row_index/findings."""
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream)
+    in_dir, cp, out = (str(tmp_path / d) for d in ("in", "cp", "out"))
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "demographic.csv"), "w") as f:
+        f.write('Research_Participant_ID,Age,Race\n'
+                '14_000001,999,"Wh\nite"\n'
+                '14_000002,31,Asian\n')
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    q = validate_stream(spark, in_dir, cp, "demographic.csv", cols, "14",
+                        out)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).collect()
+    vals = {(r["Column_Name"], r["Column_Value"]) for r in got}
+    # the embedded-newline value survives as one record's cell...
+    assert ("Race", "Wh\nite") in vals
+    assert ("Age", "999") in vals
+    # ...and no phantom row ('ite"' as a participant id) produced findings
+    assert not any('ite"' in (r["Column_Value"] or "")
+                   for r in got if r["Column_Name"]
+                   == "Research_Participant_ID")
+
+
+def test_read_sheet_csv_multiline_opt_out(spark, tmp_path):
+    """r11: multiline=False restores file splittability for huge
+    machine-generated CSVs known free of embedded newlines — same rows,
+    same row_index, on a newline-free file."""
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    p = str(tmp_path / "plain.csv")
+    with open(p, "w") as f:
+        f.write("Research_Participant_ID,Age\n"
+                "14_000001,30\n"
+                "14_000002,31\n"
+                "14_000003,32\n")
+    ml = {r["row_index"]: r["Age"]
+          for r in read_sheet_csv(spark, p).collect()}
+    nl = {r["row_index"]: r["Age"]
+          for r in read_sheet_csv(spark, p, multiline=False).collect()}
+    assert ml == nl == {2: "30", 3: "31", 4: "32"}

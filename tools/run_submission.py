@@ -133,23 +133,35 @@ def main() -> int:
     expected = static_expected_columns()
 
     loaded: dict[str, tuple] = {}
+    load_failed: list[str] = []
     for d in args.submission_dirs:
         kwargs, meta, sheets = _load(spark, d, cbc_map,
                                      not args.keep_reference_bugs,
                                      icd10, expected)
         if kwargs is None:
             print(f"no CSV sheets found in {d}")
-            return 2
+            if len(args.submission_dirs) == 1:
+                return 2
+            # Per-submission isolation: an empty dir records its own
+            # failure and the batch continues — same model as
+            # orchestrate.validate_concurrent's per-submission error
+            # capture, extended to the load phase.
+            load_failed.append(d)
+            continue
         print(f"{d}: loaded {len(sheets)} sheets: "
               f"{', '.join(sorted(sheets))}")
         if meta.get("cbc_id") not in (None, "0"):
             print(f"{d}: submission metadata: {meta}")
         loaded[d] = (kwargs, meta, sheets)
 
+    if not loaded:
+        return 2
+    rc = 1 if load_failed else 0
     if len(loaded) == 1:
         ((d, (kwargs, meta, sheets)),) = loaded.items()
         result = SubmissionValidator(spark, **kwargs).validate()
-        return 0 if _report(result, sheets, meta, d, args.out) else 1
+        ok = _report(result, sheets, meta, d, args.out)
+        return rc if ok else 1
 
     # Multi-submission: validate concurrently, then report serially (the
     # reports are driver-side prints; the heavy lifting overlapped in
@@ -160,7 +172,6 @@ def main() -> int:
     subs = {d: kwargs for d, (kwargs, _m, _s) in loaded.items()}
     out = validate_concurrent(spark, subs, max_parallel=max(1, args.jobs))
     out_names = _out_names(list(loaded))
-    rc = 0
     for d, (kwargs, meta, sheets) in loaded.items():
         oc = out[d]
         print(f"\n=== {d} ({oc.seconds:.1f}s) ===")
