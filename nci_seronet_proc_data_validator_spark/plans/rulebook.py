@@ -116,6 +116,43 @@ def _icd10_flag(column: str) -> str:
     return column + "__icd10_valid"
 
 
+#: (sheet, columns, cbc_id, drop_list, today, fix_bugs) → BoundSheet.
+#: Bounded by the rulebook's own shape: ~10 sheet names × the distinct
+#: (schema, cbc, date) combinations a session actually sees — entries
+#: are a few KB of pure-Python rule objects, never DataFrames.
+_BIND_CACHE: dict[tuple, "BoundSheet"] = {}
+
+
+def bind_sheet_rules_cached(sheet: str, columns: list[str], cbc_id: str,
+                            drop_list: list[str] | None = None,
+                            today: "datetime.date | None" = None,
+                            fix_reference_bugs: bool = True) -> "BoundSheet":
+    """Memoized :func:`bind_sheet_rules` for hot per-submission paths.
+
+    Binding + the downstream 459-check SQL render are pure CPU repeated
+    verbatim for every submission that shares a sheet schema — the
+    serial driver-build fraction that Amdahl-bounds concurrent
+    multi-submission orchestration (BENCH_NOTES r10). The key includes
+    everything the binding reads; ``today=None`` is resolved BEFORE
+    keying so a long-lived session can't serve yesterday's expiration
+    cutoffs after midnight.
+
+    The returned ``BoundSheet`` is SHARED — callers must treat it as
+    immutable (all in-repo callers only read it; the SQL render cache
+    ``sheet_findings_sql_cached`` attaches lives on the instance and is
+    itself keyed).
+    """
+    today = today or datetime.date.today()
+    key = (sheet, tuple(columns), cbc_id, tuple(drop_list or []),
+           today, fix_reference_bugs)
+    got = _BIND_CACHE.get(key)
+    if got is None:
+        got = _BIND_CACHE[key] = bind_sheet_rules(
+            sheet, columns, cbc_id, drop_list=drop_list, today=today,
+            fix_reference_bugs=fix_reference_bugs)
+    return got
+
+
 def bind_sheet_rules(sheet: str, columns: list[str], cbc_id: str,
                      drop_list: list[str] | None = None,
                      today: datetime.date | None = None,

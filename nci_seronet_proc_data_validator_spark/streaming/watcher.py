@@ -85,7 +85,7 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         with_typed_shadows)
     from nci_seronet_proc_data_validator_spark.plans.rulebook import (
-        bind_sheet_rules)
+        bind_sheet_rules_cached)
     from nci_seronet_proc_data_validator_spark.plans.rules import (
         compile_sheet_findings)
 
@@ -115,8 +115,11 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
         df = df.withColumn("row_index",
                            F.monotonically_increasing_id() + 2)
         df = with_typed_shadows(df)
-        bound = bind_sheet_rules(sheet_name, columns, cbc_id,
-                                 **(bind_kwargs or {}))
+        # Memoized: long-lived watchers re-bind identical rules every
+        # microbatch; the cache keys on (sheet, columns, cbc, date) so a
+        # midnight rollover still refreshes expiration cutoffs.
+        bound = bind_sheet_rules_cached(sheet_name, columns, cbc_id,
+                                        **(bind_kwargs or {}))
         if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
             df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
         findings = compile_sheet_findings(df, sheet_name, bound.column_rules)

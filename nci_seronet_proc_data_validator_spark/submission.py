@@ -37,13 +37,13 @@ from nci_seronet_proc_data_validator_spark.operators.joins import (
 from nci_seronet_proc_data_validator_spark.operators.typing import with_typed_shadows
 from nci_seronet_proc_data_validator_spark.plans.rulebook import (
     BoundSheet,
-    bind_sheet_rules,
+    bind_sheet_rules_cached,
     _icd10_flag,
 )
 from nci_seronet_proc_data_validator_spark.plans.rules import (
     compile_sheet_findings,
     dup_id_findings,
-    sheet_findings_sql,
+    sheet_findings_sql_cached,
 )
 from nci_seronet_proc_data_validator_spark.sources.readers import cleanup_sheet
 
@@ -172,9 +172,14 @@ class SubmissionValidator:
             original_cols = [c for c in df.columns if c != "row_index"]
             enriched, drop_list = merge_tables(name, df, merged)
             enriched = with_typed_shadows(enriched)
-            bound = bind_sheet_rules(name, original_cols, self.cbc_id,
-                                     drop_list=drop_list, today=self.today,
-                                     fix_reference_bugs=self.fix_reference_bugs)
+            # Memoized: submissions 2..N sharing this sheet schema skip
+            # both the rule binding and the 459-check SQL render below —
+            # the serial driver-build fraction that Amdahl-bounds
+            # concurrent orchestration (BENCH_NOTES r10/r11).
+            bound = bind_sheet_rules_cached(
+                name, original_cols, self.cbc_id,
+                drop_list=drop_list, today=self.today,
+                fix_reference_bugs=self.fix_reference_bugs)
             # Dependency columns referenced by rules but absent (e.g. the
             # SARS column when prior_clinical_test wasn't submitted and no
             # DB fallback exists) — default to '' so predicates resolve.
@@ -192,8 +197,8 @@ class SubmissionValidator:
                 view = f"__submission_{run_id}_{len(view_names)}"
                 enriched.createOrReplaceTempView(view)
                 view_names.append(view)
-                sql_legs.extend(sheet_findings_sql(view, name,
-                                                   bound.column_rules))
+                sql_legs.extend(sheet_findings_sql_cached(view, name,
+                                                          bound))
             else:   # Column-valued checks force the classic compile path
                 parts.append(compile_sheet_findings(enriched, name,
                                                     bound.column_rules))

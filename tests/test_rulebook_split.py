@@ -116,3 +116,34 @@ def test_sheet_findings_sql_matches_dataframe_compile(spark):
     assert _rows(spark.sql(dup_id_findings_sql("__t_rb_split",
                                                spec.sheet, col))) == \
         _rows(dup_id_findings(df, spec.sheet, col))
+
+
+def test_bind_cache_identity_and_render_parity():
+    """r11: bind_sheet_rules_cached shares one BoundSheet per
+    (sheet, schema, cbc, date) key and the memoized SQL render is
+    byte-identical to the direct render with the real view name."""
+    import datetime
+
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules, bind_sheet_rules_cached)
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        sheet_findings_sql, sheet_findings_sql_cached)
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    today = datetime.date(2026, 1, 1)
+    a = bind_sheet_rules_cached("demographic.csv", cols, "14", today=today)
+    b = bind_sheet_rules_cached("demographic.csv", cols, "14", today=today)
+    assert a is b                          # submission 2..N share the bind
+    c = bind_sheet_rules_cached("demographic.csv", cols, "41", today=today)
+    assert c is not a                      # cbc is part of the key
+    d = bind_sheet_rules_cached("demographic.csv", cols, "14",
+                                today=datetime.date(2026, 1, 2))
+    assert d is not a                      # date rollover refreshes cutoffs
+
+    direct = sheet_findings_sql("__v1", "demographic.csv",
+                                bind_sheet_rules("demographic.csv", cols,
+                                                 "14", today=today)
+                                .column_rules)
+    cached1 = sheet_findings_sql_cached("__v1", "demographic.csv", a)
+    cached2 = sheet_findings_sql_cached("__v2", "demographic.csv", a)
+    assert cached1 == direct               # same text, real view name
+    assert [t.replace("__v2", "__v1") for t in cached2] == direct

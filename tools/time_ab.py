@@ -34,12 +34,23 @@ import time
 PKG = "nci_seronet_proc_data_validator_spark"
 
 
+def _pkg_modules() -> dict:
+    return {m: sys.modules[m] for m in list(sys.modules)
+            if m == PKG or m.startswith(PKG + ".")}
+
+
 def _load_tree(path: str, queries: list[str]):
-    """Import ``driver_queries`` from ``path`` and return {name: fn}."""
+    """Import ``driver_queries`` from ``path``; return ({name: fn},
+    module snapshot). The snapshot matters because query functions use
+    FUNCTION-BODY lazy imports (``from ...operators.x import y`` inside
+    the callable), which resolve against ``sys.modules`` at CALL time —
+    without re-installing the tree's own modules around each run, tree
+    2's queries would silently call tree 1's operators (r11 fix: the
+    r10 tree's ``q_semdedup_pinned`` crashed on the r9 tree's
+    ``semdedup`` signature, proving the leak)."""
     path = os.path.abspath(path)
-    purged = {m: sys.modules.pop(m) for m in list(sys.modules)
-              if m == PKG or m.startswith(PKG + ".")}
-    del purged  # function objects captured earlier keep these alive
+    for m in list(_pkg_modules()):
+        del sys.modules[m]
     sys.path.insert(0, path)
     try:
         dq = importlib.import_module(PKG + ".driver_queries")
@@ -51,7 +62,7 @@ def _load_tree(path: str, queries: list[str]):
             if fn is None:
                 fn = dq.QUERIES[q][0]
             out[q] = fn
-        return out
+        return out, _pkg_modules()
     finally:
         sys.path.remove(path)
 
@@ -68,37 +79,50 @@ def main() -> int:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
-    arms = {}  # label -> {query: fn}
+    arms = {}   # label -> {query: fn}
+    snaps = {}  # label -> package-module snapshot
+    paths = {}
     labels = []
     for spec in args.trees:
         label, _, path = spec.partition("=")
         labels.append(label)
-        arms[label] = _load_tree(path, args.queries)
+        arms[label], snaps[label] = _load_tree(path, args.queries)
+        paths[label] = os.path.abspath(path)
+
+    def activate(lb: str) -> None:
+        """Install tree ``lb``'s package modules and path so CALL-TIME
+        lazy imports (function-body ``from ... import``) resolve inside
+        the right tree — without this, every arm's lazy imports hit
+        whichever tree loaded last (r11 fix)."""
+        for m in list(_pkg_modules()):
+            del sys.modules[m]
+        sys.modules.update(snaps[lb])
+        sys.path[:] = [p for p in sys.path if p not in paths.values()]
+        sys.path.insert(0, paths[lb])
 
     # session from the FIRST tree (confs identical across rounds; a conf
-    # difference would itself be a code change worth flagging). After the
-    # _load_tree loop sys.modules still holds the LAST tree's package, so
-    # purge it again — otherwise this import hits the module cache and
-    # the session would silently build under tree 2's confs (advisor r9).
-    for m in [m for m in sys.modules
-              if m == PKG or m.startswith(PKG + ".")]:
-        del sys.modules[m]
-    tree1 = os.path.abspath(args.trees[0].partition("=")[2])
-    sys.path.insert(0, tree1)
-    import nci_seronet_proc_data_validator_spark as _pkg  # noqa: E402
-    assert _pkg.__file__ and _pkg.__file__.startswith(tree1), (
-        f"session package resolved to {_pkg.__file__}, wanted {tree1}")
+    # difference would itself be a code change worth flagging).
+    activate(labels[0])
+    _pkg = sys.modules[PKG]
+    assert _pkg.__file__ and _pkg.__file__.startswith(paths[labels[0]]), (
+        f"session package resolved to {_pkg.__file__}")
     spark = _pkg.get_spark("time_ab", cpus=args.cpus)
 
     samples: dict[tuple[str, str], list[float]] = {
         (q, lb): [] for q in args.queries for lb in labels}
 
     def run(q: str, lb: str) -> float:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        arms[lb][q](spark, args.sf).write.format("noop") \
-            .mode("overwrite").save()
-        return time.time() - t0
+        activate(lb)
+        try:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            arms[lb][q](spark, args.sf).write.format("noop") \
+                .mode("overwrite").save()
+            return time.time() - t0
+        finally:
+            # adopt any modules the call lazily imported, so the next
+            # activation of this tree reuses them
+            snaps[lb] = _pkg_modules()
 
     # warmup: one pass per (query, arm) so codegen/JIT lands outside
     # sample 0 of either arm
