@@ -154,12 +154,13 @@ def cleanup_sheet(df: DataFrame,
     out = df.select(*keep, ROW_INDEX_COL)
     if not fix_reference_bugs:
         return out
-    any_filled = None
-    for c in keep:
-        pred = F.col(c) != F.lit("")
-        any_filled = pred if any_filled is None else (any_filled | pred)
-    if any_filled is not None:
-        out = out.filter(any_filled)
+    if keep:
+        # One SQL-text predicate, not a per-column Column chain: each
+        # F.col()/!=/| is a py4j round-trip, and this runs per sheet on
+        # the serial driver-build path (cProfile r11: the Column chain
+        # was ~0.5 s of a 1.6 s submission build at 3 sheets).
+        bq = [("`" + c.replace("`", "``") + "`") for c in keep]
+        out = out.filter(" OR ".join(f"{c} != ''" for c in bq))
     return out
 
 

@@ -43,6 +43,7 @@ from nci_seronet_proc_data_validator_spark.plans.rulebook import (
 from nci_seronet_proc_data_validator_spark.plans.rules import (
     compile_sheet_findings,
     dup_id_findings,
+    dup_id_findings_sql,
     sheet_findings_sql_cached,
 )
 from nci_seronet_proc_data_validator_spark.sources.readers import cleanup_sheet
@@ -202,8 +203,20 @@ class SubmissionValidator:
             else:   # Column-valued checks force the classic compile path
                 parts.append(compile_sheet_findings(enriched, name,
                                                     bound.column_rules))
-            for c in bound.dup_id_columns:
-                parts.append(dup_id_findings(df, name, c))
+            if bound.dup_id_columns and texty:
+                # SQL-text twin over a view of the CLEAN sheet (not the
+                # enriched one: enrichment joins must not influence dup
+                # multiplicity) — joins the one-statement assembly below
+                # instead of paying a per-leg DataFrame analysis
+                # (cProfile r11: ~0.26 s of the submission build).
+                dview = f"__submission_{run_id}_d{len(view_names)}"
+                df.createOrReplaceTempView(dview)
+                view_names.append(dview)
+                sql_legs.extend(dup_id_findings_sql(dview, name, c)
+                                for c in bound.dup_id_columns)
+            else:
+                for c in bound.dup_id_columns:
+                    parts.append(dup_id_findings(df, name, c))
             if bound.registers_participants:
                 part_sheets.append((name, df, bound))
             if bound.registers_biospecimens:
