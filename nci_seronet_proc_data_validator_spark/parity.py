@@ -727,10 +727,19 @@ def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # finding multiset is).
     watch_arm = _watch_arm(spark, sf_dir)
 
+    # Restart-recovery on-disk contract (r11): crash the watcher in the
+    # at-least-once replay window (after the epoch's findings write,
+    # before its checkpoint commit), restart, drain — then read the SINK
+    # DIRECTORY back and hash it against the batch-compile SQL twin. The
+    # pytest recovery matrix proves findings-multiset equivalence at the
+    # DataFrame level; this arm oracle-checks the replayed epoch-keyed
+    # parquet layout itself (streaming/watcher.py:49-83).
+    recovery_arm = _recovery_arm(spark, sf_dir)
+
     return (rollup_arm.unionByName(dedup_arm).unionByName(enrich_arm)
             .unionByName(sessions_arm).unionByName(funnel_arm)
             .unionByName(interval_arm).unionByName(cdc_arm)
-            .unionByName(watch_arm)
+            .unionByName(watch_arm).unionByName(recovery_arm)
             .orderBy("arm", "k", "s"))
 
 
@@ -761,6 +770,66 @@ def _watch_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "Error_Message")
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit("watch").alias("arm"),
+                    F.lit(-1).cast("bigint").alias("k"),
+                    F.concat_ws("|", "Message_Type", "Column_Name",
+                                "Column_Value", "Error_Message").alias("s"),
+                    F.col("n"), F.lit(None).cast("double").alias("v")))
+
+
+def _recovery_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watch arm under an injected crash/replay: 4 staged CSV files,
+    2 per trigger → 2 epochs; the status_cb raises on the SECOND batch
+    after its findings are on disk but before the checkpoint commit (the
+    at-least-once window), a restarted query replays that epoch into the
+    same sink (dynamic partition overwrite of its own ``epoch=`` dir),
+    and the read-back multiset must equal the batch compile — no
+    duplicate from the half-committed write, no gap."""
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        EQUIPMENT,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        CBC_ID,
+        FIXED_TODAY,
+    )
+    from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+        validate_stream,
+    )
+    spec = EQUIPMENT
+    in_dir, cp, out = (_tmpdir(f"recov_{t}") for t in ("in", "cp", "out"))
+    (read_table(spark, sf_dir, spec.base)
+     .selectExpr(*[f"CAST({e} AS STRING) AS {c}"
+                   for c, e in spec.columns.items()])
+     .repartition(4)
+     .write.mode("overwrite").option("header", "true").csv(in_dir))
+    bind_kwargs = {"drop_list": list(spec.drop_list), "today": FIXED_TODAY}
+    seen: list[int] = []
+
+    def crash_on_second(_findings, epoch_id):
+        seen.append(epoch_id)
+        if len(seen) == 2:
+            raise RuntimeError(
+                "injected crash after findings write, before commit")
+
+    q = validate_stream(spark, in_dir, cp, spec.sheet, list(spec.columns),
+                        CBC_ID, out, bind_kwargs=bind_kwargs,
+                        status_cb=crash_on_second, max_files_per_trigger=2)
+    try:
+        q.awaitTermination(600)
+    except Exception:
+        pass          # the injected crash surfaces as a query exception
+    if q.isActive:    # defensive: never leave a zombie stream behind
+        q.stop()
+    # restart from the SAME checkpoint: the uncommitted epoch replays
+    # with the same id, overwriting its own partition, then drains
+    q2 = validate_stream(spark, in_dir, cp, spec.sheet, list(spec.columns),
+                         CBC_ID, out, bind_kwargs=bind_kwargs,
+                         max_files_per_trigger=2)
+    q2.awaitTermination(600)
+    return (spark.read.parquet(out)
+            .groupBy("Message_Type", "Column_Name", "Column_Value",
+                     "Error_Message")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("recovery").alias("arm"),
                     F.lit(-1).cast("bigint").alias("k"),
                     F.concat_ws("|", "Message_Type", "Column_Name",
                                 "Column_Value", "Error_Message").alias("s"),
@@ -825,14 +894,14 @@ def sql_streaming_parity() -> str:
     watch_sels = "\n  UNION ALL\n".join(
         _column_select(name, spec.sheet, cr.column, cr.checks)
         for cr in bound.column_rules)
-    watch_arm = f"""
+    watch_arm = "".join(f"""
   UNION ALL
-  SELECT 'watch', CAST(-1 AS BIGINT),
+  SELECT '{tag}', CAST(-1 AS BIGINT),
          Message_Type || '|' || Column_Name || '|' || Column_Value
          || '|' || Error_Message,
          count(*), NULL
-  FROM ({watch_sels}) w
-  GROUP BY 1, 2, 3"""
+  FROM ({watch_sels}) {tag[0]}w
+  GROUP BY 1, 2, 3""" for tag in ("watch", "recovery"))
     return (_SQL_STREAMING_HEAD
             + f",\n{name} AS MATERIALIZED ({fixture_sheet_cte(spec)})\n"
             + _SQL_STREAMING_BODY + watch_arm
