@@ -325,6 +325,132 @@ def biospecimen_cross_findings(spine: DataFrame, cbc_id: str,
             .dropDuplicates())
 
 
+# --- SQL-text twins of the cross-sheet decoders (r11) ---------------------
+# Generated-SQL forms of outer_join_spine + participant/biospecimen decode
+# for the per-submission driver-build hot path: the Column-object
+# composition above costs ~0.35 s of py4j round-trips per submission
+# (cProfile r11) repeated for every submission; one rendered statement
+# parses and analyzes once. The DataFrame functions stay as the
+# oracle-checked reference implementations (j3/j4 queries);
+# tests/test_cross_sheet.py pins text/DataFrame equivalence, including
+# duplicate-key multiplicity and missing-source legs.
+
+
+def _sql_str(v: str) -> str:
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _cross_spine_from(legs: list[tuple[str, str, list[str]]],
+                      key: str) -> str:
+    """FROM-clause text: chained FULL OUTER JOIN ... USING(key) of tagged
+    projections — the exact join shape (and key-coalescing and
+    duplicate-key multiplicity) of :func:`outer_join_spine`, projected to
+    the columns the decoders read."""
+    parts = []
+    for i, (name, view, extras) in enumerate(legs):
+        sel = [key, f"TRUE AS {_indicator(name)}", *extras]
+        parts.append(f"(SELECT {', '.join(sel)} FROM {view}) s{i}")
+    out = parts[0]
+    for p_ in parts[1:]:
+        out += f" FULL OUTER JOIN {p_} USING ({key})"
+    return out
+
+
+def _ind_sql(name: str, have: set[str]) -> str:
+    """Indicator expression: coalesce(flag, FALSE) for joined sources
+    (outer_join_spine's na.fill), FALSE literal for missing ones
+    (_fill_missing_indicators)."""
+    return (f"coalesce({_indicator(name)}, FALSE)"
+            if name in have else "FALSE")
+
+
+def participant_cross_sql(views: dict[str, str | None], cbc_id: str,
+                          submitted_view: str | None) -> str:
+    """Text twin of :func:`participant_cross_findings` over temp views of
+    the participant Merged_Tables (None = sheet not submitted, indicator
+    pinned FALSE)."""
+    key = "Research_Participant_ID"
+    order = ["prior_clinical_test.csv", "demographic.csv",
+             "biospecimen.csv", "confirmatory_clinical_test.csv"]
+    have = {n for n in order if views.get(n) is not None}
+    legs = [(n, views[n], []) for n in order if n in have]
+    ind = {n: _ind_sql(n, have) for n in order}
+    any_missing = ("NOT (" + " AND ".join(ind[n] for n in order) + ")")
+    whens = "".join(
+        f" WHEN {ind['prior_clinical_test.csv']} = {p}"
+        f" AND {ind['demographic.csv']} = {d}"
+        f" AND {ind['biospecimen.csv']} = {b}"
+        f" THEN {_sql_str(text)}"
+        for (p, d, b), text in _PART_PATTERNS).replace(
+            "= True", "= TRUE").replace("= False", "= FALSE")
+    semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {key} FROM"
+            f" {submitted_view}) sub USING ({key})"
+            if submitted_view is not None else "")
+    hint = " /*+ BROADCAST(sub) */" if semi else ""
+    return (
+        f"SELECT DISTINCT 'Error' AS Message_Type,"
+        f" 'Cross_Participant_ID.csv' AS CSV_Sheet_Name,"
+        f" CAST({ROW_CROSS_SHEET} AS BIGINT) AS Row_Index,"
+        f" {_sql_str(key)} AS Column_Name,"
+        f" CAST({key} AS STRING) AS Column_Value,"
+        f" _msg AS Error_Message"
+        f" FROM (SELECT{hint} {key}, CASE{whens} END AS _msg"
+        f" FROM (SELECT * FROM {_cross_spine_from(legs, key)}"
+        f" WHERE {key} RLIKE {_sql_str('^' + cbc_id + '[_]{1}[0-9]{6}$')}"
+        f" AND {any_missing}){semi}) WHERE _msg IS NOT NULL")
+
+
+def biospecimen_cross_sql(views: dict[str, str | None], cbc_id: str,
+                          submitted_view: str | None,
+                          type_sources: set[str] = frozenset()) -> str:
+    """Text twin of :func:`biospecimen_cross_findings`. ``type_sources``
+    — which submitted sources actually carry ``Biospecimen_Type`` (the
+    outer-join spine would carry it from them); empty set renders the
+    ``''`` fill of the DataFrame path."""
+    key = "Biospecimen_ID"
+    order = ["biospecimen.csv"] + [s for s, _ in _BIO_TABLES]
+    have = {n for n in order if views.get(n) is not None}
+    legs = [(n, views[n],
+             ["Biospecimen_Type"] if n in type_sources else [])
+            for n in order if n in have]
+    ind = {n: _ind_sql(n, have) for n in order}
+    all_present = " AND ".join(ind[n] for n in order)
+    bio = ind["biospecimen.csv"]
+    btype = ("Biospecimen_Type" if (type_sources & have) else "''")
+    is_pbmc = f"({btype} = 'PBMC')"
+    cands = []
+    for source, display in _BIO_TABLES:
+        in_t = ind[source]
+        cands.append(f"CASE WHEN {in_t} AND NOT {bio} THEN "
+                     f"{_sql_str(_BIO_MSG_IN_T_NOT_BIO.format(display=display))} END")
+        if source == "aliquot.csv":
+            cands.append(f"CASE WHEN {bio} AND NOT {in_t} THEN "
+                         f"{_sql_str(_BIO_MSG_BIO_NOT_T.format(display=display))} END")
+        else:
+            cands.append(
+                f"CASE WHEN {in_t} AND {bio} AND NOT {is_pbmc} THEN "
+                f"{_sql_str(_BIO_MSG_NOT_PBMC.format(display=display))} END")
+            cands.append(
+                f"CASE WHEN NOT {in_t} AND {bio} AND {is_pbmc} THEN "
+                f"{_sql_str(_BIO_MSG_PBMC_MISSING.format(display=display))} END")
+    semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {key} FROM"
+            f" {submitted_view}) sub USING ({key})"
+            if submitted_view is not None else "")
+    hint = " /*+ BROADCAST(sub) */" if semi else ""
+    id_re = "^" + cbc_id + "[_]{1}[0-9]{6}[_]{1}[0-9]{3}$"
+    return (
+        f"SELECT DISTINCT 'Error' AS Message_Type,"
+        f" 'Cross_Biospecimen_ID.csv' AS CSV_Sheet_Name,"
+        f" CAST({ROW_CROSS_SHEET} AS BIGINT) AS Row_Index,"
+        f" {_sql_str(key)} AS Column_Name,"
+        f" CAST({key} AS STRING) AS Column_Value,"
+        f" _msg AS Error_Message"
+        f" FROM (SELECT{hint} {key}, coalesce({', '.join(cands)}) AS _msg"
+        f" FROM (SELECT * FROM {_cross_spine_from(legs, key)}"
+        f" WHERE {key} RLIKE {_sql_str(id_re)}"
+        f" AND NOT ({all_present})){semi}) WHERE _msg IS NOT NULL")
+
+
 def icd10_flag_join(df: DataFrame, column: str, icd10_codes: DataFrame,
                     flag_col: str) -> DataFrame:
     """J8: broadcast left join against the ICD-10 code table; ``flag_col``

@@ -27,12 +27,9 @@ from nci_seronet_proc_data_validator_spark.errors import (
     union_findings,
 )
 from nci_seronet_proc_data_validator_spark.operators.joins import (
-    biospecimen_cross_findings,
     icd10_flag_join,
     merge_tables,
     merged_table,
-    outer_join_spine,
-    participant_cross_findings,
 )
 from nci_seronet_proc_data_validator_spark.operators.typing import with_typed_shadows
 from nci_seronet_proc_data_validator_spark.plans.rulebook import (
@@ -261,43 +258,55 @@ class SubmissionValidator:
 
     def _cross_sheet_findings(self, clean: dict[str, DataFrame],
                               merged: dict[str, DataFrame]) -> list[DataFrame]:
+        """Cross-sheet ID reconciliation via the generated-SQL twins of
+        outer_join_spine + the presence decoders (r11): the Column-object
+        composition cost ~0.35 s of py4j round-trips per submission on
+        the serial driver-build path; one rendered statement analyzes
+        once. Equivalence (incl. duplicate-key multiplicity and missing
+        sources) pinned by tests/test_cross_sheet.py."""
+        from nci_seronet_proc_data_validator_spark.operators.joins import (
+            biospecimen_cross_sql,
+            participant_cross_sql,
+        )
+        import uuid as _uuid
+        run = _uuid.uuid4().hex[:8]
+        views: list[str] = []
+
+        def reg(df: DataFrame, tag: str) -> str:
+            v = f"__cross_{run}_{tag}"
+            df.createOrReplaceTempView(v)
+            views.append(v)
+            return v
+
         out = []
         part_sources = {s: merged.get(s) for s in
                         ("prior_clinical_test.csv", "demographic.csv",
                          "biospecimen.csv", "confirmatory_clinical_test.csv")}
         if sum(v is not None for v in part_sources.values()) >= 2:
-            spine = outer_join_spine(
-                {k: v for k, v in part_sources.items() if v is not None},
-                "Research_Participant_ID")
-            spine = self._fill_missing_indicators(
-                spine, part_sources, "Research_Participant_ID")
+            pviews = {n: (reg(src, f"p{i}") if src is not None else None)
+                      for i, (n, src) in enumerate(part_sources.items())}
             submitted = self._submitted_ids(clean, part_sources,
                                             "Research_Participant_ID")
-            out.append(participant_cross_findings(spine, self.cbc_id,
-                                                  submitted))
+            sv = reg(submitted, "psub") if submitted is not None else None
+            out.append(self.spark.sql(
+                participant_cross_sql(pviews, self.cbc_id, sv)))
         bio_sources = {s: merged.get(s) for s in
                        ("biospecimen.csv", "aliquot.csv", "equipment.csv",
                         "reagent.csv", "consumable.csv")}
         if sum(v is not None for v in bio_sources.values()) >= 2:
-            spine = outer_join_spine(
-                {k: v for k, v in bio_sources.items() if v is not None},
-                "Biospecimen_ID")
-            spine = self._fill_missing_indicators(spine, bio_sources,
-                                                  "Biospecimen_ID")
-            if "Biospecimen_Type" not in spine.columns:
-                spine = spine.withColumn("Biospecimen_Type", F.lit(""))
+            bviews = {n: (reg(src, f"b{i}") if src is not None else None)
+                      for i, (n, src) in enumerate(bio_sources.items())}
+            type_sources = {n for n, src in bio_sources.items()
+                            if src is not None
+                            and "Biospecimen_Type" in src.columns}
             submitted = self._submitted_ids(clean, bio_sources,
                                             "Biospecimen_ID")
-            out.append(biospecimen_cross_findings(spine, self.cbc_id,
-                                                  submitted))
+            sv = reg(submitted, "bsub") if submitted is not None else None
+            out.append(self.spark.sql(biospecimen_cross_sql(
+                bviews, self.cbc_id, sv, type_sources=type_sources)))
+        for v in views:      # resolved eagerly by spark.sql above
+            self.spark.catalog.dropTempView(v)
         return out
-
-    def _fill_missing_indicators(self, spine, sources, key):
-        from nci_seronet_proc_data_validator_spark.operators.joins import _indicator
-        for name, src in sources.items():
-            if src is None:
-                spine = spine.withColumn(_indicator(name), F.lit(False))
-        return spine
 
     def _submitted_ids(self, clean, sources, key) -> DataFrame | None:
         """Union of IDs present in SUBMITTED sheets (get_submitted_ids

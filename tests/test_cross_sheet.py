@@ -182,3 +182,101 @@ def test_enrichment_skips_columns_the_sheet_already_has(spark):
                 if r["Column_Name"] == "SARS_CoV_2_PCR_Test_Result"
                 and r["Column_Value"] == "Positive"
                 and r["CSV_Sheet_Name"] == "demographic.csv"]
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_cross_sql_twins_match_dataframe_path(spark):
+    """r11: the generated-SQL cross-sheet decoders (driver-build hot
+    path) return exactly the DataFrame functions' rows — including
+    duplicate-key multiplicity, a missing source leg, blank keys, and
+    the PBMC type decode."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        biospecimen_cross_findings,
+        biospecimen_cross_sql,
+        outer_join_spine,
+        participant_cross_findings,
+        participant_cross_sql,
+    )
+    from pyspark.sql import functions as F
+
+    def df_ids(ids, extra=None):
+        rows = [(i,) if extra is None else (i, extra.get(i, ""))
+                for i in ids]
+        schema = ("Research_Participant_ID string" if extra is None
+                  else "Biospecimen_ID string, Biospecimen_Type string")
+        if extra is None:
+            schema = "Research_Participant_ID string"
+        return spark.createDataFrame(rows, schema)
+
+    # participant: 3 of 4 sources submitted (confirmatory missing),
+    # dup key in prior, one malformed id, one blank
+    prior = df_ids(["14_000001", "14_000001", "14_000002", "bad", ""])
+    demo = df_ids(["14_000002", "14_000003"])
+    bio = spark.createDataFrame(
+        [("14_000003", "x", "PBMC"), ("14_000004", "y", "Serum")],
+        "Research_Participant_ID string, Biospecimen_ID string, "
+        "Biospecimen_Type string")
+    sources = {"prior_clinical_test.csv": prior, "demographic.csv": demo,
+               "biospecimen.csv": bio,
+               "confirmatory_clinical_test.csv": None}
+    spine = outer_join_spine(
+        {k: v for k, v in sources.items() if v is not None},
+        "Research_Participant_ID")
+    spine = spine.withColumn("__in_confirmatory_clinical_test_csv",
+                             F.lit(False))
+    submitted = df_ids(["14_000001", "14_000002", "14_000003",
+                        "14_000004"])
+    want = participant_cross_findings(spine, "14", submitted)
+
+    views = {}
+    for n, src in sources.items():
+        if src is None:
+            views[n] = None
+        else:
+            v = "t_" + n.replace(".", "_")
+            src.createOrReplaceTempView(v)
+            views[n] = v
+    submitted.createOrReplaceTempView("t_submitted_p")
+    got = spark.sql(participant_cross_sql(views, "14", "t_submitted_p"))
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+    # without the submitted restriction
+    want2 = participant_cross_findings(spine, "14", None)
+    got2 = spark.sql(participant_cross_sql(views, "14", None))
+    assert _rows(got2) == _rows(want2)
+
+    # biospecimen: bio + aliquot + equipment submitted (reagent,
+    # consumable missing); PBMC and non-PBMC; dup key in aliquot
+    bio2 = spark.createDataFrame(
+        [("14_000001_001", "PBMC"), ("14_000001_002", "Serum"),
+         ("14_000001_003", "PBMC")],
+        "Biospecimen_ID string, Biospecimen_Type string")
+    aliq = spark.createDataFrame(
+        [("14_000001_001",), ("14_000001_001",), ("14_000001_004",)],
+        "Biospecimen_ID string")
+    equip = spark.createDataFrame(
+        [("14_000001_002",), ("14_000001_001",)], "Biospecimen_ID string")
+    bsources = {"biospecimen.csv": bio2, "aliquot.csv": aliq,
+                "equipment.csv": equip, "reagent.csv": None,
+                "consumable.csv": None}
+    bspine = outer_join_spine(
+        {k: v for k, v in bsources.items() if v is not None},
+        "Biospecimen_ID")
+    for n in ("reagent.csv", "consumable.csv"):
+        bspine = bspine.withColumn("__in_" + n.replace(".", "_"),
+                                   F.lit(False))
+    bwant = biospecimen_cross_findings(bspine, "14", None)
+    bviews = {}
+    for n, src in bsources.items():
+        if src is None:
+            bviews[n] = None
+        else:
+            v = "tb_" + n.replace(".", "_")
+            src.createOrReplaceTempView(v)
+            bviews[n] = v
+    bgot = spark.sql(biospecimen_cross_sql(
+        bviews, "14", None, type_sources={"biospecimen.csv"}))
+    assert _rows(bgot) == _rows(bwant) and bgot.count() > 0
