@@ -84,10 +84,17 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     """
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         with_typed_shadows)
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        warn_nonsplittable_csv)
     from nci_seronet_proc_data_validator_spark.plans.rulebook import (
         bind_sheet_rules_cached)
     from nci_seronet_proc_data_validator_spark.plans.rules import (
         compile_sheet_findings)
+
+    # The multiLine option below makes each landed file single-task;
+    # flag any oversized file already sitting in the watched dir (files
+    # landing later are the deployment's own sizing concern).
+    warn_nonsplittable_csv(input_dir)
 
     schema = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in columns])

@@ -211,3 +211,33 @@ def test_warn_nonsplittable_csv(tmp_path):
     with pytest.warns(ScaleHazardWarning):
         assert len(warn_nonsplittable_csv(
             [str(big), str(small)], budget_bytes=1024)) == 1
+
+
+def test_validate_stream_flags_oversized_staged_csv(tmp_path, monkeypatch):
+    """r11: the watcher's multiLine reader is single-task per file too —
+    an oversized CSV already staged in the watched dir warns at stream
+    creation. Patched budget; no stream is actually started (the warn
+    fires before the readStream builds, so we intercept there)."""
+    from nci_seronet_proc_data_validator_spark.plans import advisor
+
+    calls = []
+    monkeypatch.setattr(advisor, "NONSPLITTABLE_CSV_BUDGET", 64)
+    real = advisor.warn_nonsplittable_csv
+
+    def spy(paths, budget_bytes=64):
+        calls.append(paths)
+        return real(paths, budget_bytes=budget_bytes)
+
+    monkeypatch.setattr(advisor, "warn_nonsplittable_csv", spy)
+    big = tmp_path / "watched"
+    big.mkdir()
+    (big / "huge.csv").write_text("h\n" + "row\n" * 100)
+    from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+        validate_stream)
+    with pytest.warns(ScaleHazardWarning, match="non-splittable-csv"):
+        try:
+            validate_stream(None, str(big), "/tmp/x", "demographic.csv",
+                            ["A"], "14", "/tmp/y")
+        except AttributeError:
+            pass     # spark=None: dies right after the advisor check
+    assert calls == [str(big)]
