@@ -376,13 +376,14 @@ def participant_cross_sql(views: dict[str, str | None], cbc_id: str,
     legs = [(n, views[n], []) for n in order if n in have]
     ind = {n: _ind_sql(n, have) for n in order}
     any_missing = ("NOT (" + " AND ".join(ind[n] for n in order) + ")")
+    def _b(v: bool) -> str:
+        return "TRUE" if v else "FALSE"
     whens = "".join(
-        f" WHEN {ind['prior_clinical_test.csv']} = {p}"
-        f" AND {ind['demographic.csv']} = {d}"
-        f" AND {ind['biospecimen.csv']} = {b}"
+        f" WHEN {ind['prior_clinical_test.csv']} = {_b(p)}"
+        f" AND {ind['demographic.csv']} = {_b(d)}"
+        f" AND {ind['biospecimen.csv']} = {_b(b)}"
         f" THEN {_sql_str(text)}"
-        for (p, d, b), text in _PART_PATTERNS).replace(
-            "= True", "= TRUE").replace("= False", "= FALSE")
+        for (p, d, b), text in _PART_PATTERNS)
     semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {key} FROM"
             f" {submitted_view}) sub USING ({key})"
             if submitted_view is not None else "")

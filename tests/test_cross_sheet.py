@@ -280,3 +280,27 @@ def test_cross_sql_twins_match_dataframe_path(spark):
     bgot = spark.sql(biospecimen_cross_sql(
         bviews, "14", None, type_sources={"biospecimen.csv"}))
     assert _rows(bgot) == _rows(bwant) and bgot.count() > 0
+
+
+def test_cross_sql_renders_are_wellformed():
+    """Pure-text checks: quote escaping, boolean rendering, missing
+    sources as FALSE literals, no stray Python-bool spellings."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        biospecimen_cross_sql,
+        participant_cross_sql,
+    )
+    views = {"prior_clinical_test.csv": "vp", "demographic.csv": "vd",
+             "biospecimen.csv": "vb",
+             "confirmatory_clinical_test.csv": None}
+    sql = participant_cross_sql(views, "14", None)
+    assert " True" not in sql and " False" not in sql   # SQL booleans only
+    # missing confirmatory leg appears as a FALSE literal in any_missing
+    assert "AND FALSE)" in sql
+    assert "RLIKE '^14[_]{1}[0-9]{6}$'" in sql
+    bsql = biospecimen_cross_sql(
+        {"biospecimen.csv": "vb", "aliquot.csv": "va",
+         "equipment.csv": None, "reagent.csv": None,
+         "consumable.csv": None},
+        "14", "vsub", type_sources={"biospecimen.csv"})
+    assert "BROADCAST(sub)" in bsql and "LEFT SEMI JOIN" in bsql
+    assert "Biospecimen_Type = 'PBMC'" in bsql.replace("(", "").replace(")", "")

@@ -10,8 +10,8 @@ demographic.csv, …). With one dir the flow matches the reference's
 per-submission Lambda body; with several, ``--jobs N`` validates up to N
 submissions CONCURRENTLY in one SparkSession on per-submission FAIR
 scheduler pools (``orchestrate.validate_concurrent`` — the reference
-loops serially, nci-seronet-data-validator.py:69; measured ~2.6-2.9x warm on 4
-submissions, BENCH_NOTES r10). Per-sheet error reports + findings
+loops serially, nci-seronet-data-validator.py:69; measured ~2.4-2.7x warm on 4
+submissions, BENCH_NOTES r10/r11). Per-sheet error reports + findings
 parquet land under OUT_DIR (per-submission subdirs in multi mode).
 """
 
@@ -157,7 +157,10 @@ def main() -> int:
     if not loaded:
         return 2
     rc = 1 if load_failed else 0
-    if len(loaded) == 1:
+    if len(args.submission_dirs) == 1:
+        # single-dir invocation keeps the reference's flat layout
+        # (reports under --out directly); a multi-dir batch that shrank
+        # to one survivor still uses per-submission subdirs below
         ((d, (kwargs, meta, sheets)),) = loaded.items()
         result = SubmissionValidator(spark, **kwargs).validate()
         ok = _report(result, sheets, meta, d, args.out)
