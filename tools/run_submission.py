@@ -132,12 +132,27 @@ def main() -> int:
     icd10 = load_icd10_codes(spark)
     expected = static_expected_columns()
 
+    # Load phase: each sheet read costs a small header job, so with
+    # --jobs N the per-submission loads overlap on a thread pool (same
+    # isolation model as the validate phase: results gathered, then
+    # reported in input order).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_one(d: str):
+        return _load(spark, d, cbc_map, not args.keep_reference_bugs,
+                     icd10, expected)
+
+    if len(args.submission_dirs) > 1 and args.jobs > 1:
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            results = dict(zip(args.submission_dirs,
+                               pool.map(_load_one, args.submission_dirs)))
+    else:
+        results = {d: _load_one(d) for d in args.submission_dirs}
+
     loaded: dict[str, tuple] = {}
     load_failed: list[str] = []
     for d in args.submission_dirs:
-        kwargs, meta, sheets = _load(spark, d, cbc_map,
-                                     not args.keep_reference_bugs,
-                                     icd10, expected)
+        kwargs, meta, sheets = results[d]
         if kwargs is None:
             print(f"no CSV sheets found in {d}")
             if len(args.submission_dirs) == 1:
