@@ -283,6 +283,13 @@ def advise_plan(df: DataFrame, warn: bool = True) -> list[str]:
     for line in plan.splitlines():
         if not _WINDOW_RE.search(line):
             continue
+        # Documented allowance: sources.readers.with_row_index computes
+        # per-file-split offsets as a cumsum window over the PARTITION
+        # COUNTS relation — one row per input split, bounded by cluster
+        # parallelism, not by data. Its synthetic __sg_pid order column
+        # is unique to that idiom.
+        if "__sg_pid" in line:
+            continue
         groups = _bracket_groups(line)
         if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[-1]):
             hazards.append(

@@ -241,3 +241,31 @@ def test_validate_stream_flags_oversized_staged_csv(tmp_path, monkeypatch):
         except AttributeError:
             pass     # spark=None: dies right after the advisor check
     assert calls == [str(big)]
+
+
+def test_validate_plan_sweeps_clean_with_row_index_allowance(spark,
+                                                             tmp_path):
+    """r11: the full submission validate() plan is advisor-clean. The
+    one prior hit was with_row_index's per-split offset window (cumsum
+    over one row PER PARTITION — bounded by parallelism, not data),
+    now a documented allowance keyed on its synthetic __sg_pid column."""
+    import datetime
+
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        advise_plan)
+    from nci_seronet_proc_data_validator_spark.sources import (
+        read_sheet_csv)
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SubmissionValidator)
+    p = tmp_path / "demographic.csv"
+    p.write_text("Research_Participant_ID,Age,Race\n"
+                 "14_000001,30,White\n14_000002,999,Martian\n")
+    b = tmp_path / "biospecimen.csv"
+    b.write_text("Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+                 "14_000001,14_000001_001,PBMC\n")
+    sheets = {"demographic.csv": read_sheet_csv(spark, str(p)),
+              "biospecimen.csv": read_sheet_csv(spark, str(b))}
+    res = SubmissionValidator(spark, sheets=sheets, cbc_id="14",
+                              today=datetime.date(2026, 1, 1)).validate()
+    res.findings.count()
+    assert advise_plan(res.findings, warn=False) == []
