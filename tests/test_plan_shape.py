@@ -467,3 +467,36 @@ def test_row_index_offsets_stay_distributed(spark):
     wide = [ln for ln in plan.splitlines()
             if "Exchange" in ln and "BroadcastExchange" not in ln]
     assert len(wide) <= 2, plan[:2000]
+
+
+def test_submission_build_py4j_budget(spark, tmp_path):
+    """r11 driver-build guard: a 2-sheet validate() build stays under a
+    py4j round-trip budget. The Column-chain era cost ~4,900 round-trips
+    per 3-sheet build; the generated-SQL restructure runs at ~700-800.
+    The budget (1,500) has slack for Spark-version drift but catches any
+    reintroduction of per-column Column chatter on the hot path."""
+    import cProfile
+    import datetime
+    import pstats
+
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SubmissionValidator)
+    p = tmp_path / "demographic.csv"
+    p.write_text("Research_Participant_ID,Age,Race\n"
+                 "14_000001,30,White\n")
+    b = tmp_path / "biospecimen.csv"
+    b.write_text("Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+                 "14_000001,14_000001_001,PBMC\n")
+    sheets = {"demographic.csv": read_sheet_csv(spark, str(p)),
+              "biospecimen.csv": read_sheet_csv(spark, str(b))}
+    kw = dict(sheets=sheets, cbc_id="14", today=datetime.date(2026, 1, 1))
+    SubmissionValidator(spark, **kw).validate()      # warm bind caches
+    pr = cProfile.Profile()
+    pr.enable()
+    SubmissionValidator(spark, **kw).validate()
+    pr.disable()
+    stats = pstats.Stats(pr)
+    sends = sum(nc for (fn, _l, name), (nc, *_r) in stats.stats.items()
+                if name == "send_command" and "java_gateway" in fn)
+    assert 0 < sends < 1500, f"driver build used {sends} py4j round-trips"
