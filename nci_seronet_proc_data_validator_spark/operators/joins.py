@@ -76,15 +76,22 @@ def merged_table(sheet_df: DataFrame, sheet_name: str) -> DataFrame | None:
 
 
 def merge_tables(sheet_name: str, df: DataFrame,
-                 merged: dict[str, DataFrame]) -> tuple[DataFrame, list[str]]:
+                 merged: dict[str, DataFrame],
+                 extra_keys: tuple[str, ...] = ()) -> tuple[DataFrame, list[str]]:
     """J1/J2 enrichment: left-join parent Merged_Tables (broadcast — they
     are small key projections). Returns (enriched df, drop_list of columns
-    the joins added — exempt from rules, Validation_Rules.py:5-6)."""
+    the joins added — exempt from rules, Validation_Rules.py:5-6).
+
+    ``extra_keys``: columns prepended to every join key (batched
+    multi-submission mode joins on the submission tag too, so a
+    participant in one submission never enriches from another's
+    parent sheet)."""
     before = set(df.columns)
     for parent, keys in ENRICH_PARENTS.get(sheet_name, []):
         pt = merged.get(parent)
         if pt is None:
             continue
+        keys = [*extra_keys, *keys]
         have_keys = [k for k in keys if k in df.columns and k in pt.columns]
         if len(have_keys) != len(keys):
             continue
@@ -341,18 +348,21 @@ def _sql_str(v: str) -> str:
 
 
 def _cross_spine_from(legs: list[tuple[str, str, list[str]]],
-                      key: str) -> str:
-    """FROM-clause text: chained FULL OUTER JOIN ... USING(key) of tagged
+                      keys: list[str]) -> str:
+    """FROM-clause text: chained FULL OUTER JOIN ... USING(keys) of tagged
     projections — the exact join shape (and key-coalescing and
     duplicate-key multiplicity) of :func:`outer_join_spine`, projected to
-    the columns the decoders read."""
+    the columns the decoders read. ``keys`` may be composite (batched
+    multi-submission mode prepends the submission tag so IDs never match
+    across submissions)."""
     parts = []
+    using = ", ".join(keys)
     for i, (name, view, extras) in enumerate(legs):
-        sel = [key, f"TRUE AS {_indicator(name)}", *extras]
+        sel = [*keys, f"TRUE AS {_indicator(name)}", *extras]
         parts.append(f"(SELECT {', '.join(sel)} FROM {view}) s{i}")
     out = parts[0]
     for p_ in parts[1:]:
-        out += f" FULL OUTER JOIN {p_} USING ({key})"
+        out += f" FULL OUTER JOIN {p_} USING ({using})"
     return out
 
 
@@ -365,11 +375,15 @@ def _ind_sql(name: str, have: set[str]) -> str:
 
 
 def participant_cross_sql(views: dict[str, str | None], cbc_id: str,
-                          submitted_view: str | None) -> str:
+                          submitted_view: str | None,
+                          group_col: str | None = None) -> str:
     """Text twin of :func:`participant_cross_findings` over temp views of
     the participant Merged_Tables (None = sheet not submitted, indicator
-    pinned FALSE)."""
+    pinned FALSE). ``group_col``: batched multi-submission tag — joined
+    into every key and projected first in the output."""
     key = "Research_Participant_ID"
+    keys = ([group_col, key] if group_col else [key])
+    g_out = f"{group_col}, " if group_col else ""
     order = ["prior_clinical_test.csv", "demographic.csv",
              "biospecimen.csv", "confirmatory_clinical_test.csv"]
     have = {n for n in order if views.get(n) is not None}
@@ -384,31 +398,36 @@ def participant_cross_sql(views: dict[str, str | None], cbc_id: str,
         f" AND {ind['biospecimen.csv']} = {_b(b)}"
         f" THEN {_sql_str(text)}"
         for (p, d, b), text in _PART_PATTERNS)
-    semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {key} FROM"
-            f" {submitted_view}) sub USING ({key})"
+    using = ", ".join(keys)
+    semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {using} FROM"
+            f" {submitted_view}) sub USING ({using})"
             if submitted_view is not None else "")
     hint = " /*+ BROADCAST(sub) */" if semi else ""
     return (
-        f"SELECT DISTINCT 'Error' AS Message_Type,"
+        f"SELECT DISTINCT {g_out}'Error' AS Message_Type,"
         f" 'Cross_Participant_ID.csv' AS CSV_Sheet_Name,"
         f" CAST({ROW_CROSS_SHEET} AS BIGINT) AS Row_Index,"
         f" {_sql_str(key)} AS Column_Name,"
         f" CAST({key} AS STRING) AS Column_Value,"
         f" _msg AS Error_Message"
-        f" FROM (SELECT{hint} {key}, CASE{whens} END AS _msg"
-        f" FROM (SELECT * FROM {_cross_spine_from(legs, key)}"
+        f" FROM (SELECT{hint} {g_out}{key}, CASE{whens} END AS _msg"
+        f" FROM (SELECT * FROM {_cross_spine_from(legs, keys)}"
         f" WHERE {key} RLIKE {_sql_str('^' + cbc_id + '[_]{1}[0-9]{6}$')}"
         f" AND {any_missing}){semi}) WHERE _msg IS NOT NULL")
 
 
 def biospecimen_cross_sql(views: dict[str, str | None], cbc_id: str,
                           submitted_view: str | None,
-                          type_sources: set[str] = frozenset()) -> str:
+                          type_sources: set[str] = frozenset(),
+                          group_col: str | None = None) -> str:
     """Text twin of :func:`biospecimen_cross_findings`. ``type_sources``
     — which submitted sources actually carry ``Biospecimen_Type`` (the
     outer-join spine would carry it from them); empty set renders the
-    ``''`` fill of the DataFrame path."""
+    ``''`` fill of the DataFrame path. ``group_col``: batched
+    multi-submission tag, as in :func:`participant_cross_sql`."""
     key = "Biospecimen_ID"
+    keys = ([group_col, key] if group_col else [key])
+    g_out = f"{group_col}, " if group_col else ""
     order = ["biospecimen.csv"] + [s for s, _ in _BIO_TABLES]
     have = {n for n in order if views.get(n) is not None}
     legs = [(n, views[n],
@@ -434,20 +453,22 @@ def biospecimen_cross_sql(views: dict[str, str | None], cbc_id: str,
             cands.append(
                 f"CASE WHEN NOT {in_t} AND {bio} AND {is_pbmc} THEN "
                 f"{_sql_str(_BIO_MSG_PBMC_MISSING.format(display=display))} END")
-    semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {key} FROM"
-            f" {submitted_view}) sub USING ({key})"
+    using = ", ".join(keys)
+    semi = (f" LEFT SEMI JOIN (SELECT DISTINCT {using} FROM"
+            f" {submitted_view}) sub USING ({using})"
             if submitted_view is not None else "")
     hint = " /*+ BROADCAST(sub) */" if semi else ""
     id_re = "^" + cbc_id + "[_]{1}[0-9]{6}[_]{1}[0-9]{3}$"
     return (
-        f"SELECT DISTINCT 'Error' AS Message_Type,"
+        f"SELECT DISTINCT {g_out}'Error' AS Message_Type,"
         f" 'Cross_Biospecimen_ID.csv' AS CSV_Sheet_Name,"
         f" CAST({ROW_CROSS_SHEET} AS BIGINT) AS Row_Index,"
         f" {_sql_str(key)} AS Column_Name,"
         f" CAST({key} AS STRING) AS Column_Value,"
         f" _msg AS Error_Message"
-        f" FROM (SELECT{hint} {key}, coalesce({', '.join(cands)}) AS _msg"
-        f" FROM (SELECT * FROM {_cross_spine_from(legs, key)}"
+        f" FROM (SELECT{hint} {g_out}{key},"
+        f" coalesce({', '.join(cands)}) AS _msg"
+        f" FROM (SELECT * FROM {_cross_spine_from(legs, keys)}"
         f" WHERE {key} RLIKE {_sql_str(id_re)}"
         f" AND NOT ({all_present})){semi}) WHERE _msg IS NOT NULL")
 

@@ -43,7 +43,8 @@ from nci_seronet_proc_data_validator_spark.submission import (
     ValidationResult,
 )
 
-__all__ = ["ConcurrentOutcome", "validate_concurrent"]
+__all__ = ["ConcurrentOutcome", "SUB_COL", "validate_batched",
+           "validate_concurrent"]
 
 
 @dataclass
@@ -123,3 +124,226 @@ def _run_one(spark: SparkSession, sub_id: str, kwargs: dict,
     finally:
         sc.setLocalProperty("spark.scheduler.pool", None)
         sc.setJobDescription(None)
+
+
+# --------------------------------------------------------------- batched
+SUB_COL = "__submission_id"
+
+
+def validate_batched(spark: SparkSession,
+                     subs: "dict[str, dict]") -> "DataFrame":
+    """N same-shape submissions through ONE compiled plan: findings for
+    every submission, tagged ``__submission_id``, from a single
+    spark.sql statement per leg family.
+
+    Batched mode tags every sheet row with its submission id, unions
+    same-named sheets, and compiles the rulebook ONCE — driver build is
+    O(distinct sheet schemas) (measured 2.6 s for 8 submissions vs
+    9.8 s of serialized per-submission builds), executor work scales
+    with rows, and the submission count rides along as an ordinary
+    grouping column. The spine joins, dup-ID groupings, enrichment
+    joins, and the dedup key all include the tag, so submissions can
+    never observe each other
+    (pinned by tests/test_orchestrate.py::test_batched_matches_serial).
+
+    **When to use which** (measured, BENCH_NOTES r11, cold-cache): at
+    fixture scale the r11 driver-build cuts made per-submission builds
+    cheap enough that :func:`validate_concurrent` wins end-to-end (8
+    subs sf0.01: serial 39-44 s, concurrent 16 s, batched 16-19 s; at
+    24 subs concurrent 18 s vs batched 57 s — the one-big-plan constant
+    factors grow with the union while small per-submission jobs overlap
+    well). Batched remains the right shape when the DRIVER is the
+    bottleneck — thousands of tiny submissions, or a driver remote from
+    the cluster where per-submission analysis round-trips dominate —
+    and as the only mode whose build cost does not grow with N.
+
+    v1 scope/constraints (ValueError otherwise):
+    - every submission shares ``cbc_id``, ``today``,
+      ``fix_reference_bugs`` (the rulebook binding is per those values);
+    - same-named sheets share an identical column set (one schema → one
+      compiled rule set);
+    - ``icd10_codes`` may be passed in any submission's kwargs; the
+      first non-None wins (it is a shared dictionary by nature).
+    Count reconciliation (A4), the quality gate, and the per-submission
+    summary stay per-submission driver logic — run them on each
+    submission's slice of the returned findings.
+
+    Returns a DataFrame with ``__submission_id`` + the six finding
+    columns, deduplicated per submission with the standard key.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.errors import (
+        FINDING_COLUMNS,
+        empty_findings,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        MERGE_COLS,
+        biospecimen_cross_sql,
+        icd10_flag_join,
+        merge_tables,
+        participant_cross_sql,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules_cached,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        dup_id_findings_sql,
+        sheet_findings_sql,
+    )
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        cleanup_sheet,
+    )
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SKIP_VALIDATION,
+    )
+
+    if not subs:
+        raise ValueError("no submissions")
+    shared = {(kw.get("cbc_id", "0"), kw.get("today"),
+               kw.get("fix_reference_bugs", True)) for kw in subs.values()}
+    if len(shared) > 1:
+        raise ValueError(
+            f"batched mode needs shared (cbc_id, today, "
+            f"fix_reference_bugs); got {sorted(map(str, shared))} — "
+            f"group submissions by those values, one batch each")
+    cbc_id, today, fix_bugs = next(iter(shared))
+    icd10 = next((kw["icd10_codes"] for kw in subs.values()
+                  if kw.get("icd10_codes") is not None), None)
+
+    # -- tag + union same-named sheets, one cleanup per sheet name
+    by_sheet: dict[str, list] = {}
+    for sid, kw in subs.items():
+        for name, df in kw["sheets"].items():
+            if name in SKIP_VALIDATION:
+                continue
+            by_sheet.setdefault(name, []).append(
+                df.withColumn(SUB_COL, F.lit(sid)))
+    clean: dict[str, "DataFrame"] = {}
+    for name, legs in by_sheet.items():
+        cols = {tuple(sorted(leg.columns)) for leg in legs}
+        if len(cols) > 1:
+            raise ValueError(
+                f"batched mode needs one schema per sheet name; "
+                f"{name} has {len(cols)} distinct column sets")
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionByName(leg)
+        # Persist: the union is a MULTI-consumer base (findings chunks,
+        # dup-ID leg, Merged_Table projections, submitted-id views) —
+        # unpersisted, every consumer re-parses N submissions' multiLine
+        # CSVs from text. One parse fills the cache; consumers scan
+        # columnar blocks. Freed by the ContextCleaner when the plan is
+        # garbage-collected (same note as semdedup's localCheckpoint).
+        clean[name] = cleanup_sheet(
+            u, fix_bugs, carry_cols=(SUB_COL,)).persist()
+
+    # -- per-submission-keyed Merged_Tables (tag carried)
+    merged: dict[str, "DataFrame"] = {}
+    for name, df in clean.items():
+        mc = [c for c in MERGE_COLS.get(name, []) if c in df.columns]
+        if mc:
+            merged[name] = df.select(SUB_COL, *mc)
+
+    run_id = _uuid.uuid4().hex[:8]
+    sql_legs: list[str] = []
+    view_names: list[str] = []
+
+    def reg(df, tag: str) -> str:
+        v = f"__batched_{run_id}_{tag}"
+        df.createOrReplaceTempView(v)
+        view_names.append(v)
+        return v
+
+    defaults = {           # _ensure_columns twin (submission.py)
+        "SARS_CoV_2_PCR_Test_Result": F.lit(""),
+        "Biospecimen_Type": F.lit(""),
+        "Assay_Name": F.lit(None).cast("string"),
+        "Assay_Antigen_Source": F.lit(None).cast("string"),
+    }
+    for i, (name, df) in enumerate(clean.items()):
+        original_cols = [c for c in df.columns
+                         if c not in ("row_index", SUB_COL)]
+        enriched, drop_list = merge_tables(name, df, merged,
+                                           extra_keys=(SUB_COL,))
+        enriched = with_typed_shadows(
+            enriched, skip=("row_index", SUB_COL))
+        bound = bind_sheet_rules_cached(
+            name, original_cols, cbc_id, drop_list=drop_list,
+            today=today, fix_reference_bugs=fix_bugs)
+        missing = {c: v for c, v in defaults.items()
+                   if c not in enriched.columns}
+        if missing:
+            enriched = enriched.withColumns(missing)
+        for c in bound.icd10_columns:
+            if icd10 is not None:
+                enriched = icd10_flag_join(enriched, c, icd10,
+                                           c + "__icd10_valid")
+            else:
+                enriched = enriched.withColumn(c + "__icd10_valid",
+                                               F.lit(False))
+        view = reg(enriched, f"s{i}")
+        # codegen_chunk=9: the fused full-width findings projection
+        # exceeds HotSpot's JIT size ceiling and runs interpreted (the
+        # rulebook's measured lesson, plans/rules.py) — at 8x-unioned
+        # batched volume that is the dominant cost, not a nicety.
+        sql_legs.extend(sheet_findings_sql(view, name, bound.column_rules,
+                                           codegen_chunk=9,
+                                           carry_cols=(SUB_COL,)))
+        if bound.dup_id_columns:
+            dview = reg(df, f"d{i}")
+            sql_legs.extend(
+                dup_id_findings_sql(dview, name, c, group_cols=(SUB_COL,))
+                for c in bound.dup_id_columns)
+
+    # -- cross-sheet, spine keys include the tag
+    def submitted_view(family: tuple, key: str, tag: str) -> str | None:
+        if not fix_bugs:
+            return None
+        parts = [df.select(SUB_COL, key) for name, df in clean.items()
+                 if name in family and key in df.columns]
+        if not parts:
+            return None
+        u = parts[0]
+        for p_ in parts[1:]:
+            u = u.unionByName(p_)
+        return reg(u.distinct(), tag)
+
+    part_family = ("prior_clinical_test.csv", "demographic.csv",
+                   "biospecimen.csv", "confirmatory_clinical_test.csv")
+    part_srcs = {n: merged.get(n) for n in part_family}
+    if sum(v is not None for v in part_srcs.values()) >= 2:
+        views = {n: (reg(src, f"p{j}") if src is not None else None)
+                 for j, (n, src) in enumerate(part_srcs.items())}
+        sv = submitted_view(part_family, "Research_Participant_ID", "psub")
+        sql_legs.append(participant_cross_sql(
+            views, cbc_id, sv, group_col=SUB_COL))
+    bio_family = ("biospecimen.csv", "aliquot.csv", "equipment.csv",
+                  "reagent.csv", "consumable.csv")
+    bio_srcs = {n: merged.get(n) for n in bio_family}
+    if sum(v is not None for v in bio_srcs.values()) >= 2:
+        views = {n: (reg(src, f"b{j}") if src is not None else None)
+                 for j, (n, src) in enumerate(bio_srcs.items())}
+        type_sources = {n for n, src in bio_srcs.items()
+                        if src is not None
+                        and "Biospecimen_Type" in src.columns}
+        sv = submitted_view(bio_family, "Biospecimen_ID", "bsub")
+        sql_legs.append(biospecimen_cross_sql(
+            views, cbc_id, sv, type_sources=type_sources,
+            group_col=SUB_COL))
+
+    if not sql_legs:
+        out = empty_findings(spark).withColumn(SUB_COL, F.lit(""))
+        return out.select(SUB_COL, *FINDING_COLUMNS)
+    findings = spark.sql(" UNION ALL ".join(sql_legs))
+    for v in view_names:       # resolved eagerly by spark.sql above
+        spark.catalog.dropTempView(v)
+    # per-submission dedup: the standard key, tag prepended
+    return findings.dropDuplicates(
+        [SUB_COL, "CSV_Sheet_Name", "Row_Index", "Column_Name",
+         "Column_Value"])

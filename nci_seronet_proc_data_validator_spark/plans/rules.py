@@ -167,7 +167,8 @@ def _compile_text(df: DataFrame, sheet_name: str,
 def sheet_findings_sql(view: str, sheet_name: str,
                        column_rules: list[ColumnRules],
                        row_index_col: str = ROW_INDEX_COL,
-                       codegen_chunk: int | None = None) -> list[str]:
+                       codegen_chunk: int | None = None,
+                       carry_cols: tuple[str, ...] = ()) -> list[str]:
     """``compile_sheet_findings``'s text-only twin: SELECT statements (one
     per codegen chunk) over a registered temp view.
 
@@ -184,15 +185,19 @@ def sheet_findings_sql(view: str, sheet_name: str,
         for i in range(0, len(column_rules), codegen_chunk):
             out.extend(sheet_findings_sql(
                 view, sheet_name, column_rules[i:i + codegen_chunk],
-                row_index_col))
+                row_index_col, carry_cols=carry_cols))
         return out
     arr = _findings_array_sql(sheet_name, column_rules, row_index_col)
     if arr is None:
         return []
     from nci_seronet_proc_data_validator_spark.errors import FINDING_COLUMNS
-    cols = ", ".join(f"_f.{c} AS {c}" for c in FINDING_COLUMNS)
-    return [f"SELECT {cols} FROM (SELECT explode({arr}) AS _f FROM {view})"
-            f" WHERE _f IS NOT NULL"]
+    # carry_cols: extra per-row columns (e.g. a batched-mode submission
+    # tag) projected through the explode alongside the finding struct.
+    carry_in = "".join(f"{c}, " for c in carry_cols)
+    cols = (carry_in
+            + ", ".join(f"_f.{c} AS {c}" for c in FINDING_COLUMNS))
+    return [f"SELECT {cols} FROM (SELECT {carry_in}explode({arr}) AS _f"
+            f" FROM {view}) WHERE _f IS NOT NULL"]
 
 
 #: Placeholder substituted with the real temp-view name on cache hits.
@@ -229,16 +234,22 @@ def sheet_findings_sql_cached(view: str, sheet_name: str, bound,
     return [t.replace(_VIEW_SLOT, view) for t in tpl]
 
 
-def dup_id_findings_sql(view: str, sheet_name: str, column: str) -> str:
-    """``dup_id_findings``'s text-only twin over a temp view."""
+def dup_id_findings_sql(view: str, sheet_name: str, column: str,
+                        group_cols: tuple[str, ...] = ()) -> str:
+    """``dup_id_findings``'s text-only twin over a temp view.
+
+    ``group_cols``: extra grouping columns prepended to the dup key and
+    projected through — batched multi-submission mode groups by the
+    submission tag so an ID repeated across submissions is NOT a dup."""
     msg = ("concat('Id is repeated ', CAST(cnt AS STRING),"
            " ' times, Multiple repeats are not allowed')")
-    return (f"SELECT 'Error' AS Message_Type, {_q(sheet_name)} AS"
+    g_in = "".join(f"{c}, " for c in group_cols)
+    return (f"SELECT {g_in}'Error' AS Message_Type, {_q(sheet_name)} AS"
             f" CSV_Sheet_Name, CAST({ROW_DUPLICATE_ID} AS BIGINT) AS"
             f" Row_Index, {_q(column)} AS Column_Name,"
             f" CAST({column} AS STRING) AS Column_Value, {msg} AS"
-            f" Error_Message FROM (SELECT {column}, count(*) AS cnt"
-            f" FROM {view} GROUP BY {column}) WHERE cnt > 1")
+            f" Error_Message FROM (SELECT {g_in}{column}, count(*) AS cnt"
+            f" FROM {view} GROUP BY {g_in}{column}) WHERE cnt > 1")
 
 
 def dup_id_findings(df: DataFrame, sheet_name: str, column: str) -> DataFrame:

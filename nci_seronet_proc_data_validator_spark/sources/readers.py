@@ -133,7 +133,8 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
 
 
 def cleanup_sheet(df: DataFrame,
-                  fix_reference_bugs: bool = True) -> DataFrame:
+                  fix_reference_bugs: bool = True,
+                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Reference ``cleanup_table`` (File_Submission_Object.py:43-45):
     drop rows where every (data) cell is blank, and drop unnamed columns.
 
@@ -148,10 +149,14 @@ def cleanup_sheet(df: DataFrame,
     shapes.
     """
     keep = [c for c in df.columns
-            if c != ROW_INDEX_COL
+            if c != ROW_INDEX_COL and c not in carry_cols
             and not c.startswith("Unnamed")
             and not (c.startswith("_c") and c[2:].isdigit())]
-    out = df.select(*keep, ROW_INDEX_COL)
+    # carry_cols (e.g. the batched-mode submission tag) pass through but
+    # are neither data columns (excluded from the all-blank predicate —
+    # a tag is never blank, so including it would keep every row) nor
+    # droppable artifacts.
+    out = df.select(*keep, ROW_INDEX_COL, *carry_cols)
     if not fix_reference_bugs:
         return out
     if keep:

@@ -224,3 +224,33 @@ def test_cli_empty_dir_isolated_in_multi_mode(spark, tmp_path, monkeypatch,
     # single-dir mode keeps the hard exit-2 contract
     monkeypatch.setattr(sys, "argv", ["run_submission.py", str(empty)])
     assert rs.main() == 2
+
+
+def test_batched_matches_serial(spark, tmp_path):
+    """r11: validate_batched compiles N same-shape submissions into ONE
+    plan; each submission's tagged slice must equal the serial
+    per-submission validate() findings exactly (IDs repeated across
+    submissions are NOT duplicates; cross-sheet spines never match
+    across submissions)."""
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        SUB_COL, validate_batched)
+
+    subs = {f"sub{i}": _load(spark, tmp_path, i) for i in range(3)}
+    serial = {sid: _finding_set(
+        SubmissionValidator(spark, **kw).validate().findings)
+        for sid, kw in subs.items()}
+    assert len({tuple(v) for v in serial.values()}) == 3
+
+    batched = validate_batched(spark, subs).cache()
+    got = {sid: _finding_set(batched.filter(
+        batched[SUB_COL] == sid).drop(SUB_COL)) for sid in subs}
+    assert got == serial
+
+    # shared-parameter constraint is enforced
+    import datetime
+
+    import pytest as _pytest
+    bad = dict(subs)
+    bad["sub9"] = {**subs["sub0"], "cbc_id": "41"}
+    with _pytest.raises(ValueError, match="shared"):
+        validate_batched(spark, bad)
