@@ -71,10 +71,18 @@ class CheckExpr:
     ``violation``: a shared-dialect SQL template (normal case — renders to
     both Spark and DuckDB), or a pyspark Column (custom caller rules, no
     oracle mirror).
+
+    ``message_sql``: optional shared-dialect SQL template for a PER-ROW
+    message (batched multi-CBC mode renders the C5 "wrong CBC code"
+    message as a CASE over the submission's ``__cbc_id`` column). When
+    set, it takes precedence over ``message`` in every render path;
+    ``message`` remains a plain-string description so texty-path
+    detection (one selectExpr per sheet) is unaffected.
     """
     violation: str | Column
     message: Column | str
     severity: str = ERROR
+    message_sql: str | None = None
 
     def violation_col(self) -> Column:
         if isinstance(self.violation, Column):
@@ -89,6 +97,8 @@ class CheckExpr:
         return render_duckdb_sql(self.violation)
 
     def msg_col(self) -> Column:
+        if self.message_sql is not None:
+            return F.expr(render_spark_sql(self.message_sql))
         return F.lit(self.message) if isinstance(self.message, str) else self.message
 
 
@@ -160,7 +170,8 @@ def _apply_dependency(checks: list[CheckExpr],
     if dependency is None:
         return checks
     psql = dependency.predicate_sql()
-    return [CheckExpr(f"({psql} AND {ce.violation})", ce.message, ce.severity)
+    return [CheckExpr(f"({psql} AND {ce.violation})", ce.message,
+                      ce.severity, message_sql=ce.message_sql)
             for ce in checks]
 
 
@@ -291,26 +302,74 @@ def check_if_string(column: str, na_allowed: bool = False,
     return _apply_dependency([CheckExpr(viol, msg)], dependency)
 
 
-def check_id_field(column: str, pattern_str: str, cbc_id: str,
+@dataclass(frozen=True)
+class PerRowCbc:
+    """Batched multi-CBC mode: the CBC id lives in a per-row column.
+
+    The reference resolves the CBC per submission
+    (File_Submission_Object.py:82-87), so a production batch mixes labs.
+    ``column`` is the tag column (one literal per submission, stamped at
+    load like the submission id); ``values`` is the batch's DISTINCT CBC
+    ids. Checks render as a CASE over ``column`` with one LITERAL-regex
+    branch per distinct value — Spark's RLIKE caches the compiled pattern
+    only when it is foldable, so the CASE keeps the hot path off per-row
+    Pattern.compile while the plan stays O(distinct CBCs), not O(rows)
+    or O(submissions). Hashable by design: it is part of the
+    ``bind_sheet_rules_cached`` key.
+    """
+    column: str = "__cbc_id"
+    values: tuple[str, ...] = ()
+
+
+def _cbc_prefix_message(cbc_id: str) -> str:
+    if int(cbc_id) == 0:
+        return ("ID is Valid however submission file is missing, unable "
+                "to validate CBC code")
+    return ("ID is Valid however has wrong CBC code. Expecting CBC "
+            "Code (" + str(cbc_id) + ")")
+
+
+def check_id_field(column: str, pattern_str: str,
+                   cbc_id: "str | PerRowCbc",
                    pattern_error: str) -> list[CheckExpr]:
     """C5 (File_Submission_Object.py:166-180): format regex then CBC-prefix
     regex. A value failing both gets only the format error (keep-first
     dedup); blanks report nothing (reference skips '' explicitly for the
-    format branch and drops '' findings for the CBC branch)."""
-    if int(cbc_id) == 0:
-        cbc_msg = ("ID is Valid however submission file is missing, unable "
-                   "to validate CBC code")
-    else:
-        cbc_msg = ("ID is Valid however has wrong CBC code. Expecting CBC "
-                   "Code (" + str(cbc_id) + ")")
+    format branch and drops '' findings for the CBC branch).
+
+    ``cbc_id`` may be a :class:`PerRowCbc` (batched multi-CBC mode): the
+    prefix check and its message then render as CASE expressions over the
+    per-row CBC column, one literal branch per distinct CBC in the batch.
+    """
     nb = _nonblank(column)
+    fmt = CheckExpr(f"(NOT {_RLIKE}({column}, "
+                    f"{_sql_quote('^[0-9]{2}' + pattern_str)}) AND {nb})",
+                    "ID is Not Valid Format, Expecting " + pattern_error)
+    if isinstance(cbc_id, PerRowCbc):
+        if not cbc_id.values:
+            raise ValueError("PerRowCbc.values must list the batch's "
+                             "distinct CBC ids")
+        viol_branches = " ".join(
+            f"WHEN {_sql_quote(v)} THEN (NOT {_RLIKE}({column}, "
+            f"{_sql_quote('^' + v + pattern_str)}))"
+            for v in cbc_id.values)
+        msg_branches = " ".join(
+            f"WHEN {_sql_quote(v)} THEN {_sql_quote(_cbc_prefix_message(v))}"
+            for v in cbc_id.values)
+        return [
+            fmt,
+            CheckExpr(f"((CASE {cbc_id.column} {viol_branches}"
+                      f" ELSE FALSE END) AND {nb})",
+                      "ID is Valid however has wrong CBC code (per-row "
+                      "CBC; see message_sql)",
+                      message_sql=(f"CASE {cbc_id.column} {msg_branches}"
+                                   f" END")),
+        ]
     return [
-        CheckExpr(f"(NOT {_RLIKE}({column}, "
-                  f"{_sql_quote('^[0-9]{2}' + pattern_str)}) AND {nb})",
-                  "ID is Not Valid Format, Expecting " + pattern_error),
+        fmt,
         CheckExpr(f"(NOT {_RLIKE}({column}, "
                   f"{_sql_quote('^' + cbc_id + pattern_str)}) AND {nb})",
-                  cbc_msg),
+                  _cbc_prefix_message(cbc_id)),
     ]
 
 

@@ -374,15 +374,44 @@ def _ind_sql(name: str, have: set[str]) -> str:
             if name in have else "FALSE")
 
 
-def participant_cross_sql(views: dict[str, str | None], cbc_id: str,
+def _cbc_scope_sql(key: str, cbc_id, suffix_re: str) -> str:
+    """The well-formed-ID scope filter of the cross-sheet decoders
+    (participant/biospecimen_cross_findings): ``key RLIKE '^CBC<suffix>'``.
+
+    ``cbc_id`` may be a ``PerRowCbc`` (batched multi-CBC mode): the scope
+    then renders as a CASE over the per-row CBC column with one
+    LITERAL-regex branch per distinct CBC — foldable patterns keep
+    Spark's compiled-regex cache hot, and a row is scoped by ITS
+    submission's lab code exactly as the serial path scopes by the
+    literal."""
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        PerRowCbc,
+    )
+    if isinstance(cbc_id, PerRowCbc):
+        branches = " ".join(
+            f"WHEN {_sql_str(v)} THEN {key} RLIKE"
+            f" {_sql_str('^' + v + suffix_re)}"
+            for v in cbc_id.values)
+        return f"(CASE {cbc_id.column} {branches} ELSE FALSE END)"
+    return f"{key} RLIKE {_sql_str('^' + cbc_id + suffix_re)}"
+
+
+def participant_cross_sql(views: dict[str, str | None], cbc_id,
                           submitted_view: str | None,
-                          group_col: str | None = None) -> str:
+                          group_col: str | None = None,
+                          extra_keys: tuple[str, ...] = ()) -> str:
     """Text twin of :func:`participant_cross_findings` over temp views of
     the participant Merged_Tables (None = sheet not submitted, indicator
     pinned FALSE). ``group_col``: batched multi-submission tag — joined
-    into every key and projected first in the output."""
+    into every key and projected first in the output. ``extra_keys``:
+    further columns joined into every key but NOT projected (batched
+    multi-CBC mode rides ``__cbc_id`` through the spine this way — it is
+    functionally dependent on the submission tag, so adding it to the
+    USING keys never changes multiplicity). ``cbc_id`` may be a
+    ``PerRowCbc`` (see :func:`_cbc_scope_sql`)."""
     key = "Research_Participant_ID"
-    keys = ([group_col, key] if group_col else [key])
+    keys = ([group_col, *extra_keys, key] if group_col
+            else [*extra_keys, key])
     g_out = f"{group_col}, " if group_col else ""
     order = ["prior_clinical_test.csv", "demographic.csv",
              "biospecimen.csv", "confirmatory_clinical_test.csv"]
@@ -412,21 +441,24 @@ def participant_cross_sql(views: dict[str, str | None], cbc_id: str,
         f" _msg AS Error_Message"
         f" FROM (SELECT{hint} {g_out}{key}, CASE{whens} END AS _msg"
         f" FROM (SELECT * FROM {_cross_spine_from(legs, keys)}"
-        f" WHERE {key} RLIKE {_sql_str('^' + cbc_id + '[_]{1}[0-9]{6}$')}"
+        f" WHERE {_cbc_scope_sql(key, cbc_id, '[_]{1}[0-9]{6}$')}"
         f" AND {any_missing}){semi}) WHERE _msg IS NOT NULL")
 
 
-def biospecimen_cross_sql(views: dict[str, str | None], cbc_id: str,
+def biospecimen_cross_sql(views: dict[str, str | None], cbc_id,
                           submitted_view: str | None,
                           type_sources: set[str] = frozenset(),
-                          group_col: str | None = None) -> str:
+                          group_col: str | None = None,
+                          extra_keys: tuple[str, ...] = ()) -> str:
     """Text twin of :func:`biospecimen_cross_findings`. ``type_sources``
     — which submitted sources actually carry ``Biospecimen_Type`` (the
     outer-join spine would carry it from them); empty set renders the
-    ``''`` fill of the DataFrame path. ``group_col``: batched
-    multi-submission tag, as in :func:`participant_cross_sql`."""
+    ``''`` fill of the DataFrame path. ``group_col`` / ``extra_keys`` /
+    PerRowCbc ``cbc_id``: batched multi-submission / multi-CBC tags, as
+    in :func:`participant_cross_sql`."""
     key = "Biospecimen_ID"
-    keys = ([group_col, key] if group_col else [key])
+    keys = ([group_col, *extra_keys, key] if group_col
+            else [*extra_keys, key])
     g_out = f"{group_col}, " if group_col else ""
     order = ["biospecimen.csv"] + [s for s, _ in _BIO_TABLES]
     have = {n for n in order if views.get(n) is not None}
@@ -458,7 +490,6 @@ def biospecimen_cross_sql(views: dict[str, str | None], cbc_id: str,
             f" {submitted_view}) sub USING ({using})"
             if submitted_view is not None else "")
     hint = " /*+ BROADCAST(sub) */" if semi else ""
-    id_re = "^" + cbc_id + "[_]{1}[0-9]{6}[_]{1}[0-9]{3}$"
     return (
         f"SELECT DISTINCT {g_out}'Error' AS Message_Type,"
         f" 'Cross_Biospecimen_ID.csv' AS CSV_Sheet_Name,"
@@ -469,7 +500,7 @@ def biospecimen_cross_sql(views: dict[str, str | None], cbc_id: str,
         f" FROM (SELECT{hint} {g_out}{key},"
         f" coalesce({', '.join(cands)}) AS _msg"
         f" FROM (SELECT * FROM {_cross_spine_from(legs, keys)}"
-        f" WHERE {key} RLIKE {_sql_str(id_re)}"
+        f" WHERE {_cbc_scope_sql(key, cbc_id, '[_]{1}[0-9]{6}[_]{1}[0-9]{3}$')}"
         f" AND NOT ({all_present})){semi}) WHERE _msg IS NOT NULL")
 
 

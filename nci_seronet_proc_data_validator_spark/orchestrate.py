@@ -43,7 +43,7 @@ from nci_seronet_proc_data_validator_spark.submission import (
     ValidationResult,
 )
 
-__all__ = ["ConcurrentOutcome", "SUB_COL", "validate_batched",
+__all__ = ["CBC_COL", "ConcurrentOutcome", "SUB_COL", "validate_batched",
            "validate_concurrent"]
 
 
@@ -128,6 +128,7 @@ def _run_one(spark: SparkSession, sub_id: str, kwargs: dict,
 
 # --------------------------------------------------------------- batched
 SUB_COL = "__submission_id"
+CBC_COL = "__cbc_id"
 
 
 def validate_batched(spark: SparkSession,
@@ -157,11 +158,25 @@ def validate_batched(spark: SparkSession,
     the cluster where per-submission analysis round-trips dominate —
     and as the only mode whose build cost does not grow with N.
 
-    v1 scope/constraints (ValueError otherwise):
-    - every submission shares ``cbc_id``, ``today``,
-      ``fix_reference_bugs`` (the rulebook binding is per those values);
+    v2 scope/constraints (ValueError otherwise):
+    - every submission shares ``today`` and ``fix_reference_bugs`` (the
+      rulebook binding is per those values); ``cbc_id`` MAY differ per
+      submission (the production shape — the reference resolves the CBC
+      per submission, File_Submission_Object.py:82-87): every row is
+      tagged ``__cbc_id`` at load and the C5 prefix checks + cross-sheet
+      well-formed-ID scopes render as CASEs over that column, one
+      literal-regex branch per distinct CBC;
+    - every submission has an IDENTICAL sheet-name set: the >=2
+      cross-sheet family gates and the enrichment-parent availability
+      are computed over the batch union, so a submission missing a
+      family sheet the others have would silently receive spine
+      findings / NULL-joined dependency columns that serial validate()
+      would never produce;
     - same-named sheets share an identical column set (one schema → one
       compiled rule set);
+    - every bound check must render as SQL text (always true for the
+      built-in rulebook; a Column-valued custom rule has no text form
+      and only the serial path's DataFrame fallback can evaluate it);
     - ``icd10_codes`` may be passed in any submission's kwargs; the
       first non-None wins (it is a shared dictionary by nature).
     Count reconciliation (A4), the quality gate, and the per-submission
@@ -178,6 +193,9 @@ def validate_batched(spark: SparkSession,
     from nci_seronet_proc_data_validator_spark.errors import (
         FINDING_COLUMNS,
         empty_findings,
+    )
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        PerRowCbc,
     )
     from nci_seronet_proc_data_validator_spark.operators.joins import (
         MERGE_COLS,
@@ -205,14 +223,28 @@ def validate_batched(spark: SparkSession,
 
     if not subs:
         raise ValueError("no submissions")
-    shared = {(kw.get("cbc_id", "0"), kw.get("today"),
-               kw.get("fix_reference_bugs", True)) for kw in subs.values()}
+    shared = {(kw.get("today"), kw.get("fix_reference_bugs", True))
+              for kw in subs.values()}
     if len(shared) > 1:
         raise ValueError(
-            f"batched mode needs shared (cbc_id, today, "
-            f"fix_reference_bugs); got {sorted(map(str, shared))} — "
-            f"group submissions by those values, one batch each")
-    cbc_id, today, fix_bugs = next(iter(shared))
+            f"batched mode needs shared (today, fix_reference_bugs); "
+            f"got {sorted(map(str, shared))} — group submissions by "
+            f"those values, one batch each")
+    today, fix_bugs = next(iter(shared))
+    sheet_sets = {sid: frozenset(n for n in kw["sheets"]
+                                 if n not in SKIP_VALIDATION)
+                  for sid, kw in subs.items()}
+    if len(set(sheet_sets.values())) > 1:
+        raise ValueError(
+            "batched mode needs an identical sheet-name set per "
+            "submission (the cross-sheet family gates and enrichment "
+            "parents are computed over the batch union); got "
+            f"{sorted({tuple(sorted(s)) for s in sheet_sets.values()})}"
+            " — group submissions by sheet set, one batch each")
+    cbc_by_sub = {sid: str(kw.get("cbc_id", "0"))
+                  for sid, kw in subs.items()}
+    cbc = PerRowCbc(column=CBC_COL,
+                    values=tuple(sorted(set(cbc_by_sub.values()))))
     icd10 = next((kw["icd10_codes"] for kw in subs.values()
                   if kw.get("icd10_codes") is not None), None)
 
@@ -223,7 +255,8 @@ def validate_batched(spark: SparkSession,
             if name in SKIP_VALIDATION:
                 continue
             by_sheet.setdefault(name, []).append(
-                df.withColumn(SUB_COL, F.lit(sid)))
+                df.withColumns({SUB_COL: F.lit(sid),
+                                CBC_COL: F.lit(cbc_by_sub[sid])}))
     clean: dict[str, "DataFrame"] = {}
     for name, legs in by_sheet.items():
         cols = {tuple(sorted(leg.columns)) for leg in legs}
@@ -241,14 +274,17 @@ def validate_batched(spark: SparkSession,
         # columnar blocks. Freed by the ContextCleaner when the plan is
         # garbage-collected (same note as semdedup's localCheckpoint).
         clean[name] = cleanup_sheet(
-            u, fix_bugs, carry_cols=(SUB_COL,)).persist()
+            u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
 
-    # -- per-submission-keyed Merged_Tables (tag carried)
+    # -- per-submission-keyed Merged_Tables (tags carried: the submission
+    # id keys every join; the CBC tag rides along for the cross-sheet
+    # scope CASEs — functionally dependent on the id, so joining on both
+    # never changes multiplicity)
     merged: dict[str, "DataFrame"] = {}
     for name, df in clean.items():
         mc = [c for c in MERGE_COLS.get(name, []) if c in df.columns]
         if mc:
-            merged[name] = df.select(SUB_COL, *mc)
+            merged[name] = df.select(SUB_COL, CBC_COL, *mc)
 
     run_id = _uuid.uuid4().hex[:8]
     sql_legs: list[str] = []
@@ -268,14 +304,23 @@ def validate_batched(spark: SparkSession,
     }
     for i, (name, df) in enumerate(clean.items()):
         original_cols = [c for c in df.columns
-                         if c not in ("row_index", SUB_COL)]
+                         if c not in ("row_index", SUB_COL, CBC_COL)]
         enriched, drop_list = merge_tables(name, df, merged,
                                            extra_keys=(SUB_COL,))
         enriched = with_typed_shadows(
-            enriched, skip=("row_index", SUB_COL))
+            enriched, skip=("row_index", SUB_COL, CBC_COL))
         bound = bind_sheet_rules_cached(
-            name, original_cols, cbc_id, drop_list=drop_list,
+            name, original_cols, cbc, drop_list=drop_list,
             today=today, fix_reference_bugs=fix_bugs)
+        if not all(isinstance(ce.violation, str)
+                   and isinstance(ce.message, str)
+                   for cr in bound.column_rules for ce in cr.checks):
+            raise ValueError(
+                f"batched mode compiles findings as SQL text; sheet "
+                f"{name} bound a Column-valued check (custom caller "
+                f"rule) that has no text form — validate it serially "
+                f"(SubmissionValidator falls back to the DataFrame "
+                f"compile for such sheets)")
         missing = {c: v for c, v in defaults.items()
                    if c not in enriched.columns}
         if missing:
@@ -305,7 +350,8 @@ def validate_batched(spark: SparkSession,
     def submitted_view(family: tuple, key: str, tag: str) -> str | None:
         if not fix_bugs:
             return None
-        parts = [df.select(SUB_COL, key) for name, df in clean.items()
+        parts = [df.select(SUB_COL, CBC_COL, key)
+                 for name, df in clean.items()
                  if name in family and key in df.columns]
         if not parts:
             return None
@@ -322,7 +368,7 @@ def validate_batched(spark: SparkSession,
                  for j, (n, src) in enumerate(part_srcs.items())}
         sv = submitted_view(part_family, "Research_Participant_ID", "psub")
         sql_legs.append(participant_cross_sql(
-            views, cbc_id, sv, group_col=SUB_COL))
+            views, cbc, sv, group_col=SUB_COL, extra_keys=(CBC_COL,)))
     bio_family = ("biospecimen.csv", "aliquot.csv", "equipment.csv",
                   "reagent.csv", "consumable.csv")
     bio_srcs = {n: merged.get(n) for n in bio_family}
@@ -334,8 +380,8 @@ def validate_batched(spark: SparkSession,
                         and "Biospecimen_Type" in src.columns}
         sv = submitted_view(bio_family, "Biospecimen_ID", "bsub")
         sql_legs.append(biospecimen_cross_sql(
-            views, cbc_id, sv, type_sources=type_sources,
-            group_col=SUB_COL))
+            views, cbc, sv, type_sources=type_sources,
+            group_col=SUB_COL, extra_keys=(CBC_COL,)))
 
     if not sql_legs:
         out = empty_findings(spark).withColumn(SUB_COL, F.lit(""))

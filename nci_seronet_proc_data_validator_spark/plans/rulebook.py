@@ -123,7 +123,8 @@ def _icd10_flag(column: str) -> str:
 _BIND_CACHE: dict[tuple, "BoundSheet"] = {}
 
 
-def bind_sheet_rules_cached(sheet: str, columns: list[str], cbc_id: str,
+def bind_sheet_rules_cached(sheet: str, columns: list[str],
+                            cbc_id: "str | PerRowCbc",
                             drop_list: list[str] | None = None,
                             today: "datetime.date | None" = None,
                             fix_reference_bugs: bool = True) -> "BoundSheet":
@@ -153,7 +154,8 @@ def bind_sheet_rules_cached(sheet: str, columns: list[str], cbc_id: str,
     return got
 
 
-def bind_sheet_rules(sheet: str, columns: list[str], cbc_id: str,
+def bind_sheet_rules(sheet: str, columns: list[str],
+                     cbc_id: "str | PerRowCbc",
                      drop_list: list[str] | None = None,
                      today: datetime.date | None = None,
                      fix_reference_bugs: bool = True) -> BoundSheet:
@@ -161,7 +163,12 @@ def bind_sheet_rules(sheet: str, columns: list[str], cbc_id: str,
 
     ``drop_list`` — columns added by the enrichment joins (J1/J2), exempt
     from rules (Validation_Rules.py:5-6). ``cbc_id`` — the submission's
-    2-digit lab code ('0' when unknown).
+    2-digit lab code ('0' when unknown), or a
+    :class:`~nci_seronet_proc_data_validator_spark.functions.checks.PerRowCbc`
+    in batched multi-CBC mode (the C5 prefix check then renders as a CASE
+    over the per-row CBC column; PerRowCbc is frozen/hashable so the bind
+    cache keys one entry per (schema, distinct-CBC-set), not per
+    submission).
     """
     drop_list = drop_list or []
     min_date = datetime.date(1900, 1, 1)

@@ -123,6 +123,10 @@ def _findings_array_sql(sheet_name: str, column_rules: list[ColumnRules],
         cands = []
         for ce in cr.checks:
             viol = render_spark_sql(ce.violation)
+            # message_sql: a per-row message expression (batched
+            # multi-CBC C5) — rendered as SQL, not quoted as a literal.
+            msg = (render_spark_sql(ce.message_sql)
+                   if ce.message_sql is not None else _q(ce.message))
             cands.append(
                 f"CASE WHEN {viol} THEN named_struct("
                 f"'Message_Type', {_q(ce.severity)}, "
@@ -130,7 +134,7 @@ def _findings_array_sql(sheet_name: str, column_rules: list[ColumnRules],
                 f"'Row_Index', CAST({row_index_col} AS BIGINT), "
                 f"'Column_Name', {_q(cr.column)}, "
                 f"'Column_Value', CAST({cr.column} AS STRING), "
-                f"'Error_Message', {_q(ce.message)}) END")
+                f"'Error_Message', {msg}) END")
         if not cands:
             continue
         col_exprs.append(cands[0] if len(cands) == 1

@@ -24,7 +24,10 @@ row x column; dup rows are keyed by value), so the engine's
 
 from __future__ import annotations
 
-from nci_seronet_proc_data_validator_spark.functions.checks import _sql_quote
+from nci_seronet_proc_data_validator_spark.functions.checks import (
+    _sql_quote,
+    render_duckdb_sql,
+)
 from nci_seronet_proc_data_validator_spark.plans.fixture import (
     CBC_ID,
     FIXED_TODAY,
@@ -64,7 +67,11 @@ def _column_select(cte: str, sheet: str, column: str, checks) -> str:
                 f"check on {sheet}.{column} has a non-literal message")
         conds.append(ce.sql)
         sev.append(f"WHEN {ce.sql} THEN '{ce.severity}'")
-        msg.append(f"WHEN {ce.sql} THEN {_sql_quote(ce.message)}")
+        # message_sql (per-row message template, batched multi-CBC C5)
+        # renders in DuckDB dialect; plain messages stay quoted literals.
+        m = (render_duckdb_sql(ce.message_sql)
+             if ce.message_sql is not None else _sql_quote(ce.message))
+        msg.append(f"WHEN {ce.sql} THEN {m}")
     # DISTINCT mirrors the engine's dedup_findings: the fixture's base keys
     # may collide (testdata lineitem repeats (l_orderkey, l_linenumber)),
     # and every fixture column is a function of components embedded in the

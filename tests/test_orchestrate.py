@@ -246,11 +246,82 @@ def test_batched_matches_serial(spark, tmp_path):
         batched[SUB_COL] == sid).drop(SUB_COL)) for sid in subs}
     assert got == serial
 
-    # shared-parameter constraint is enforced
-    import datetime
-
-    import pytest as _pytest
+    # shared-parameter constraint is enforced (cbc_id may differ — v2 —
+    # but today/fix_reference_bugs must not)
     bad = dict(subs)
-    bad["sub9"] = {**subs["sub0"], "cbc_id": "41"}
-    with _pytest.raises(ValueError, match="shared"):
+    bad["sub9"] = {**subs["sub0"], "today": TODAY.replace(year=2027)}
+    with pytest.raises(ValueError, match="shared"):
         validate_batched(spark, bad)
+    # identical sheet-name sets are enforced (r12, ADVICE: the family
+    # gates and enrichment parents are computed over the batch union)
+    lopsided = dict(subs)
+    lopsided["sub9"] = {**subs["sub0"],
+                        "sheets": {"demographic.csv":
+                                   subs["sub0"]["sheets"]["demographic.csv"]}}
+    with pytest.raises(ValueError, match="sheet-name set"):
+        validate_batched(spark, lopsided)
+
+
+def test_batched_mixed_cbc_and_shared_ids(spark, tmp_path):
+    """r12: batched v2 — per-submission cbc_id (the production shape:
+    the reference resolves the CBC per submission,
+    File_Submission_Object.py:82-87) and REAL cross-submission isolation:
+    the SAME Research_Participant_ID/Biospecimen_ID planted in two
+    submissions is NOT a duplicate, and an orphan in one submission is
+    NOT healed by another submission's parent sheet. Each tagged slice
+    must equal serial validate() byte-for-byte."""
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        SUB_COL, validate_batched)
+
+    def _mk(i, cbc, csvs):
+        d = tmp_path / f"mix{i}"
+        d.mkdir()
+        sheets = {}
+        for name, content in csvs.items():
+            (d / name).write_text(content)
+            sheets[name] = read_sheet_csv(spark, str(d / name))
+        return {"sheets": sheets, "cbc_id": cbc, "today": TODAY}
+
+    # SHARED ids across submissions: 14_000001 appears in both demos
+    # and both biospecimen sheets; 14_000001_001 in both biospecimens.
+    # subA's biospecimen has an orphan participant 14_777777 whose
+    # demographic row exists ONLY in subB — serial flags it in A,
+    # healing across the batch union would hide it.
+    a = _mk("a", "14", {
+        "demographic.csv": (
+            "Research_Participant_ID,Age,Race\n"
+            "14_000001,30,White\n"),
+        "biospecimen.csv": (
+            "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+            "14_000001,14_000001_001,PBMC\n"
+            "14_777777,14_777777_001,Serum\n"),
+    })
+    b = _mk("b", "41", {
+        "demographic.csv": (
+            "Research_Participant_ID,Age,Race\n"
+            "14_000001,31,Asian\n"          # same ID, different lab (41)
+            "14_777777,44,White\n"),        # the would-be healer
+        "biospecimen.csv": (
+            "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+            "14_000001,14_000001_001,PBMC\n"),
+    })
+    subs = {"A": a, "B": b}
+    serial = {sid: _finding_set(
+        SubmissionValidator(spark, **kw).validate().findings)
+        for sid, kw in subs.items()}
+
+    # the fixtures exercise what they claim:
+    # 1) serial produces NO dup-ID finding anywhere (each sheet's ids
+    #    are unique within its submission)
+    assert not any(r[2] == -3 for s in serial.values() for r in s)
+    # 2) B's rows carry lab 41, so its C5 prefix findings expect 41
+    assert any("Expecting CBC Code (41)" in r[5] for r in serial["B"])
+    assert all("Expecting CBC Code (41)" not in r[5] for r in serial["A"])
+    # 3) A's orphan is flagged by serial (present in bio, no demo row)
+    assert any(r[3] == "Research_Participant_ID" and r[4] == "14_777777"
+               for r in serial["A"])
+
+    batched = validate_batched(spark, subs).cache()
+    got = {sid: _finding_set(batched.filter(
+        batched[SUB_COL] == sid).drop(SUB_COL)) for sid in subs}
+    assert got == serial
