@@ -44,7 +44,7 @@ from nci_seronet_proc_data_validator_spark.submission import (
 )
 
 __all__ = ["CBC_COL", "ConcurrentOutcome", "SUB_COL", "validate_batched",
-           "validate_concurrent"]
+           "validate_batched_results", "validate_concurrent"]
 
 
 @dataclass
@@ -393,3 +393,62 @@ def validate_batched(spark: SparkSession,
     return findings.dropDuplicates(
         [SUB_COL, "CSV_Sheet_Name", "Row_Index", "Column_Name",
          "Column_Value"])
+
+
+def validate_batched_results(
+        spark: SparkSession,
+        subs: "dict[str, dict]") -> "dict[str, ValidationResult]":
+    """CLI-grade batched validation: ONE compiled plan for the findings
+    (:func:`validate_batched`), then the per-submission driver tail —
+    count reconciliation (A4), header/column findings (P10), and the
+    sheet × severity summary — on each tagged slice, returning full
+    :class:`ValidationResult` objects keyed like
+    :func:`validate_concurrent`.
+
+    The tail is per-submission BY CONTRACT (the declared counts come
+    from each submission's own ``submission.csv``, and the reconciling
+    ``count()`` is driver logic in the reference too,
+    File_Submission_Object.py:397-415) — it costs one small action per
+    submission WITH declared counts, over the persisted batched
+    findings; submissions without declared counts pay no action here.
+
+    Sheets register into the participant/biospecimen reconciliation
+    exactly as in serial ``validate()``: the ID column is present in
+    the sheet's own (pre-enrichment) columns — the bound flag reduces
+    to column membership because enrichment-added columns are disjoint
+    from the sheet's own by construction (``merge_tables`` only adds
+    absent columns).
+    """
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.errors import (
+        findings_summary,
+        union_findings,
+    )
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        cleanup_sheet,
+    )
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SKIP_VALIDATION,
+    )
+
+    tagged = validate_batched(spark, subs).persist()
+    out: dict[str, ValidationResult] = {}
+    for sid, kw in subs.items():
+        sv = SubmissionValidator(spark, **kw)
+        clean = {n: cleanup_sheet(df, sv.fix_reference_bugs)
+                 for n, df in kw["sheets"].items()
+                 if n not in SKIP_VALIDATION}
+        findings = tagged.filter(F.col(SUB_COL) == sid).drop(SUB_COL)
+        part = [(n, df, None) for n, df in clean.items()
+                if "Research_Participant_ID" in df.columns]
+        bio = [(n, df, None) for n, df in clean.items()
+               if "Biospecimen_ID" in df.columns]
+        tail = sv._count_reconciliation(findings, part, bio)
+        if tail:
+            findings = union_findings([findings, *tail])
+        out[sid] = ValidationResult(
+            findings=findings,
+            column_findings=sv._column_findings(clean),
+            summary=findings_summary(findings))
+    return out

@@ -325,3 +325,67 @@ def test_batched_mixed_cbc_and_shared_ids(spark, tmp_path):
     got = {sid: _finding_set(batched.filter(
         batched[SUB_COL] == sid).drop(SUB_COL)) for sid in subs}
     assert got == serial
+
+
+def test_cli_batched_matches_serial(spark, tmp_path, monkeypatch, capsys):
+    """r12: `--batched` CLI mode — 8 submissions in two schema groups
+    (5 + 3), mixed CBC ids inside the big group (batched v2), routed
+    through one compiled plan per group; findings parquet per
+    submission must equal the default (serial) CLI run's byte-for-byte.
+    """
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_submission as rs
+    finally:
+        sys.path.pop(0)
+
+    def _mkdir(name: str, csvs: dict[str, str]) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        for fname, content in csvs.items():
+            (d / fname).write_text(content)
+        return str(d)
+
+    dirs = []
+    for i in range(5):                      # group A: demo + biospecimen
+        lab = "LabX" if i % 2 == 0 else "LabY"   # mixed CBCs in ONE group
+        csvs = dict(_submission_csvs(i))
+        csvs["submission.csv"] = f"key,{lab}\np,2\nb,2\n"
+        dirs.append(_mkdir(f"ga{i}", csvs))
+    for i in range(3):                      # group B: demographic only,
+        dirs.append(_mkdir(f"gb{i}", {      # narrower column set
+            "demographic.csv": ("Research_Participant_ID,Age\n"
+                                f"14_20000{i},1{i}9\n"),
+            "submission.csv": "key,LabX\np,1\nb,0\n"}))
+
+    def _run(extra: list[str], out: str) -> int:
+        monkeypatch.setattr(sys, "argv", [
+            "run_submission.py", *dirs, "--out", str(tmp_path / out),
+            "--cbc", "LabX=14", "--cbc", "LabY=41", *extra])
+        return rs.main()
+
+    # the fixture sheets don't carry the full expected-column catalog, so
+    # the quality gate fails (rc=1) — what matters here is that BOTH
+    # modes agree on the rc and on every submission's findings
+    rc_serial = _run([], "serial_out")
+    rc_batched = _run(["--batched"], "batched_out")
+    assert rc_batched == rc_serial
+    assert "2 schema group(s), sizes [5, 3]" in capsys.readouterr().out
+
+    for d in dirs:
+        base = d.rstrip("/").split("/")[-1]
+        a = spark.read.parquet(
+            str(tmp_path / "serial_out" / base / "findings.parquet"))
+        b = spark.read.parquet(
+            str(tmp_path / "batched_out" / base / "findings.parquet"))
+        assert _finding_set(a) == _finding_set(b), base
+        assert a.count() > 0, base          # every submission has findings
+    # the mixed-CBC group really validated against per-submission labs
+    ga1 = spark.read.parquet(
+        str(tmp_path / "batched_out" / "ga1" / "findings.parquet"))
+    assert ga1.filter(F.col("Error_Message").contains(
+        "Expecting CBC Code (41)")).count() > 0

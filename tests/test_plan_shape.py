@@ -500,3 +500,55 @@ def test_submission_build_py4j_budget(spark, tmp_path):
     sends = sum(nc for (fn, _l, name), (nc, *_r) in stats.stats.items()
                 if name == "send_command" and "java_gateway" in fn)
     assert 0 < sends < 1500, f"driver build used {sends} py4j round-trips"
+
+
+def test_batched_build_py4j_budget(spark, tmp_path):
+    """r12 batched-build guard: the 8-submission batched build stays
+    under ~2x the 1-submission build's py4j round-trips (measured 1.89x
+    at introduction: ~350 vs ~660). The whole point of batched mode is
+    an O(distinct schemas) driver build — the only per-submission cost
+    allowed is the tag-and-union (one withColumns + one unionByName per
+    sheet); a change that reintroduces per-submission rule binding, SQL
+    rendering, or per-leg analysis shows up here as O(N) chatter."""
+    import cProfile
+    import datetime
+    import pstats
+
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        validate_batched)
+    from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+
+    def mk(i: int) -> dict:
+        d = tmp_path / f"s{i}"
+        d.mkdir()
+        (d / "demographic.csv").write_text(
+            f"Research_Participant_ID,Age,Race\n14_00000{i},30,White\n")
+        (d / "biospecimen.csv").write_text(
+            "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+            f"14_00000{i},14_00000{i}_001,PBMC\n")
+        return {"sheets": {n: read_sheet_csv(spark, str(d / n))
+                           for n in ("demographic.csv", "biospecimen.csv")},
+                # mixed CBCs on purpose: v2 must not fall back to
+                # per-submission binding for mixed-lab batches
+                "cbc_id": "14" if i % 2 == 0 else "41",
+                "today": datetime.date(2026, 1, 1)}
+
+    subs = {f"s{i}": mk(i) for i in range(8)}
+    one = {"s0": subs["s0"]}
+    validate_batched(spark, one)            # warm bind + SQL-render caches
+
+    def roundtrips(fn) -> int:
+        pr = cProfile.Profile()
+        pr.enable()
+        fn()
+        pr.disable()
+        stats = pstats.Stats(pr)
+        return sum(nc for (f, _l, n), (nc, *_r) in stats.stats.items()
+                   if n == "send_command" and "java_gateway" in f)
+
+    n1 = roundtrips(lambda: validate_batched(spark, one))
+    n8 = roundtrips(lambda: validate_batched(spark, subs))
+    assert 0 < n1 < 800, f"1-sub batched build used {n1} round-trips"
+    assert n8 < 2.2 * n1, (f"8-sub batched build used {n8} round-trips "
+                           f"vs {n1} for 1 sub — per-submission driver "
+                           f"cost crept back in")

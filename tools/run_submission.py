@@ -2,7 +2,7 @@
 the reference's Lambda flow (nci-seronet-data-validator.py:33-117).
 
     python tools/run_submission.py SUBMISSION_DIR [SUBMISSION_DIR ...]
-        [--out OUT_DIR] [--jobs N] [--cbc NAME=ID ...]
+        [--out OUT_DIR] [--jobs N] [--batched] [--cbc NAME=ID ...]
         [--keep-reference-bugs]
 
 Each SUBMISSION_DIR holds that submission's sheet CSVs (submission.csv,
@@ -13,6 +13,15 @@ scheduler pools (``orchestrate.validate_concurrent`` — the reference
 loops serially, nci-seronet-data-validator.py:69; measured ~2.4-2.7x warm on 4
 submissions, BENCH_NOTES r10/r11). Per-sheet error reports + findings
 parquet land under OUT_DIR (per-submission subdirs in multi mode).
+
+``--batched`` groups the submissions by schema signature (sheet-name
+set + per-sheet column sets — CBC ids MAY differ, batched v2) and
+compiles each same-shape group of >=2 through ONE plan
+(``orchestrate.validate_batched_results``); singletons fall back to
+per-submission validate(). Findings per submission are identical to
+serial/concurrent mode — batched is the driver-bound regime's shape
+(thousands of tiny submissions, or a driver remote from the cluster):
+its build cost is O(distinct schemas), not O(N submissions).
 """
 
 from __future__ import annotations
@@ -101,6 +110,72 @@ def _report(result, sheets, meta, sub_dir: str, out: str | None) -> bool:
     return ok
 
 
+def _validate_batched_groups(spark, subs: dict) -> dict:
+    """--batched mode: group submissions by schema signature (sheet-name
+    set + per-sheet column sets + today/flags — CBC ids may differ,
+    batched v2), compile each group of >=2 through ONE plan
+    (``validate_batched_results``), fall back to serial validate() for
+    singleton schemas. Per-GROUP error isolation: a malformed submission
+    fails its group's outcomes, the other groups still validate.
+    Returns ``ConcurrentOutcome`` per submission dir (``seconds`` is the
+    GROUP wall time for batched members — the plan is shared)."""
+    import time
+
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        ConcurrentOutcome,
+        _default_materialize,
+        validate_batched_results,
+    )
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SKIP_VALIDATION,
+        SubmissionValidator,
+    )
+
+    def sig(kw) -> tuple:
+        return (tuple(sorted(
+                    (n, tuple(sorted(c for c in df.columns
+                                     if c != "row_index")))
+                    for n, df in kw["sheets"].items()
+                    if n not in SKIP_VALIDATION)),
+                kw.get("today"), kw.get("fix_reference_bugs", True))
+
+    groups: dict[tuple, list] = {}
+    for d, kw in subs.items():
+        groups.setdefault(sig(kw), []).append(d)
+    sizes = sorted((len(m) for m in groups.values()), reverse=True)
+    print(f"batched: {len(groups)} schema group(s), sizes {sizes}")
+
+    out: dict = {}
+    for members in groups.values():
+        t0 = time.time()
+        if len(members) == 1:
+            d = members[0]
+            try:
+                res = SubmissionValidator(spark, **subs[d]).validate()
+                out[d] = ConcurrentOutcome(
+                    result=res, materialized=_default_materialize(res),
+                    seconds=time.time() - t0)
+            except Exception as exc:  # noqa: BLE001 — isolate per group
+                out[d] = ConcurrentOutcome(result=None, materialized=None,
+                                           seconds=time.time() - t0,
+                                           error=exc)
+            continue
+        try:
+            results = validate_batched_results(
+                spark, {d: subs[d] for d in members})
+            for d in members:
+                out[d] = ConcurrentOutcome(
+                    result=results[d],
+                    materialized=_default_materialize(results[d]),
+                    seconds=time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 — isolate per group
+            for d in members:
+                out[d] = ConcurrentOutcome(result=None, materialized=None,
+                                           seconds=time.time() - t0,
+                                           error=exc)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("submission_dirs", nargs="+")
@@ -108,6 +183,10 @@ def main() -> int:
     ap.add_argument("--jobs", type=int, default=1,
                     help="max submissions validated concurrently "
                          "(FAIR pool per submission)")
+    ap.add_argument("--batched", action="store_true",
+                    help="compile same-schema submissions through ONE "
+                         "plan (O(distinct schemas) driver build; "
+                         "singleton schemas fall back to serial)")
     ap.add_argument("--cbc", action="append", default=[],
                     metavar="NAME=ID", help="CBC name → 2-digit id mapping")
     ap.add_argument("--keep-reference-bugs", action="store_true",
@@ -188,7 +267,11 @@ def main() -> int:
         validate_concurrent,
     )
     subs = {d: kwargs for d, (kwargs, _m, _s) in loaded.items()}
-    out = validate_concurrent(spark, subs, max_parallel=max(1, args.jobs))
+    if args.batched:
+        out = _validate_batched_groups(spark, subs)
+    else:
+        out = validate_concurrent(spark, subs,
+                                  max_parallel=max(1, args.jobs))
     out_names = _out_names(list(loaded))
     for d, (kwargs, meta, sheets) in loaded.items():
         oc = out[d]
