@@ -432,9 +432,19 @@ def validate_batched_results(
         SKIP_VALIDATION,
     )
 
-    tagged = validate_batched(spark, subs).persist()
-    out: dict[str, ValidationResult] = {}
-    for sid, kw in subs.items():
+    # localCheckpoint, not persist: every per-submission tail/summary
+    # action derives a NEW DataFrame from the batched findings, and a
+    # persisted df still carries the FULL logical plan (N-leg sheet
+    # unions x all rendered SQL legs) — Catalyst re-ANALYZES that tree
+    # for each derived action even when execution hits the cache.
+    # Measured at 24 tiny submissions: ~3 s of driver analysis per
+    # summary, 78 s total. The eager checkpoint truncates lineage to a
+    # leaf scan (executor-resident blocks, same ContextCleaner lifetime
+    # note as semdedup's) — findings are error-bounded, not data-scale.
+    tagged = validate_batched(spark, subs).localCheckpoint(eager=True)
+
+    def _tail(item: "tuple[str, dict]") -> "tuple[str, ValidationResult]":
+        sid, kw = item
         sv = SubmissionValidator(spark, **kw)
         clean = {n: cleanup_sheet(df, sv.fix_reference_bugs)
                  for n, df in kw["sheets"].items()
@@ -447,8 +457,16 @@ def validate_batched_results(
         tail = sv._count_reconciliation(findings, part, bio)
         if tail:
             findings = union_findings([findings, *tail])
-        out[sid] = ValidationResult(
+        return sid, ValidationResult(
             findings=findings,
             column_findings=sv._column_findings(clean),
             summary=findings_summary(findings))
-    return out
+
+    # The reconciliation counts are independent driver actions (one per
+    # submission WITH declared counts) — overlap them on a bounded pool,
+    # same isolation model as validate_concurrent (measured: the serial
+    # tail loop cost ~1 s/submission at fixture scale, dominated by the
+    # per-submission CSV re-parse inside the anti-join).
+    with ThreadPoolExecutor(max_workers=min(8, len(subs)),
+                            thread_name_prefix="batched-tail") as pool:
+        return dict(pool.map(_tail, subs.items()))

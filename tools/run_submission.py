@@ -163,10 +163,16 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
         try:
             results = validate_batched_results(
                 spark, {d: subs[d] for d in members})
+            # materialize (error/warning counts) overlapped: independent
+            # per-submission actions over the already-cached findings
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(members)),
+                                    thread_name_prefix="batched-mat") as tp:
+                mats = dict(zip(members, tp.map(
+                    lambda d: _default_materialize(results[d]), members)))
             for d in members:
                 out[d] = ConcurrentOutcome(
-                    result=results[d],
-                    materialized=_default_materialize(results[d]),
+                    result=results[d], materialized=mats[d],
                     seconds=time.time() - t0)
         except Exception as exc:  # noqa: BLE001 — isolate per group
             for d in members:
@@ -221,8 +227,13 @@ def main() -> int:
         return _load(spark, d, cbc_map, not args.keep_reference_bugs,
                      icd10, expected)
 
-    if len(args.submission_dirs) > 1 and args.jobs > 1:
-        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+    load_width = args.jobs if args.jobs > 1 else (8 if args.batched else 1)
+    if len(args.submission_dirs) > 1 and load_width > 1:
+        # --batched implies parallel loads even at --jobs 1: the load
+        # phase is per-submission header jobs (measured 21 s serial at
+        # 24 submissions) and batched mode has no per-submission
+        # validate phase to hide it in.
+        with ThreadPoolExecutor(max_workers=load_width) as pool:
             results = dict(zip(args.submission_dirs,
                                pool.map(_load_one, args.submission_dirs)))
     else:
