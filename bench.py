@@ -224,6 +224,58 @@ CANONICAL_SET = [
 ]
 
 
+# --- drift probes (r12) ----------------------------------------------------
+# Three consecutive rounds re-adjudicated suite drift by hand: the in-run
+# env_drift (median/best of the SUITE) under-predicts how much box
+# interference inflates SHORT queries, because fixed per-job overhead
+# swamps sub-second runtimes disproportionately (r11: short keys read
+# 3-7.6x while env_drift said 1.2). Fix: interleave two REFERENCE
+# measurements per query — code-independent workloads whose idle-box cost
+# is a pinned calibration constant — and emit a drift-adjusted dict next
+# to the raw one, so BENCH_rN vs BENCH_rN-1 comparisons self-normalize.
+#
+# - cpu probe: 6M-row sha2+sum, fixed 32 partitions, pure built-ins —
+#   tracks compute contention (long queries' inflation mode);
+# - sched probe: a single tiny job, min of 5 — tracks per-job scheduler/
+#   driver latency (short queries' inflation mode).
+# Both are repo-code-independent, so their definition stays comparable
+# across rounds. Normalization is WITHIN-RUN: each query's drift factor
+# is its probe reading over the run's MEDIAN probe reading (per probe
+# type) — the median is the run's typical box state, so a query whose
+# probe spiked 1.8x (someone else's burst) gets its raw time deflated
+# accordingly, while queries measured in typical state keep f ~ 1.
+# (An absolute calibration was tried first and is kept as reference
+# info: the probe floor depends on JIT depth — 0.21 s deep in a suite
+# vs 0.27 s after a 15-run warm — so absolute anchoring drifts ~25%
+# where the within-run median does not. Cross-round box-speed shifts
+# remain visible as probe_baseline / probe_calibration.)
+# The adjustment is FIRST-ORDER: the probe samples the instant before
+# the query's runs, not during them. Read adjusted values as "raw with
+# the box-state excuse removed", not as ground truth.
+_PROBE_CAL = {"cpu": 0.21, "sched": 0.032}   # r12 deep-warm idle floor
+_SHORT_QUERY_SEC = 2.0
+
+
+def _probe_cpu(spark) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (spark.range(0, 6_000_000, 1, 32)
+         .selectExpr("sum(length(sha2(cast(id AS string), 256))) AS s")
+         .write.format("noop").mode("overwrite").save())
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _probe_sched(spark) -> float:
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(0, 1000, 1, 4).count()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -262,11 +314,20 @@ def main() -> None:
         raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown queries: "
                          f"{sorted(unknown)} (known: "
                          f"{sorted(BENCH_QUERIES)})")
+    probes_on = os.environ.get("SPARK_GRAFT_BENCH_PROBES", "1") != "0"
+    if probes_on:    # warm the probe plans (codegen) before any timing
+        _probe_cpu(spark)
+        _probe_sched(spark)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    probe_cpu: dict[str, float] = {}
+    probe_sched: dict[str, float] = {}
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
+        if probes_on:    # box state RIGHT BEFORE this query's samples
+            probe_cpu[name] = round(_probe_cpu(spark), 3)
+            probe_sched[name] = round(_probe_sched(spark), 3)
         samples = []
         for _ in range(n):
             spark.catalog.clearCache()
@@ -307,6 +368,32 @@ def main() -> None:
         # environment load, not a plan change (r5's 1.23× lesson)
         "env_drift": round(med_total / best_total, 3) if best_total else 1.0,
     }
+    if probes_on and timings:
+        # Per-query drift factor = probe / run-median-probe, from the
+        # probe matching the query's duration class; adjusted = raw / f.
+        # Cross-round readers should compare queries_drift_adjusted —
+        # raw short-query swings on a loaded box are NOT plan changes.
+        def _med(vals: list[float]) -> float:
+            s = sorted(vals)
+            return s[len(s) // 2]
+        base = {"cpu": _med(list(probe_cpu.values())),
+                "sched": _med(list(probe_sched.values()))}
+        adjusted = {}
+        factors = {}
+        for q, best in timings.items():
+            f_cpu = probe_cpu[q] / max(base["cpu"], 1e-6)
+            f_sched = probe_sched[q] / max(base["sched"], 1e-6)
+            f = f_sched if best < _SHORT_QUERY_SEC else f_cpu
+            factors[q] = round(f, 3)
+            adjusted[q] = round(best / max(f, 1e-6), 3)
+        payload["probe_calibration"] = _PROBE_CAL
+        payload["probe_baseline"] = {k: round(v, 3)
+                                     for k, v in base.items()}
+        payload["probe_cpu"] = probe_cpu
+        payload["probe_sched"] = probe_sched
+        payload["queries_drift_factor"] = factors
+        payload["queries_drift_adjusted"] = adjusted
+        payload["adjusted_total"] = round(sum(adjusted.values()), 3)
     print(json.dumps(payload))
     # Self-written full artifact (verdict-r9 item 4): the driver's
     # BENCH_r*.json keeps only a truncated tail of this stdout line, so

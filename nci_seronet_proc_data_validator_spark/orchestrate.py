@@ -147,16 +147,16 @@ def validate_batched(spark: SparkSession,
     never observe each other
     (pinned by tests/test_orchestrate.py::test_batched_matches_serial).
 
-    **When to use which** (measured, BENCH_NOTES r11, cold-cache): at
-    fixture scale the r11 driver-build cuts made per-submission builds
-    cheap enough that :func:`validate_concurrent` wins end-to-end (8
-    subs sf0.01: serial 39-44 s, concurrent 16 s, batched 16-19 s; at
-    24 subs concurrent 18 s vs batched 57 s — the one-big-plan constant
-    factors grow with the union while small per-submission jobs overlap
-    well). Batched remains the right shape when the DRIVER is the
-    bottleneck — thousands of tiny submissions, or a driver remote from
-    the cluster where per-submission analysis round-trips dominate —
-    and as the only mode whose build cost does not grow with N.
+    **When to use which** (measured, BENCH_NOTES r12, cold JVM per run,
+    end-to-end through the CLI): batched wins once the batch shares
+    schemas — 8 x 5k-row submissions: batched 40.5 s vs 45.7 s
+    ``--jobs 8`` vs 63.5 s serial; 24 tiny submissions: batched 89.9 s
+    vs 99.9 s ``--jobs 8``. The r11 guidance that concurrent wins at
+    24 subs measured a since-fixed lineage-analysis tax in the batched
+    tail (see :func:`validate_batched_results`), not the plan.
+    Concurrent remains right for few or schema-heterogeneous
+    submissions; past ~20 submissions, sharding a batched run across
+    driver PROCESSES adds another ~1.4x (GIL escape, BENCH_NOTES r12).
 
     v2 scope/constraints (ValueError otherwise):
     - every submission shares ``today`` and ``fix_reference_bugs`` (the

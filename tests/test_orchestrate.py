@@ -389,3 +389,37 @@ def test_cli_batched_matches_serial(spark, tmp_path, monkeypatch, capsys):
         str(tmp_path / "batched_out" / "ga1" / "findings.parquet"))
     assert ga1.filter(F.col("Error_Message").contains(
         "Expecting CBC Code (41)")).count() > 0
+
+
+def test_batched_rejects_column_valued_checks(spark, tmp_path, monkeypatch):
+    """r12 (ADVICE): a Column-valued CheckExpr (custom caller rule —
+    supported by the serial path's DataFrame-compile fallback,
+    submission.py) has no SQL text form; batched mode must refuse it
+    with a clear ValueError instead of crashing inside render_spark_sql.
+    """
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark import orchestrate as orch
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        CheckExpr)
+    from nci_seronet_proc_data_validator_spark.plans import rulebook as rb
+    from nci_seronet_proc_data_validator_spark.plans.rules import ColumnRules
+
+    real_bind = rb.bind_sheet_rules_cached
+
+    def bind_with_column_rule(sheet, columns, cbc_id, **kw):
+        bound = real_bind(sheet, columns, cbc_id, **kw)
+        import copy
+        bound = copy.copy(bound)
+        bound.column_rules = [*bound.column_rules, ColumnRules(
+            "Age", [CheckExpr(F.col("Age") == "13", "unlucky age")])]
+        return bound
+
+    import nci_seronet_proc_data_validator_spark.orchestrate as orch_mod
+    monkeypatch.setattr(
+        "nci_seronet_proc_data_validator_spark.plans.rulebook."
+        "bind_sheet_rules_cached", bind_with_column_rule)
+
+    subs = {"s0": _load(spark, tmp_path, 0)}
+    with pytest.raises(ValueError, match="SQL text"):
+        orch.validate_batched(spark, subs)
