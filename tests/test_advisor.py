@@ -269,3 +269,75 @@ def test_validate_plan_sweeps_clean_with_row_index_allowance(spark,
                               today=datetime.date(2026, 1, 1)).validate()
     res.findings.count()
     assert advise_plan(res.findings, warn=False) == []
+
+
+def test_warn_deep_lineage(spark):
+    """r12: persist caches execution, NOT analysis — a cached DataFrame
+    with a deep logical plan taxes every derived action with a full
+    re-analysis (~3.2 s/action at 24 batched submissions, BENCH_NOTES
+    r12). The rule warns on cached+deep, stays silent on uncached or
+    shallow, and a localCheckpoint of the same data passes."""
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        ScaleHazardWarning, warn_deep_lineage)
+
+    base = spark.range(10).selectExpr("id", "id * 2 AS v")
+    deep = base
+    for _ in range(120):         # 120-leg union: deep analyzed tree
+        deep = deep.unionByName(base)
+
+    assert warn_deep_lineage(deep, "uncached") is None   # uncached: silent
+    deep = deep.persist()
+    try:
+        with pytest.warns(ScaleHazardWarning, match="deep-lineage-reuse"):
+            msg = warn_deep_lineage(deep, "batched-findings")
+        assert msg is not None and "localCheckpoint" in msg
+    finally:
+        deep.unpersist()
+
+    shallow = base.persist()
+    try:
+        assert warn_deep_lineage(shallow, "shallow") is None
+    finally:
+        shallow.unpersist()
+
+    cut = None
+    deep2 = base
+    for _ in range(120):
+        deep2 = deep2.unionByName(base)
+    cut = deep2.localCheckpoint(eager=True).persist()
+    try:
+        assert warn_deep_lineage(cut, "checkpointed") is None
+    finally:
+        cut.unpersist()
+
+
+def test_batched_results_findings_are_lineage_shallow(spark, tmp_path):
+    """r12 regression guard for the lineage-analysis tax: the findings
+    validate_batched_results returns must be derived from a TRUNCATED
+    lineage (localCheckpoint), not from the raw N-leg batched plan —
+    per-submission summaries/reconciliations each re-analyze whatever
+    tree they carry."""
+    import datetime
+
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        validate_batched_results)
+    from nci_seronet_proc_data_validator_spark.sources import (
+        read_sheet_csv)
+
+    def mk(i: int) -> dict:
+        d = tmp_path / f"s{i}"
+        d.mkdir()
+        (d / "demographic.csv").write_text(
+            f"Research_Participant_ID,Age,Race\n14_00000{i},30,White\n")
+        return {"sheets": {"demographic.csv":
+                           read_sheet_csv(spark, str(d / "demographic.csv"))},
+                "cbc_id": "14", "today": datetime.date(2026, 1, 1)}
+
+    res = validate_batched_results(spark, {f"s{i}": mk(i) for i in range(4)})
+    for sid, r in res.items():
+        plan = r.findings._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+        n = plan.count("\n")
+        # a checkpointed base renders a leaf scan + the thin slice ops;
+        # the raw 4-sub batched plan renders hundreds of lines
+        assert n < 60, (sid, n, plan[:500])
+        assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:300]
