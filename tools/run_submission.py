@@ -145,8 +145,8 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
     sizes = sorted((len(m) for m in groups.values()), reverse=True)
     print(f"batched: {len(groups)} schema group(s), sizes {sizes}")
 
-    out: dict = {}
-    for members in groups.values():
+    def _run_group(members: list) -> dict:
+        out: dict = {}
         t0 = time.time()
         if len(members) == 1:
             d = members[0]
@@ -159,7 +159,7 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
                 out[d] = ConcurrentOutcome(result=None, materialized=None,
                                            seconds=time.time() - t0,
                                            error=exc)
-            continue
+            return out
         try:
             results = validate_batched_results(
                 spark, {d: subs[d] for d in members})
@@ -179,6 +179,23 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
                 out[d] = ConcurrentOutcome(result=None, materialized=None,
                                            seconds=time.time() - t0,
                                            error=exc)
+        return out
+
+    # Schema groups are independent (separate plans, separate outcomes) —
+    # overlap them on a bounded pool so a small group hides under a big
+    # one instead of queueing behind it. Width 4: the per-group work is
+    # driver-build-heavy and the GIL serializes builds past ~4 threads
+    # (BENCH_NOTES r11 width ceiling).
+    group_lists = list(groups.values())
+    out: dict = {}
+    if len(group_lists) == 1:
+        out.update(_run_group(group_lists[0]))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, len(group_lists)),
+                                thread_name_prefix="batched-group") as gp:
+            for part in gp.map(_run_group, group_lists):
+                out.update(part)
     return out
 
 
