@@ -289,10 +289,15 @@ def q_submission_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data rows 2–3); the oracle recomputes the counts.
     o4 = _o4_arm(spark, cust, orders, null_v)
 
+    # r12: validate_batched over two mixed-CBC submissions (one compiled
+    # plan, per-row __cbc_id, per-submission dup scoping) — the batched
+    # path's findings oracle-checked, not just serial-equivalence-tested.
+    batched = _batched_arm(spark, sf_dir, null_v)
+
     return (j6.unionByName(a4).unionByName(o3).unionByName(sink)
             .unionByName(sink_x).unionByName(status).unionByName(notify)
             .unionByName(colcmp).unionByName(read_any_arm)
-            .unionByName(j2).unionByName(o4)
+            .unionByName(j2).unionByName(o4).unionByName(batched)
             .orderBy("arm", "k", "s1"))
 
 
@@ -346,6 +351,110 @@ def _o4_arm(spark: SparkSession, cust: DataFrame, orders: DataFrame,
                     null_v.alias("v")))
 
 
+# --- batched arm: validate_batched over two mixed-CBC submissions --------
+# The r12 headline path, oracle-checked: two demographic-only submissions
+# derived from `customer` (even keys -> sub A / cbc 14, odd -> sub B /
+# cbc 41), run through the REAL validate_batched (one compiled plan,
+# per-row __cbc_id, PerRowCbc C5 rendering, per-submission dup grouping
+# and dedup). The paired key `h` makes the SAME Research_Participant_ID
+# values appear in BOTH submissions (cross-submission isolation is load-
+# bearing: a batch that leaked IDs across the tag would dup-flag them)
+# and collide WITHIN each submission every 400 participants (real dup
+# findings per sub). The oracle binds the SAME rulebook per submission
+# with its literal CBC and renders findings through the standard
+# dual-engine generators (_column_select/_dup_select) — no hand-written
+# check SQL, so the engines cannot drift.
+_BATCHED_H = "CAST((c_custkey - (c_custkey % 2)) / 2 AS BIGINT)"
+_BATCHED_RPID = (
+    f"CASE WHEN ({_BATCHED_H}) % 97 = 0 THEN 'BAD_ID!'"
+    f" WHEN ({_BATCHED_H}) % 53 = 0 THEN ''"
+    f" ELSE '14_' || lpad(CAST(({_BATCHED_H}) % 400 AS STRING), 6, '0')"
+    f" END")
+_BATCHED_SUBS = (("A", "14", 0), ("B", "41", 1))   # (sub id, cbc, parity)
+
+
+def _batched_cols() -> "dict[str, str]":
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        DEMOGRAPHIC,
+    )
+    # Subset of the rulebook demographic fixture: plain-check columns
+    # only (no enrichment-dependent SARS, no ICD-10 join column), so the
+    # single-sheet submission binds with drop_list=[] on both engines.
+    cols = {"Research_Participant_ID": _BATCHED_RPID}
+    for c in ("Age", "Race", "Ethnicity", "Gender"):
+        cols[c] = DEMOGRAPHIC.columns[c]
+    return cols
+
+
+def _batched_arm(spark: SparkSession, sf_dir: str, null_v) -> DataFrame:
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        SUB_COL,
+        validate_batched,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        FIXED_TODAY,
+    )
+    cols = _batched_cols()
+    raw = read_table(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_custkey AS LONG) AS row_index",
+        *[f"CAST({e} AS STRING) AS {c}" for c, e in cols.items()])
+    subs = {
+        sid: {"sheets": {"demographic.csv":
+                         raw.filter(f"row_index % 2 = {par}")},
+              "cbc_id": cbc, "today": FIXED_TODAY}
+        for sid, cbc, par in _BATCHED_SUBS}
+    findings = validate_batched(spark, subs)
+    return findings.select(
+        F.lit("batched").alias("arm"),
+        F.col(ROW_INDEX).alias("k"),
+        F.concat_ws("|", F.col(SUB_COL), F.col(SHEET_NAME),
+                    F.col(COLUMN_NAME), F.col(COLUMN_VALUE)).alias("s1"),
+        F.concat_ws("|", F.col(MESSAGE_TYPE),
+                    F.col(ERROR_MESSAGE)).alias("s2"),
+        null_v.alias("v"))
+
+
+def _sql_batched_arm() -> str:
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        duckdb_shadow_exprs,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        FIXED_TODAY,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        _column_select,
+        _dup_select,
+    )
+    cols = _batched_cols()
+    ctes, legs = [], []
+    for sid, cbc, par in _BATCHED_SUBS:
+        inner = ("SELECT CAST(c_custkey AS BIGINT) AS row_index, "
+                 + ", ".join(f"CAST({e} AS STRING) AS {c}"
+                             for c, e in cols.items())
+                 + f" FROM customer WHERE c_custkey % 2 = {par}")
+        shadows = duckdb_shadow_exprs(list(cols))
+        cte = f"bsub_{sid}"
+        ctes.append(f"{cte} AS MATERIALIZED (SELECT *, "
+                    + ", ".join(shadows) + f" FROM ({inner}))")
+        bound = bind_sheet_rules("demographic.csv", list(cols), cbc,
+                                 drop_list=[], today=FIXED_TODAY)
+        sel = [_column_select(cte, "demographic.csv", cr.column, cr.checks)
+               for cr in bound.column_rules]
+        sel += [_dup_select(cte, "demographic.csv", c)
+                for c in bound.dup_id_columns]
+        body = "\nUNION ALL\n".join(sel)
+        legs.append(
+            f"SELECT 'batched' AS arm, f.Row_Index AS k,\n"
+            f"  '{sid}|' || f.CSV_Sheet_Name || '|' || f.Column_Name"
+            f" || '|' || f.Column_Value AS s1,\n"
+            f"  f.Message_Type || '|' || f.Error_Message AS s2,\n"
+            f"  CAST(NULL AS DOUBLE) AS v\nFROM ({body}) f")
+    return (",\n".join(ctes), "\nUNION ALL\n".join(legs))
+
+
 def _read_any_arm(spark: SparkSession, cust: DataFrame) -> DataFrame:
     from nci_seronet_proc_data_validator_spark.sources.readers import (
         read_any,
@@ -387,8 +496,10 @@ def sql_submission_misc() -> str:
         for s in (CONFIRMATORY, ASSAY, ASSAY_TARGET))
     conf, assay, at = (cte_name(s)
                        for s in (CONFIRMATORY, ASSAY, ASSAY_TARGET))
+    batched_ctes, batched_legs = _sql_batched_arm()
     return f"""
 WITH {fx_ctes},
+{batched_ctes},
 sheet_counts AS MATERIALIZED (
   SELECT 'customer.csv' AS sheet,
          (SELECT count(*) FROM customer
@@ -500,6 +611,8 @@ SELECT * FROM (
   UNION ALL
   SELECT 'o4', 2, 'declared_biospecimens',
          CAST((SELECT count(*) FROM orders) AS VARCHAR), NULL
+  UNION ALL
+{batched_legs}
 )
 ORDER BY arm, k, s1
 """
