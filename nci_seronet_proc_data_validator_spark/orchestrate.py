@@ -241,6 +241,15 @@ def validate_batched(spark: SparkSession,
             "parents are computed over the batch union); got "
             f"{sorted({tuple(sorted(s)) for s in sheet_sets.values()})}"
             " — group submissions by sheet set, one batch each")
+    with_db = sorted(sid for sid, kw in subs.items()
+                     if kw.get("db_merged_tables"))
+    if with_db:
+        raise ValueError(
+            f"batched mode does not support db_merged_tables (the JDBC "
+            f"fallback parents are per-submission side inputs the "
+            f"tagged-union enrichment cannot express); submissions "
+            f"{with_db} pass one — validate them serially or via "
+            f"validate_concurrent")
     cbc_by_sub = {sid: str(kw.get("cbc_id", "0"))
                   for sid, kw in subs.items()}
     cbc = PerRowCbc(column=CBC_COL,

@@ -423,3 +423,20 @@ def test_batched_rejects_column_valued_checks(spark, tmp_path, monkeypatch):
     subs = {"s0": _load(spark, tmp_path, 0)}
     with pytest.raises(ValueError, match="SQL text"):
         orch.validate_batched(spark, subs)
+
+
+def test_batched_rejects_db_merged_tables(spark, tmp_path):
+    """r12: serial validate() supports JDBC fallback parents
+    (db_merged_tables); the batched tagged-union enrichment cannot
+    express a per-submission side input, and silently ignoring it would
+    diverge from serial without error — clear ValueError instead."""
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        validate_batched)
+
+    sub = _load(spark, tmp_path, 0)
+    fallback = spark.createDataFrame(
+        [("14_000099", "Negative")],
+        "Research_Participant_ID string, SARS_CoV_2_PCR_Test_Result string")
+    bad = {**sub, "db_merged_tables": {"prior_clinical_test.csv": fallback}}
+    with pytest.raises(ValueError, match="db_merged_tables"):
+        validate_batched(spark, {"a": bad, "b": sub})
