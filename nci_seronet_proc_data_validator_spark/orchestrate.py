@@ -132,7 +132,9 @@ CBC_COL = "__cbc_id"
 
 
 def validate_batched(spark: SparkSession,
-                     subs: "dict[str, dict]") -> "DataFrame":
+                     subs: "dict[str, dict]",
+                     pretagged: "dict[str, DataFrame] | None" = None
+                     ) -> "DataFrame":
     """N same-shape submissions through ONE compiled plan: findings for
     every submission, tagged ``__submission_id``, from a single
     spark.sql statement per leg family.
@@ -182,6 +184,16 @@ def validate_batched(spark: SparkSession,
     Count reconciliation (A4), the quality gate, and the per-submission
     summary stay per-submission driver logic — run them on each
     submission's slice of the returned findings.
+
+    ``pretagged``: optional {sheet_name: DataFrame} where each frame is
+    ONE multi-file scan already carrying ``__submission_id`` and a
+    per-file ``row_index`` (``sources.readers.read_sheet_csv_tagged``) —
+    the 100 TB scan shape: N submissions are just N files of one
+    datasource, not N unioned single-file scan nodes. When provided, the
+    per-submission tag+union step is skipped (the remaining
+    per-submission driver cost), and ``subs[sid]["sheets"]`` is read
+    only for its KEYS (the sheet-name-set constraint); callers must
+    build both structures from the same listing.
 
     Returns a DataFrame with ``__submission_id`` + the six finding
     columns, deduplicated per submission with the standard key.
@@ -257,33 +269,58 @@ def validate_batched(spark: SparkSession,
     icd10 = next((kw["icd10_codes"] for kw in subs.values()
                   if kw.get("icd10_codes") is not None), None)
 
-    # -- tag + union same-named sheets, one cleanup per sheet name
-    by_sheet: dict[str, list] = {}
-    for sid, kw in subs.items():
-        for name, df in kw["sheets"].items():
-            if name in SKIP_VALIDATION:
-                continue
-            by_sheet.setdefault(name, []).append(
-                df.withColumns({SUB_COL: F.lit(sid),
-                                CBC_COL: F.lit(cbc_by_sub[sid])}))
     clean: dict[str, "DataFrame"] = {}
-    for name, legs in by_sheet.items():
-        cols = {tuple(sorted(leg.columns)) for leg in legs}
-        if len(cols) > 1:
-            raise ValueError(
-                f"batched mode needs one schema per sheet name; "
-                f"{name} has {len(cols)} distinct column sets")
-        u = legs[0]
-        for leg in legs[1:]:
-            u = u.unionByName(leg)
-        # Persist: the union is a MULTI-consumer base (findings chunks,
-        # dup-ID leg, Merged_Table projections, submitted-id views) —
-        # unpersisted, every consumer re-parses N submissions' multiLine
-        # CSVs from text. One parse fills the cache; consumers scan
-        # columnar blocks. Freed by the ContextCleaner when the plan is
-        # garbage-collected (same note as semdedup's localCheckpoint).
-        clean[name] = cleanup_sheet(
-            u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
+    if pretagged is not None:
+        wanted = {n for kw in subs.values() for n in kw["sheets"]
+                  if n not in SKIP_VALIDATION}
+        missing_pre = wanted - set(pretagged)
+        if missing_pre:
+            raise ValueError(f"pretagged is missing sheets "
+                             f"{sorted(missing_pre)}")
+        # cbc per row from the submission tag; unknown tags fail loud
+        # (a pretagged frame with a sid outside `subs` would otherwise
+        # silently validate under no CBC)
+        cbc_expr = F.coalesce(
+            F.create_map(*[x for sid, c in sorted(cbc_by_sub.items())
+                           for x in (F.lit(sid), F.lit(c))])[F.col(SUB_COL)],
+            F.raise_error(F.concat(
+                F.lit("validate_batched: pretagged row with unknown "
+                      "submission id "), F.col(SUB_COL))))
+        for name in sorted(wanted):
+            df = pretagged[name]
+            if SUB_COL not in df.columns:
+                raise ValueError(f"pretagged[{name}] lacks {SUB_COL}")
+            u = df.withColumn(CBC_COL, cbc_expr)
+            clean[name] = cleanup_sheet(
+                u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
+    else:
+        # -- tag + union same-named sheets, one cleanup per sheet name
+        by_sheet: dict[str, list] = {}
+        for sid, kw in subs.items():
+            for name, df in kw["sheets"].items():
+                if name in SKIP_VALIDATION:
+                    continue
+                by_sheet.setdefault(name, []).append(
+                    df.withColumns({SUB_COL: F.lit(sid),
+                                    CBC_COL: F.lit(cbc_by_sub[sid])}))
+        for name, legs in by_sheet.items():
+            cols = {tuple(sorted(leg.columns)) for leg in legs}
+            if len(cols) > 1:
+                raise ValueError(
+                    f"batched mode needs one schema per sheet name; "
+                    f"{name} has {len(cols)} distinct column sets")
+            u = legs[0]
+            for leg in legs[1:]:
+                u = u.unionByName(leg)
+            # Persist: the union is a MULTI-consumer base (findings
+            # chunks, dup-ID leg, Merged_Table projections, submitted-id
+            # views) — unpersisted, every consumer re-parses N
+            # submissions' multiLine CSVs from text. One parse fills the
+            # cache; consumers scan columnar blocks. Freed by the
+            # ContextCleaner when the plan is garbage-collected (same
+            # note as semdedup's localCheckpoint).
+            clean[name] = cleanup_sheet(
+                u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
 
     # -- per-submission-keyed Merged_Tables (tags carried: the submission
     # id keys every join; the CBC tag rides along for the cross-sheet
@@ -406,7 +443,9 @@ def validate_batched(spark: SparkSession,
 
 def validate_batched_results(
         spark: SparkSession,
-        subs: "dict[str, dict]") -> "dict[str, ValidationResult]":
+        subs: "dict[str, dict]",
+        pretagged: "dict[str, DataFrame] | None" = None
+        ) -> "dict[str, ValidationResult]":
     """CLI-grade batched validation: ONE compiled plan for the findings
     (:func:`validate_batched`), then the per-submission driver tail —
     count reconciliation (A4), header/column findings (P10), and the
@@ -450,7 +489,8 @@ def validate_batched_results(
     # summary, 78 s total. The eager checkpoint truncates lineage to a
     # leaf scan (executor-resident blocks, same ContextCleaner lifetime
     # note as semdedup's) — findings are error-bounded, not data-scale.
-    tagged = validate_batched(spark, subs).localCheckpoint(eager=True)
+    tagged = validate_batched(spark, subs,
+                              pretagged=pretagged).localCheckpoint(eager=True)
 
     def _tail(item: "tuple[str, dict]") -> "tuple[str, ValidationResult]":
         sid, kw = item

@@ -132,6 +132,91 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
     return with_row_index(df, offset=offset)
 
 
+def read_sheet_csv_tagged(spark: SparkSession,
+                          paths_by_tag: "dict[str, str]",
+                          tag_col: str,
+                          offset: int = 2,
+                          multiline: bool = True) -> DataFrame:
+    """One multi-file scan of the SAME sheet across N submissions.
+
+    The batched-mode scan shape: N per-submission ``read_sheet_csv``
+    calls union N single-file scan nodes (N analysis legs, N py4j
+    tag+union round-trips, N scan setups); at 100 TB "many submissions"
+    is just "many files", which a Spark file source natively reads as
+    ONE scan with the files as splits. Rows come back tagged
+    ``tag_col`` (the submission id owning the file) with ``row_index``
+    counted PER FILE — identical to what per-file ``read_sheet_csv``
+    would have produced for each submission.
+
+    Per-file indexing under file packing: multiLine makes each file
+    non-splittable, but Spark still PACKS several small files into one
+    FilePartition, so the monotonic id's per-partition ordinal runs
+    ACROSS files. A file is never split across partitions though, so
+    ``ordinal - min(ordinal) per (partition, file)`` is exactly the
+    per-file record number — recovered with the same tiny
+    aggregate + broadcast-join idiom as :func:`with_row_index` (the
+    grouped relation has one row per FILE, never data-scale; no wide
+    shuffle).
+
+    File→tag resolution normalizes ``input_file_name()``'s URI form
+    (``file:///abs/path`` → ``/abs/path``); paths must be local or
+    already in the URI form the source reports (percent-encoded paths
+    — spaces etc. — are the caller's responsibility, as are DISTINCT
+    schemas: the CSV source takes the header from one file, so callers
+    group same-schema submissions first, exactly like validate_batched
+    requires).
+    """
+    if not paths_by_tag:
+        raise ValueError("no paths")
+    norm = {os.path.abspath(p): t for t, p in paths_by_tag.items()}
+    if len(norm) != len(paths_by_tag):
+        raise ValueError("paths must be distinct per tag")
+    if multiline:
+        from nci_seronet_proc_data_validator_spark.plans.advisor import (
+            warn_nonsplittable_csv)
+        warn_nonsplittable_csv(list(norm))
+    df = (spark.read
+          .option("header", "true")
+          .option("inferSchema", "false")
+          .option("nullValue", "\u0000")
+          .option("emptyValue", "")
+          .option("multiLine", "true" if multiline else "false")
+          .csv(sorted(norm)))
+    df = df.na.fill("")
+    data_cols = list(df.columns)
+    # input_file_name() must be projected ONCE below the self-join:
+    # Spark's PreReadCheck rejects the expression over any plan with
+    # more than one file source, so everything above the join (the tag
+    # lookup included) reads the projected __sg_file column instead.
+    file_norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    mid_col, pid_col, file_col, base_col = ("__sg_mid", "__sg_pid",
+                                            "__sg_file", "__sg_base")
+    # The tag lookup is total by construction (the scan reads exactly
+    # norm's keys); a NULL lookup would mean URI normalization broke —
+    # fail loud (raise_error), never silently drop rows into no
+    # submission.
+    tag = F.coalesce(
+        F.create_map(
+            *[x for p, t in sorted(norm.items())
+              for x in (F.lit(p), F.lit(t))])[F.col(file_col)],
+        F.raise_error(F.concat(
+            F.lit("read_sheet_csv_tagged: unmatched input file "),
+            F.col(file_col))))
+    tmp = (df.withColumn(mid_col, F.monotonically_increasing_id())
+           .withColumn(file_col, file_norm))
+    pid = F.shiftright(F.col(mid_col), _MID_PARTITION_SHIFT)
+    ordinal = F.col(mid_col).bitwiseAND(F.lit(_MID_ORDINAL_MASK))
+    bases = (tmp.groupBy(pid.alias(pid_col), F.col(file_col))
+             .agg(F.min(ordinal).alias(base_col)))
+    return (tmp.withColumn(pid_col, pid)
+            .join(F.broadcast(bases), [pid_col, file_col])
+            .withColumn(ROW_INDEX_COL,
+                        (ordinal - F.col(base_col)
+                         + F.lit(int(offset))).cast("long"))
+            .withColumn(tag_col, tag)
+            .select(*data_cols, ROW_INDEX_COL, tag_col))
+
+
 def cleanup_sheet(df: DataFrame,
                   fix_reference_bugs: bool = True,
                   carry_cols: tuple[str, ...] = ()) -> DataFrame:

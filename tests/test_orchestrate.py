@@ -440,3 +440,41 @@ def test_batched_rejects_db_merged_tables(spark, tmp_path):
     bad = {**sub, "db_merged_tables": {"prior_clinical_test.csv": fallback}}
     with pytest.raises(ValueError, match="db_merged_tables"):
         validate_batched(spark, {"a": bad, "b": sub})
+
+
+def test_batched_pretagged_matches_serial(spark, tmp_path):
+    """r12: the pretagged fast path — ONE multi-file scan per sheet name
+    (read_sheet_csv_tagged) instead of N per-submission scans unioned —
+    must produce findings byte-identical to serial validate() and to the
+    per-submission batched path, mixed CBCs included."""
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        SUB_COL, validate_batched)
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_sheet_csv_tagged)
+
+    subs = {}
+    for i in range(3):
+        kw = _load(spark, tmp_path, i)
+        kw["cbc_id"] = "14" if i % 2 == 0 else "41"   # mixed CBCs
+        subs[f"sub{i}"] = kw
+    serial = {sid: _finding_set(
+        SubmissionValidator(spark, **kw).validate().findings)
+        for sid, kw in subs.items()}
+
+    names = list(subs["sub0"]["sheets"])
+    pretagged = {
+        n: read_sheet_csv_tagged(
+            spark, {sid: str(tmp_path / sid / n) for sid in subs},
+            SUB_COL)
+        for n in names}
+    out = validate_batched(spark, subs, pretagged=pretagged).cache()
+    got = {sid: _finding_set(out.filter(
+        out[SUB_COL] == sid).drop(SUB_COL)) for sid in subs}
+    assert got == serial
+    # the scan shape is ONE datasource per sheet name (plus its tiny
+    # bases self-join side) — not one scan node per submission
+    for n, df in pretagged.items():
+        p = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert p.count("FileScan csv") <= 2, (n, p[:500])

@@ -1104,3 +1104,95 @@ def test_read_sheet_csv_multiline_opt_out(spark, tmp_path):
     nl = {r["row_index"]: r["Age"]
           for r in read_sheet_csv(spark, p, multiline=False).collect()}
     assert ml == nl == {2: "30", 3: "31", 4: "32"}
+
+
+def test_read_sheet_csv_tagged_matches_per_file(spark, tmp_path):
+    """r12: the batched scan shape — ONE multi-file CSV scan with rows
+    tagged by owning submission and row_index counted PER FILE — must
+    reproduce per-file read_sheet_csv exactly, including under file
+    PACKING (tiny files share a FilePartition, so the per-partition
+    ordinal runs across files; the (partition, file) min-ordinal join
+    recovers the per-file index) and multiLine records (a quoted
+    embedded newline is one record, not two)."""
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_sheet_csv,
+        read_sheet_csv_tagged,
+    )
+
+    paths = {}
+    for i in range(8):
+        d = tmp_path / f"sub{i}"
+        d.mkdir()
+        p = d / "demographic.csv"
+        rows = [f"14_{i}{r:04d},{20 + r},White" for r in range(3 + i)]
+        if i == 3:   # quoted embedded newline: ONE record
+            rows[1] = f'14_{i}9999,"31\nextra",Asian'
+        p.write_text("Research_Participant_ID,Age,Race\n"
+                     + "\n".join(rows) + "\n")
+        paths[f"sub{i}"] = str(p)
+
+    tagged = read_sheet_csv_tagged(spark, paths, "__submission_id")
+    got = {
+        sid: sorted(
+            tuple(r) for r in tagged
+            .filter(F.col("__submission_id") == sid)
+            .drop("__submission_id").collect())
+        for sid in paths}
+    want = {
+        sid: sorted(tuple(r) for r in
+                    read_sheet_csv(spark, p).collect())
+        for sid, p in paths.items()}
+    assert got == want
+    # the embedded newline parsed as one record on both paths
+    assert any("\n" in str(v) for r in want["sub3"]
+               for v in r if isinstance(v, str))
+
+    # File-PACKING leg: this Spark's multiLine source happens to give one
+    # file per partition, so the cross-file-ordinal case (several files
+    # sharing a FilePartition — the regression the (partition, file)
+    # min-ordinal join guards) needs the splittable reader. Newline-free
+    # files, multiline=False: tiny splits DO pack, and per-file
+    # row_index must still hold.
+    flat_paths = {}
+    for i in range(8):
+        p = tmp_path / f"sub{i}" / "flat.csv"
+        p.write_text("Research_Participant_ID,Age,Race\n"
+                     + "\n".join(f"14_{i}{r:04d},{20 + r},White"
+                                 for r in range(3 + i)) + "\n")
+        flat_paths[f"sub{i}"] = str(p)
+    # force packing: with the defaults, minPartitionNum ~ core count and
+    # the 4 MiB open cost give every tiny file its own partition
+    olds = {}
+    for k, v in (("spark.sql.files.openCostInBytes", "0"),
+                 ("spark.sql.files.minPartitionNum", "1")):
+        try:
+            olds[k] = spark.conf.get(k)
+        except Exception:
+            olds[k] = None
+        spark.conf.set(k, v)
+    try:
+        flat = read_sheet_csv_tagged(spark, flat_paths, "__submission_id",
+                                     multiline=False)
+        n_parts = (flat.select(F.spark_partition_id().alias("p"))
+                   .distinct().count())
+        assert n_parts < 8, n_parts      # packing actually happened
+        got_flat = {
+            sid: sorted(
+                tuple(r) for r in flat
+                .filter(F.col("__submission_id") == sid)
+                .drop("__submission_id").collect())
+            for sid in flat_paths}
+        want_flat = {
+            sid: sorted(tuple(r) for r in
+                        read_sheet_csv(spark, p,
+                                       multiline=False).collect())
+            for sid, p in flat_paths.items()}
+        assert got_flat == want_flat
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -161,8 +161,31 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
                                            error=exc)
             return out
         try:
+            # One multi-file scan per sheet name across the group (the
+            # 100 TB scan shape: N submissions = N files of one
+            # datasource), instead of N per-submission single-file
+            # scans unioned. Same-schema membership is guaranteed by
+            # the signature grouping above; submission.csv et al stay
+            # per-submission (metadata, not validated).
+            from nci_seronet_proc_data_validator_spark.orchestrate import (
+                SUB_COL,
+            )
+            from nci_seronet_proc_data_validator_spark.sources.readers import (
+                read_sheet_csv_tagged,
+            )
+            from nci_seronet_proc_data_validator_spark.submission import (
+                SKIP_VALIDATION as _SKIP,
+            )
+            names = [n for n in subs[members[0]]["sheets"]
+                     if n not in _SKIP]
+            pretagged = {
+                n: read_sheet_csv_tagged(
+                    spark, {d: os.path.join(d, n) for d in members},
+                    SUB_COL)
+                for n in names}
             results = validate_batched_results(
-                spark, {d: subs[d] for d in members})
+                spark, {d: subs[d] for d in members},
+                pretagged=pretagged)
             # materialize (error/warning counts) overlapped: independent
             # per-submission actions over the already-cached findings
             from concurrent.futures import ThreadPoolExecutor
