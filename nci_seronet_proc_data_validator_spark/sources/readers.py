@@ -132,6 +132,43 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
     return with_row_index(df, offset=offset)
 
 
+def with_per_file_row_index(df: DataFrame, offset: int = 2,
+                            file_col: str = "__sg_file") -> DataFrame:
+    """Per-FILE ``row_index`` for a multi-file scan, plus the normalized
+    source path as ``file_col``.
+
+    Spark PACKS several non-splittable files into one FilePartition, so
+    the monotonic id's per-partition ordinal runs ACROSS files; a file is
+    never split across partitions though, so ``ordinal - min(ordinal)
+    per (partition, file)`` is exactly the per-file record number —
+    recovered with the same tiny-aggregate + broadcast-join idiom as
+    :func:`with_row_index` (the grouped relation has one row per file,
+    never data-scale; no wide shuffle, no cross-partition term).
+
+    ``input_file_name()`` is projected ONCE below the self-join —
+    Spark's PreReadCheck rejects the expression over any plan with more
+    than one file source — and normalized from URI form
+    (``file:///abs/path`` → ``/abs/path``). Works on any file-source
+    DataFrame, including the per-micro-batch frames ``foreachBatch``
+    hands a streaming watcher.
+    """
+    data_cols = list(df.columns)
+    file_norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    mid_col, pid_col, base_col = "__sg_mid", "__sg_pid", "__sg_base"
+    tmp = (df.withColumn(mid_col, F.monotonically_increasing_id())
+           .withColumn(file_col, file_norm))
+    pid = F.shiftright(F.col(mid_col), _MID_PARTITION_SHIFT)
+    ordinal = F.col(mid_col).bitwiseAND(F.lit(_MID_ORDINAL_MASK))
+    bases = (tmp.groupBy(pid.alias(pid_col), F.col(file_col))
+             .agg(F.min(ordinal).alias(base_col)))
+    return (tmp.withColumn(pid_col, pid)
+            .join(F.broadcast(bases), [pid_col, file_col])
+            .withColumn(ROW_INDEX_COL,
+                        (ordinal - F.col(base_col)
+                         + F.lit(int(offset))).cast("long"))
+            .select(*data_cols, ROW_INDEX_COL, file_col))
+
+
 def read_sheet_csv_tagged(spark: SparkSession,
                           paths_by_tag: "dict[str, str]",
                           tag_col: str,
@@ -184,13 +221,9 @@ def read_sheet_csv_tagged(spark: SparkSession,
           .csv(sorted(norm)))
     df = df.na.fill("")
     data_cols = list(df.columns)
-    # input_file_name() must be projected ONCE below the self-join:
-    # Spark's PreReadCheck rejects the expression over any plan with
-    # more than one file source, so everything above the join (the tag
-    # lookup included) reads the projected __sg_file column instead.
-    file_norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-    mid_col, pid_col, file_col, base_col = ("__sg_mid", "__sg_pid",
-                                            "__sg_file", "__sg_base")
+    file_col = "__sg_file"
+    indexed = with_per_file_row_index(df, offset=offset,
+                                      file_col=file_col)
     # The tag lookup is total by construction (the scan reads exactly
     # norm's keys); a NULL lookup would mean URI normalization broke —
     # fail loud (raise_error), never silently drop rows into no
@@ -202,18 +235,7 @@ def read_sheet_csv_tagged(spark: SparkSession,
         F.raise_error(F.concat(
             F.lit("read_sheet_csv_tagged: unmatched input file "),
             F.col(file_col))))
-    tmp = (df.withColumn(mid_col, F.monotonically_increasing_id())
-           .withColumn(file_col, file_norm))
-    pid = F.shiftright(F.col(mid_col), _MID_PARTITION_SHIFT)
-    ordinal = F.col(mid_col).bitwiseAND(F.lit(_MID_ORDINAL_MASK))
-    bases = (tmp.groupBy(pid.alias(pid_col), F.col(file_col))
-             .agg(F.min(ordinal).alias(base_col)))
-    return (tmp.withColumn(pid_col, pid)
-            .join(F.broadcast(bases), [pid_col, file_col])
-            .withColumn(ROW_INDEX_COL,
-                        (ordinal - F.col(base_col)
-                         + F.lit(int(offset))).cast("long"))
-            .withColumn(tag_col, tag)
+    return (indexed.withColumn(tag_col, tag)
             .select(*data_cols, ROW_INDEX_COL, tag_col))
 
 

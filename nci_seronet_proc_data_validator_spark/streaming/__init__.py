@@ -4,7 +4,9 @@ from nci_seronet_proc_data_validator_spark.streaming.watcher import (
     hourly_rollup_stream,
     interval_join_stream,
     validate_stream,
+    validate_stream_multi,
 )
 
-__all__ = ["validate_stream", "hourly_rollup_stream", "dedup_stream",
+__all__ = ["validate_stream", "validate_stream_multi",
+           "hourly_rollup_stream", "dedup_stream",
            "interval_join_stream", "enrich_stream"]

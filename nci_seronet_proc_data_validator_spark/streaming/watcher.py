@@ -148,6 +148,119 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
             .start())
 
 
+def validate_stream_multi(spark: SparkSession, input_glob: str,
+                          checkpoint: str, sheet_name: str,
+                          columns: list[str],
+                          cbc_by_sub: "dict[str, str]",
+                          output_dir: str,
+                          status_cb=None,
+                          bind_kwargs: dict | None = None,
+                          max_files_per_trigger: int | None = None,
+                          sub_pattern: str = r".*/([^/]+)/[^/]+$"
+                          ) -> "StreamingQuery":
+    """Multi-SUBMISSION watcher: one streaming query validating sheets
+    landing under per-submission directories, mixed labs included.
+
+    The production continuous shape: submissions from different CBCs
+    land as ``<root>/<submission>/<sheet>`` and ONE resident query
+    validates them all — the streaming twin of batched mode
+    (``orchestrate.validate_batched``), sharing its machinery:
+
+    - ``input_glob`` (e.g. ``<root>/*/demographic.csv``) makes every
+      submission's file part of the SAME file source — N submissions
+      are N files of one stream, never N queries;
+    - each row is tagged ``__submission_id`` (extracted from its file
+      path via ``sub_pattern``) and ``__cbc_id`` (``cbc_by_sub``
+      lookup; unknown submissions get '0', the reference's unknown-lab
+      code, so their ID checks report "submission file is missing"
+      instead of silently passing);
+    - the rulebook binds ONCE per (schema, distinct-CBC-set, date) with
+      ``PerRowCbc`` — the C5 prefix checks render as CASEs over
+      ``__cbc_id``, identical to batched mode — and the memoized bind
+      makes micro-batch N a cache hit;
+    - ``row_index`` is counted PER FILE
+      (``sources.readers.with_per_file_row_index``) — an upgrade over
+      the single-sheet watcher's per-batch monotonic id: findings cite
+      the actual CSV line of the submission's own file, and the index
+      is stable under micro-batch packing (``maxFilesPerTrigger``);
+    - the sink is the same epoch-keyed idempotent parquet as
+      :func:`validate_stream` (dynamic partition overwrite per epoch —
+      see its restart-recovery contract), with ``__submission_id`` as
+      an ordinary output column.
+    """
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        PerRowCbc)
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows)
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        warn_nonsplittable_csv)
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules_cached)
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        sheet_findings_sql)
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        with_per_file_row_index)
+
+    warn_nonsplittable_csv(input_glob)
+    sub_col, cbc_col, file_col = "__submission_id", "__cbc_id", "__sg_file"
+    cbc_map = {str(s): str(c) for s, c in cbc_by_sub.items()}
+    cbc_values = tuple(sorted(set(cbc_map.values()) | {"0"}))
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in columns])
+    reader = (spark.readStream
+              .option("header", "true")
+              .option("nullValue", "\u0000")
+              .option("emptyValue", "")
+              .option("multiLine", "true")
+              .schema(schema))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    raw = reader.csv(input_glob)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        df = with_per_file_row_index(batch_df.na.fill(""),
+                                     file_col=file_col)
+        sub = F.regexp_extract(F.col(file_col), sub_pattern, 1)
+        cbc = (F.coalesce(
+            F.create_map(*[x for s, c in sorted(cbc_map.items())
+                           for x in (F.lit(s), F.lit(c))])[sub],
+            F.lit("0")) if cbc_map else F.lit("0"))
+        df = (df.withColumn(sub_col, sub).withColumn(cbc_col, cbc)
+              .drop(file_col))
+        df = with_typed_shadows(df, columns)
+        bound = bind_sheet_rules_cached(
+            sheet_name, columns,
+            PerRowCbc(column=cbc_col, values=cbc_values),
+            **(bind_kwargs or {}))
+        if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
+            df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
+        # foreachBatch hands a df bound to a micro-batch-cloned session;
+        # the view must be registered and queried THERE, not on the
+        # outer session captured by the closure.
+        sess = df.sparkSession
+        view = f"__watch_multi_{epoch_id}"
+        df.createOrReplaceTempView(view)
+        legs = sheet_findings_sql(view, sheet_name, bound.column_rules,
+                                  carry_cols=(sub_col,))
+        findings = sess.sql(" UNION ALL ".join(legs))
+        (findings.withColumn("epoch", F.lit(epoch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("epoch")
+         .parquet(output_dir))
+        sess.catalog.dropTempView(view)
+        if status_cb is not None:
+            status_cb(findings, epoch_id)
+
+    return (raw.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
 def hourly_rollup_stream(events: DataFrame,
                          watermark: str = "2 hours") -> DataFrame:
     """Watermarked event-time windowed aggregation over the events stream.

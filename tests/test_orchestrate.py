@@ -478,3 +478,68 @@ def test_batched_pretagged_matches_serial(spark, tmp_path):
     for n, df in pretagged.items():
         p = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         assert p.count("FileScan csv") <= 2, (n, p[:500])
+
+
+def test_validate_stream_multi_mixed_cbc(spark, tmp_path):
+    """r12: the multi-submission watcher — ONE streaming query draining
+    files from per-submission directories with MIXED labs (subA cbc 14,
+    subB cbc 41, subC unknown -> '0'), findings per submission equal to
+    the batch compile with that submission's literal CBC, row_index
+    citing each file's own CSV lines."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules)
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        compile_sheet_findings)
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows)
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream_multi)
+
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    root = tmp_path / "landing"
+    csv = ("Research_Participant_ID,Age,Race\n"
+           "14_000001,30,White\n"          # wrong CBC under 41/0
+           "14_000002,999,Martian\n")      # range + vocab errors
+    for sub in ("subA", "subB", "subC"):
+        d = root / sub
+        d.mkdir(parents=True)
+        (d / "demographic.csv").write_text(csv)
+
+    cbc_by_sub = {"subA": "14", "subB": "41"}   # subC unknown -> '0'
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = validate_stream_multi(
+        spark, str(root / "*" / "demographic.csv"), cp,
+        "demographic.csv", cols, cbc_by_sub, out)
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = spark.read.parquet(out)
+    by_sub = {
+        sub: sorted((r["Row_Index"], r["Column_Name"], r["Column_Value"],
+                     r["Error_Message"])
+                    for r in got.filter(
+                        F.col("__submission_id") == sub).collect())
+        for sub in ("subA", "subB", "subC")}
+    # expected: the batch compile per submission with its literal CBC
+    for sub, cbc in (("subA", "14"), ("subB", "41"), ("subC", "0")):
+        from nci_seronet_proc_data_validator_spark.sources import (
+            read_sheet_csv)
+        df = read_sheet_csv(spark, str(root / sub / "demographic.csv"))
+        df = with_typed_shadows(df, cols)
+        df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
+        bound = bind_sheet_rules("demographic.csv", cols, cbc)
+        want = sorted(
+            (r["Row_Index"], r["Column_Name"], r["Column_Value"],
+             r["Error_Message"])
+            for r in compile_sheet_findings(
+                df, "demographic.csv", bound.column_rules).collect())
+        assert by_sub[sub] == want, sub
+    # the per-CBC messages really differ across the one stream
+    msgs = {sub: {m for _, _, _, m in rows} for sub, rows in by_sub.items()}
+    assert any("Expecting CBC Code (41)" in m for m in msgs["subB"])
+    assert any("submission file is missing" in m for m in msgs["subC"])
+    assert all("Expecting CBC Code" not in m for m in msgs["subA"])
