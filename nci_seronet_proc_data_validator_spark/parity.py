@@ -414,7 +414,11 @@ def _batched_arm(spark: SparkSession, sf_dir: str, null_v) -> DataFrame:
         null_v.alias("v"))
 
 
-def _sql_batched_arm() -> str:
+def _batched_sub_oracle_parts() -> "list[tuple[str, str, str, object]]":
+    """Per batched submission: (sid, cte_name, cte_sql, BoundSheet with
+    that submission's LITERAL cbc) — the oracle building blocks shared
+    by the ``batched`` arm (submission_misc) and the ``watch_multi`` arm
+    (streaming_parity), so the two twins cannot drift."""
     from nci_seronet_proc_data_validator_spark.operators.typing import (
         duckdb_shadow_exprs,
     )
@@ -424,12 +428,8 @@ def _sql_batched_arm() -> str:
     from nci_seronet_proc_data_validator_spark.plans.rulebook import (
         bind_sheet_rules,
     )
-    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
-        _column_select,
-        _dup_select,
-    )
     cols = _batched_cols()
-    ctes, legs = [], []
+    out = []
     for sid, cbc, par in _BATCHED_SUBS:
         inner = ("SELECT CAST(c_custkey AS BIGINT) AS row_index, "
                  + ", ".join(f"CAST({e} AS STRING) AS {c}"
@@ -437,10 +437,22 @@ def _sql_batched_arm() -> str:
                  + f" FROM customer WHERE c_custkey % 2 = {par}")
         shadows = duckdb_shadow_exprs(list(cols))
         cte = f"bsub_{sid}"
-        ctes.append(f"{cte} AS MATERIALIZED (SELECT *, "
-                    + ", ".join(shadows) + f" FROM ({inner}))")
+        cte_sql = (f"{cte} AS MATERIALIZED (SELECT *, "
+                   + ", ".join(shadows) + f" FROM ({inner}))")
         bound = bind_sheet_rules("demographic.csv", list(cols), cbc,
                                  drop_list=[], today=FIXED_TODAY)
+        out.append((sid, cte, cte_sql, bound))
+    return out
+
+
+def _sql_batched_arm() -> str:
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        _column_select,
+        _dup_select,
+    )
+    ctes, legs = [], []
+    for sid, cte, cte_sql, bound in _batched_sub_oracle_parts():
+        ctes.append(cte_sql)
         sel = [_column_select(cte, "demographic.csv", cr.column, cr.checks)
                for cr in bound.column_rules]
         sel += [_dup_select(cte, "demographic.csv", c)
@@ -853,6 +865,7 @@ def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(sessions_arm).unionByName(funnel_arm)
             .unionByName(interval_arm).unionByName(cdc_arm)
             .unionByName(watch_arm).unionByName(recovery_arm)
+            .unionByName(_watch_multi_arm(spark, sf_dir))
             .orderBy("arm", "k", "s"))
 
 
@@ -887,6 +900,76 @@ def _watch_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat_ws("|", "Message_Type", "Column_Name",
                                 "Column_Value", "Error_Message").alias("s"),
                     F.col("n"), F.lit(None).cast("double").alias("v")))
+
+
+def _watch_multi_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: the multi-SUBMISSION watcher end-to-end — the batched arm's
+    two mixed-CBC customer-derived submissions staged as per-submission
+    CSV directories, drained by ONE validate_stream_multi query
+    (per-row ``__cbc_id``, PerRowCbc C5 rendering), findings parquet
+    read back and count-aggregated per submission (streaming part-file
+    order makes row identity non-comparable; the tagged finding
+    multiset is). The oracle recomputes per submission with its literal
+    CBC from the same bound rules."""
+    import os
+
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        FIXED_TODAY,
+    )
+    from nci_seronet_proc_data_validator_spark.streaming.watcher import (
+        validate_stream_multi,
+    )
+    cols = _batched_cols()
+    root, cp, out = (_tmpdir(f"wmulti_{t}") for t in ("in", "cp", "out"))
+    cust = read_table(spark, sf_dir, "customer")
+    for sid, _cbc, par in _BATCHED_SUBS:
+        (cust.filter(f"c_custkey % 2 = {par}")
+         .selectExpr(*[f"CAST({e} AS STRING) AS {c}"
+                       for c, e in cols.items()])
+         .write.mode("overwrite").option("header", "true")
+         .csv(os.path.join(root, sid, "demographic.csv")))
+    q = validate_stream_multi(
+        spark, os.path.join(root, "*", "demographic.csv"), cp,
+        "demographic.csv", list(cols),
+        {sid: cbc for sid, cbc, _par in _BATCHED_SUBS}, out,
+        bind_kwargs={"today": FIXED_TODAY},
+        # staged layout: .../<sub>/demographic.csv/part-*.csv — the
+        # submission id is the grandparent path segment
+        sub_pattern=r".*/([^/]+)/[^/]+/[^/]+$")
+    q.awaitTermination(600)
+    return (spark.read.parquet(out)
+            .groupBy("__submission_id", "Message_Type", "Column_Name",
+                     "Column_Value", "Error_Message")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("watch_multi").alias("arm"),
+                    F.lit(-1).cast("bigint").alias("k"),
+                    F.concat_ws("|", "__submission_id", "Message_Type",
+                                "Column_Name", "Column_Value",
+                                "Error_Message").alias("s"),
+                    F.col("n"), F.lit(None).cast("double").alias("v")))
+
+
+def _sql_watch_multi_arm() -> "tuple[str, str]":
+    """(CTEs, UNION-ALL legs) of the watch_multi oracle: per submission,
+    the SAME bound rules rendered by the standard dual-engine generator,
+    count-aggregated — generated beside the batched arm's twin from
+    shared parts (:func:`_batched_sub_oracle_parts`)."""
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        _column_select,
+    )
+    ctes, legs = [], []
+    for sid, cte, cte_sql, bound in _batched_sub_oracle_parts():
+        ctes.append(cte_sql)
+        body = "\nUNION ALL\n".join(
+            _column_select(cte, "demographic.csv", cr.column, cr.checks)
+            for cr in bound.column_rules)
+        legs.append(
+            f"SELECT 'watch_multi' AS arm, CAST(-1 AS BIGINT) AS k,\n"
+            f"  '{sid}|' || Message_Type || '|' || Column_Name || '|'"
+            f" || Column_Value || '|' || Error_Message AS s,\n"
+            f"  count(*) AS n, CAST(NULL AS DOUBLE) AS v\n"
+            f"FROM ({body}) wm_{sid}\nGROUP BY 1, 2, 3")
+    return (",\n".join(ctes), "\n  UNION ALL\n".join(legs))
 
 
 def _recovery_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,9 +1098,12 @@ def sql_streaming_parity() -> str:
          count(*), NULL
   FROM ({watch_sels}) {tag[0]}w
   GROUP BY 1, 2, 3""" for tag in ("watch", "recovery"))
+    wm_ctes, wm_legs = _sql_watch_multi_arm()
     return (_SQL_STREAMING_HEAD
-            + f",\n{name} AS MATERIALIZED ({fixture_sheet_cte(spec)})\n"
+            + f",\n{name} AS MATERIALIZED ({fixture_sheet_cte(spec)}),\n"
+            + wm_ctes + "\n"
             + _SQL_STREAMING_BODY + watch_arm
+            + "\n  UNION ALL\n" + wm_legs
             + "\n)\nORDER BY arm, k, s\n")
 
 
