@@ -20,12 +20,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _icd10_flags(df: DataFrame, bound, icd10_codes) -> DataFrame:
+    """Attach the ``__icd10_valid`` flag columns C8 checks read: the J8
+    broadcast join when a dictionary is provided (re-broadcast per
+    micro-batch, picking up dictionary updates between batches), a
+    FALSE literal otherwise — the same contract as batch validate()
+    without ``icd10_codes`` (every non-N/A value reports as unknown)."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        icd10_flag_join)
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        _icd10_flag)
+    for c in bound.icd10_columns:
+        if icd10_codes is not None:
+            df = icd10_flag_join(df, c, icd10_codes, _icd10_flag(c))
+        else:
+            df = df.withColumn(_icd10_flag(c), F.lit(False))
+    return df
+
+
 def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
                     sheet_name: str, columns: list[str], cbc_id: str,
                     output_dir: str,
                     status_cb=None,
                     bind_kwargs: dict | None = None,
-                    max_files_per_trigger: int | None = None
+                    max_files_per_trigger: int | None = None,
+                    icd10_codes: DataFrame | None = None
                     ) -> "StreamingQuery":
     """Continuously validate CSV sheets landing in ``input_dir``.
 
@@ -129,6 +148,7 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
                                         **(bind_kwargs or {}))
         if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
             df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
+        df = _icd10_flags(df, bound, icd10_codes)
         findings = compile_sheet_findings(df, sheet_name, bound.column_rules)
         # Idempotent under batch replay: a restarted query re-runs an
         # uncommitted batch with the same epoch_id, and dynamic partition
@@ -156,7 +176,8 @@ def validate_stream_multi(spark: SparkSession, input_glob: str,
                           status_cb=None,
                           bind_kwargs: dict | None = None,
                           max_files_per_trigger: int | None = None,
-                          sub_pattern: str = r".*/([^/]+)/[^/]+$"
+                          sub_pattern: str = r".*/([^/]+)/[^/]+$",
+                          icd10_codes: DataFrame | None = None
                           ) -> "StreamingQuery":
     """Multi-SUBMISSION watcher: one streaming query validating sheets
     landing under per-submission directories, mixed labs included.
@@ -236,6 +257,7 @@ def validate_stream_multi(spark: SparkSession, input_glob: str,
             **(bind_kwargs or {}))
         if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
             df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
+        df = _icd10_flags(df, bound, icd10_codes)
         # foreachBatch hands a df bound to a micro-batch-cloned session;
         # the view must be registered and queried THERE, not on the
         # outer session captured by the closure.
