@@ -256,9 +256,9 @@ _PROBE_CAL = {"cpu": 0.21, "sched": 0.032}   # r12 deep-warm idle floor
 _SHORT_QUERY_SEC = 2.0
 
 
-def _probe_cpu(spark) -> float:
+def _probe_cpu(spark, reps: int = 2) -> float:
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.time()
         (spark.range(0, 6_000_000, 1, 32)
          .selectExpr("sum(length(sha2(cast(id AS string), 256))) AS s")
@@ -267,13 +267,23 @@ def _probe_cpu(spark) -> float:
     return best
 
 
-def _probe_sched(spark) -> float:
+def _probe_sched(spark, reps: int = 5) -> float:
     best = float("inf")
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.time()
         spark.range(0, 1000, 1, 4).count()
         best = min(best, time.time() - t0)
     return best
+
+
+#: Per-sample drift factors are CLAMPED to this band before adjusting:
+#: the probe samples the instant before a run, not during it, so an
+#: unclamped spike (someone else's 2-second burst hitting the probe but
+#: not the 13-second query after it) would overcorrect — observed r12:
+#: rulebook_full adjusted to 6.5 s from a 2.1x probe spike while its raw
+#: best matched the idle-box value. Within the band the adjustment
+#: removes the box-state excuse; beyond it, trust best-of-n instead.
+_DRIFT_CLAMP = (0.8, 1.75)
 
 
 def main() -> None:
@@ -322,22 +332,30 @@ def main() -> None:
     medians: dict[str, float] = {}
     probe_cpu: dict[str, float] = {}
     probe_sched: dict[str, float] = {}
+    probed: dict[str, list] = {}
     for name, fn in BENCH_QUERIES.items():
         if only and name not in only:
             continue
-        if probes_on:    # box state RIGHT BEFORE this query's samples
-            probe_cpu[name] = round(_probe_cpu(spark), 3)
-            probe_sched[name] = round(_probe_sched(spark), 3)
         samples = []
+        probed[name] = []
         for _ in range(n):
             spark.catalog.clearCache()
+            if probes_on:    # box state RIGHT BEFORE this sample
+                probed[name].append((_probe_cpu(spark, reps=1),
+                                     _probe_sched(spark, reps=3)))
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
+        if probes_on:    # report the probes paired with the BEST sample
+            i_best = min(range(len(samples)), key=samples.__getitem__)
+            probe_cpu[name] = round(probed[name][i_best][0], 3)
+            probe_sched[name] = round(probed[name][i_best][1], 3)
+        raw = list(samples)
         samples.sort()
         timings[name] = round(samples[0], 3)
         medians[name] = round(samples[len(samples) // 2], 3)
+        probed[name] = list(zip(raw, probed[name])) if probes_on else []
         # localCheckpoint blocks (semdedup/graph/kmeans) are released by
         # the ContextCleaner only after Python drops the plan refs — at
         # sf1 the accumulated blocks from 38 prior queries distorted
@@ -369,23 +387,34 @@ def main() -> None:
         "env_drift": round(med_total / best_total, 3) if best_total else 1.0,
     }
     if probes_on and timings:
-        # Per-query drift factor = probe / run-median-probe, from the
-        # probe matching the query's duration class; adjusted = raw / f.
-        # Cross-round readers should compare queries_drift_adjusted —
-        # raw short-query swings on a loaded box are NOT plan changes.
+        # PER-SAMPLE drift correction (v2): every sample carries the
+        # probes measured right before it; each is individually scaled
+        # by its clamped factor (probe / run-median-probe, probe type by
+        # the query's duration class) and the adjusted value is the MIN
+        # of corrected samples. A single pre-query probe (v1) paired one
+        # box-state reading with five samples and overcorrected when a
+        # transient burst hit the probe but not the samples. Cross-round
+        # readers should compare queries_drift_adjusted — raw
+        # short-query swings on a loaded box are NOT plan changes.
         def _med(vals: list[float]) -> float:
             s = sorted(vals)
             return s[len(s) // 2]
-        base = {"cpu": _med(list(probe_cpu.values())),
-                "sched": _med(list(probe_sched.values()))}
+        all_cpu = [pc for rows in probed.values() for _dt, (pc, _ps) in rows]
+        all_sched = [ps for rows in probed.values()
+                     for _dt, (_pc, ps) in rows]
+        base = {"cpu": _med(all_cpu), "sched": _med(all_sched)}
+        lo, hi = _DRIFT_CLAMP
         adjusted = {}
         factors = {}
         for q, best in timings.items():
-            f_cpu = probe_cpu[q] / max(base["cpu"], 1e-6)
-            f_sched = probe_sched[q] / max(base["sched"], 1e-6)
-            f = f_sched if best < _SHORT_QUERY_SEC else f_cpu
-            factors[q] = round(f, 3)
-            adjusted[q] = round(best / max(f, 1e-6), 3)
+            corrected = []
+            for dt, (pc, ps) in probed[q]:
+                f = ((ps / max(base["sched"], 1e-6))
+                     if best < _SHORT_QUERY_SEC
+                     else (pc / max(base["cpu"], 1e-6)))
+                corrected.append(dt / min(max(f, lo), hi))
+            adjusted[q] = round(min(corrected), 3)
+            factors[q] = round(best / adjusted[q], 3)
         payload["probe_calibration"] = _PROBE_CAL
         payload["probe_baseline"] = {k: round(v, 3)
                                      for k, v in base.items()}
