@@ -543,3 +543,49 @@ def test_validate_stream_multi_mixed_cbc(spark, tmp_path):
     assert any("Expecting CBC Code (41)" in m for m in msgs["subB"])
     assert any("submission file is missing" in m for m in msgs["subC"])
     assert all("Expecting CBC Code" not in m for m in msgs["subA"])
+
+
+def test_cli_run_watcher(spark, tmp_path, monkeypatch, capsys):
+    """r12: the watcher CLI end-to-end — two labs' sheets landing under
+    per-submission dirs, one availableNow drain; rc=0, per-submission
+    counts printed, findings parquet written; a second invocation
+    drains nothing new (the checkpoint carries the offset) and the
+    output is unchanged."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_watcher as rw
+    finally:
+        sys.path.pop(0)
+
+    root = tmp_path / "landing"
+    for sub, rows in (("labA", "14_000001,30,White\n14_000002,999,Zork\n"),
+                      ("labB", "14_000003,31,Asian\n")):
+        d = root / sub
+        d.mkdir(parents=True)
+        (d / "demographic.csv").write_text(
+            "Research_Participant_ID,Age,Race\n" + rows)
+    out, cp = str(tmp_path / "wout"), str(tmp_path / "wcp")
+    argv = ["run_watcher.py", str(root), "--sheet", "demographic.csv",
+            "--out", out, "--checkpoint", cp,
+            "--cbc", "labA=14", "--cbc", "labB=41"]
+    monkeypatch.setattr(sys, "argv", argv)
+    assert rw.main() == 0
+    text = capsys.readouterr().out
+    assert "drained; findings under" in text
+
+    got = spark.read.parquet(out)
+    n1 = got.count()
+    assert n1 > 0
+    # labB's rows (cbc 41) flag the 14_ prefix; labA's don't
+    wrong = got.filter(F.col("Error_Message").contains(
+        "Expecting CBC Code (41)"))
+    assert wrong.count() > 0
+    assert {r["__submission_id"] for r in wrong.collect()} == {"labB"}
+
+    monkeypatch.setattr(sys, "argv", argv)     # second drain: no new files
+    assert rw.main() == 0
+    assert spark.read.parquet(out).count() == n1
