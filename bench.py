@@ -423,9 +423,8 @@ def main() -> None:
         payload["queries_drift_factor"] = factors
         payload["queries_drift_adjusted"] = adjusted
         payload["adjusted_total"] = round(sum(adjusted.values()), 3)
-    print(json.dumps(payload))
     # Self-written full artifact (verdict-r9 item 4): the driver's
-    # BENCH_r*.json keeps only a truncated tail of this stdout line, so
+    # BENCH_r*.json keeps only a truncated tail of this stdout, so
     # round comparisons had to reconstruct the best-of dict. Write the
     # complete payload — plus the canonical-set total (BENCH_NOTES
     # "Canonical bench comparison set") that excludes coverage-only keys
@@ -446,6 +445,33 @@ def main() -> None:
         with open(os.path.join(here, fn), "w") as f:
             json.dump(payload, f, indent=1)
             f.write("\n")
+    # Full payload first (human/log consumption) ...
+    print(json.dumps(payload))
+    # ... canonical compact line LAST (verdict-r12 item 1): the driver
+    # keeps only the final ~2000 chars of stdout, and the full payload
+    # outgrew that — its tail truncated MID-dict, leaving BENCH_r12.json
+    # unparseable. This closing line carries the raw headline numbers
+    # (value = best-of total, queries_median = raw per-query medians)
+    # compactly enough to always survive the tail capture and parse.
+    compact = {
+        "metric": payload["metric"],
+        **partial,
+        "value": best_total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "samples": n,
+        "median_total": med_total,
+        "env_drift": payload["env_drift"],
+        "canonical_total_best": payload["canonical_total_best"],
+        "canonical_total_median": payload["canonical_total_median"],
+        "adjusted_total": payload.get("adjusted_total"),
+        "queries_median": medians,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:      # still too wide: drop to headline numbers
+        compact.pop("queries_median")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -191,9 +191,13 @@ def validate_batched(spark: SparkSession,
     the 100 TB scan shape: N submissions are just N files of one
     datasource, not N unioned single-file scan nodes. When provided, the
     per-submission tag+union step is skipped (the remaining
-    per-submission driver cost), and ``subs[sid]["sheets"]`` is read
-    only for its KEYS (the sheet-name-set constraint); callers must
-    build both structures from the same listing.
+    per-submission driver cost), and THIS function reads
+    ``subs[sid]["sheets"]`` only for its KEYS (the sheet-name-set
+    constraint) — but :func:`validate_batched_results` additionally
+    dereferences the per-submission sheet DataFrames in its tail (A4
+    count reconciliation and the P10 column findings), so callers of
+    THAT entry point must supply real frames, not placeholders; callers
+    must build both structures from the same listing either way.
 
     Returns a DataFrame with ``__submission_id`` + the six finding
     columns, deduplicated per submission with the standard key.
@@ -466,6 +470,13 @@ def validate_batched_results(
     to column membership because enrichment-added columns are disjoint
     from the sheet's own by construction (``merge_tables`` only adds
     absent columns).
+
+    ``pretagged`` callers note: unlike :func:`validate_batched`, this
+    entry point DEREFERENCES ``subs[sid]["sheets"]`` values — the tail
+    runs A4 count reconciliation and the P10 column findings over each
+    submission's own sheet frames — so real per-submission DataFrames
+    are required even when the findings compile reads only the
+    pretagged scans.
     """
     from pyspark.sql import functions as F
 

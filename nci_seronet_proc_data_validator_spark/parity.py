@@ -445,7 +445,7 @@ def _batched_sub_oracle_parts() -> "list[tuple[str, str, str, object]]":
     return out
 
 
-def _sql_batched_arm() -> str:
+def _sql_batched_arm() -> "tuple[str, str]":
     from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
         _column_select,
         _dup_select,

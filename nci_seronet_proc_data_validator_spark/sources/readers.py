@@ -138,12 +138,24 @@ def with_per_file_row_index(df: DataFrame, offset: int = 2,
     source path as ``file_col``.
 
     Spark PACKS several non-splittable files into one FilePartition, so
-    the monotonic id's per-partition ordinal runs ACROSS files; a file is
-    never split across partitions though, so ``ordinal - min(ordinal)
-    per (partition, file)`` is exactly the per-file record number —
-    recovered with the same tiny-aggregate + broadcast-join idiom as
-    :func:`with_row_index` (the grouped relation has one row per file,
-    never data-scale; no wide shuffle, no cross-partition term).
+    the monotonic id's per-partition ordinal runs ACROSS files; and a
+    SPLITTABLE file (``multiline=False`` CSV) can conversely be split
+    ACROSS partitions, one split per FilePartition. Both are handled by
+    grouping on ``(partition, file, split)`` — the split identified by
+    the hidden ``_metadata.file_block_start`` byte offset — so the
+    per-file record number is ``ordinal - min(ordinal) per (partition,
+    file, split)`` plus the total record count of the file's EARLIER
+    splits (a cumulative sum over the tiny aggregate, one row per
+    split, ordered by block offset; record order across splits follows
+    byte-offset order by the CSV line-boundary contract). Recovered
+    with the same tiny-aggregate + broadcast-join idiom as
+    :func:`with_row_index` — the grouped relation has one row per
+    split, never data-scale; no wide shuffle, no cross-partition term.
+    For non-splittable scans every file has one split at offset 0 and
+    the cumulative term vanishes. Plans without file metadata (e.g. a
+    source wrapped past metadata propagation) fall back to a constant
+    split id — correct whenever no file is actually split, i.e. the
+    non-splittable case that lacking metadata implies here.
 
     ``input_file_name()`` is projected ONCE below the self-join —
     Spark's PreReadCheck rejects the expression over any plan with more
@@ -152,19 +164,36 @@ def with_per_file_row_index(df: DataFrame, offset: int = 2,
     DataFrame, including the per-micro-batch frames ``foreachBatch``
     hands a streaming watcher.
     """
+    from pyspark.sql import Window
+
     data_cols = list(df.columns)
     file_norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    try:                      # eager analysis: resolvable or it raises
+        df.select("_metadata.file_block_start")
+        blk = F.col("_metadata.file_block_start")
+    except Exception:
+        blk = F.lit(0).cast("long")
     mid_col, pid_col, base_col = "__sg_mid", "__sg_pid", "__sg_base"
+    blk_col, cnt_col, prior_col = "__sg_blk", "__sg_cnt", "__sg_prior"
     tmp = (df.withColumn(mid_col, F.monotonically_increasing_id())
-           .withColumn(file_col, file_norm))
+           .withColumn(file_col, file_norm)
+           .withColumn(blk_col, blk))
     pid = F.shiftright(F.col(mid_col), _MID_PARTITION_SHIFT)
     ordinal = F.col(mid_col).bitwiseAND(F.lit(_MID_ORDINAL_MASK))
-    bases = (tmp.groupBy(pid.alias(pid_col), F.col(file_col))
-             .agg(F.min(ordinal).alias(base_col)))
+    bases = (tmp.groupBy(pid.alias(pid_col), F.col(file_col),
+                         F.col(blk_col))
+             .agg(F.min(ordinal).alias(base_col),
+                  F.count(F.lit(1)).alias(cnt_col)))
+    # records of the same file in earlier splits; window over the
+    # split-count relation only (metadata-scale, one row per split)
+    w = (Window.partitionBy(file_col).orderBy(blk_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    bases = bases.withColumn(
+        prior_col, F.coalesce(F.sum(cnt_col).over(w), F.lit(0)))
     return (tmp.withColumn(pid_col, pid)
-            .join(F.broadcast(bases), [pid_col, file_col])
+            .join(F.broadcast(bases), [pid_col, file_col, blk_col])
             .withColumn(ROW_INDEX_COL,
-                        (ordinal - F.col(base_col)
+                        (ordinal - F.col(base_col) + F.col(prior_col)
                          + F.lit(int(offset))).cast("long"))
             .select(*data_cols, ROW_INDEX_COL, file_col))
 

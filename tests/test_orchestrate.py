@@ -575,11 +575,12 @@ def test_cli_run_watcher(spark, tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", argv)
     assert rw.main() == 0
     text = capsys.readouterr().out
-    assert "drained; findings under" in text
+    assert "; findings under" in text
 
     got = spark.read.parquet(out)
     n1 = got.count()
     assert n1 > 0
+    assert f"({n1} rows this run" in text      # summary covers THIS run
     # labB's rows (cbc 41) flag the 14_ prefix; labA's don't
     wrong = got.filter(F.col("Error_Message").contains(
         "Expecting CBC Code (41)"))
@@ -588,4 +589,77 @@ def test_cli_run_watcher(spark, tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(sys, "argv", argv)     # second drain: no new files
     assert rw.main() == 0
+    # r13 (ADVICE): the re-drain summary must NOT re-report the prior
+    # drain's cumulative findings as this run's
+    text2 = capsys.readouterr().out
+    assert "no new files this run" in text2, text2
     assert spark.read.parquet(out).count() == n1
+
+    # third drain: a NEW file lands; the summary counts only its epoch
+    d = root / "labC"
+    d.mkdir()
+    (d / "demographic.csv").write_text(
+        "Research_Participant_ID,Age,Race\n14_000009,932,White\n")
+    monkeypatch.setattr(sys, "argv", argv)
+    assert rw.main() == 0
+    text3 = capsys.readouterr().out
+    n3 = spark.read.parquet(out).count()
+    assert n3 > n1
+    assert f"({n3 - n1} rows this run" in text3, text3
+
+
+def test_cli_batched_groups_by_column_order(spark, tmp_path, monkeypatch,
+                                            capsys):
+    """r13 (ADVICE high): two submissions with the SAME column set in a
+    DIFFERENT header order must land in DIFFERENT schema groups — the
+    pretagged group scan reads N files as ONE CSV source, which takes
+    names from the first file and reads the rest positionally, so
+    grouping them together would silently misalign values into the
+    wrong columns. With the order-sensitive signature each becomes a
+    singleton group and findings match serial exactly."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_submission as rs
+    finally:
+        sys.path.pop(0)
+
+    specs = {
+        "oa": ("Research_Participant_ID,Age,Race\n"
+               "14_000001,930,White\n"),          # Age out of range
+        "ob": ("Research_Participant_ID,Race,Age\n"
+               "14_000002,White,931\n")}          # same set, swapped order
+    dirs = []
+    for name, demo in specs.items():
+        d = tmp_path / name
+        d.mkdir()
+        (d / "demographic.csv").write_text(demo)
+        (d / "submission.csv").write_text("key,LabX\np,1\nb,0\n")
+        dirs.append(str(d))
+
+    def _run(extra: list[str], out: str) -> int:
+        monkeypatch.setattr(sys, "argv", [
+            "run_submission.py", *dirs, "--out", str(tmp_path / out),
+            "--cbc", "LabX=14", *extra])
+        return rs.main()
+
+    rc_serial = _run([], "serial_out")
+    out_serial = capsys.readouterr().out
+    rc_batched = _run(["--batched"], "batched_out")
+    out_batched = capsys.readouterr().out
+    assert rc_batched == rc_serial
+    assert "2 schema group(s), sizes [1, 1]" in out_batched, out_batched
+
+    for d in dirs:
+        base = d.rstrip("/").split("/")[-1]
+        a = spark.read.parquet(
+            str(tmp_path / "serial_out" / base / "findings.parquet"))
+        b = spark.read.parquet(
+            str(tmp_path / "batched_out" / base / "findings.parquet"))
+        assert _finding_set(a) == _finding_set(b), base
+        # the out-of-range Age was found under the right column — a
+        # positional misread would have put '931'/'White' elsewhere
+        assert any(r["Column_Name"] == "Age" and r["Column_Value"]
+                   in ("930", "931") for r in b.collect()), base
+    del out_serial

@@ -1196,3 +1196,54 @@ def test_read_sheet_csv_tagged_matches_per_file(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_per_file_row_index_split_safe(spark, tmp_path):
+    """r13 (ADVICE): with multiline=False the CSV source is SPLITTABLE —
+    one file can span several FilePartitions. The per-file row_index
+    must stay the file's CSV record number across splits: the
+    (partition, file, _metadata.file_block_start) grouping plus the
+    cumulative earlier-split record count handles it; the pre-r13
+    (partition, file) min-ordinal alone restarted the index at `offset`
+    in every split."""
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        read_sheet_csv,
+        read_sheet_csv_tagged,
+    )
+
+    p = tmp_path / "big.csv"
+    rows = [f"14_{r:06d},{20 + r % 60},White" for r in range(4000)]
+    p.write_text("Research_Participant_ID,Age,Race\n"
+                 + "\n".join(rows) + "\n")
+
+    olds = {}
+    for k, v in (("spark.sql.files.maxPartitionBytes", "16384"),
+                 ("spark.sql.files.openCostInBytes", "0"),
+                 ("spark.sql.files.minPartitionNum", "1")):
+        try:
+            olds[k] = spark.conf.get(k)
+        except Exception:
+            olds[k] = None
+        spark.conf.set(k, v)
+    try:
+        tagged = read_sheet_csv_tagged(spark, {"s0": str(p)},
+                                       "__submission_id",
+                                       multiline=False)
+        n_parts = (tagged.select(F.spark_partition_id().alias("p"))
+                   .distinct().count())
+        assert n_parts > 1, n_parts          # the file actually split
+        got = {r["row_index"]: r["Research_Participant_ID"]
+               for r in tagged.collect()}
+        want = {r["row_index"]: r["Research_Participant_ID"]
+                for r in read_sheet_csv(spark, str(p),
+                                        multiline=False).collect()}
+        assert len(got) == len(rows)         # no duplicate indexes
+        assert got == want
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

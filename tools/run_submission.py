@@ -132,9 +132,17 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
     )
 
     def sig(kw) -> tuple:
+        # Column ORDER is part of the signature (tuple(df.columns), not
+        # a sorted set): the pretagged group scan below reads N files as
+        # ONE CSV source, which takes column names from the first file
+        # and reads the rest POSITIONALLY (enforceSchema) — two
+        # submissions with the same column set in a different header
+        # order must land in different groups, or their values would
+        # silently misalign into the wrong columns. Sheet names stay
+        # sorted (dict order is load order, not schema).
         return (tuple(sorted(
-                    (n, tuple(sorted(c for c in df.columns
-                                     if c != "row_index")))
+                    (n, tuple(c for c in df.columns
+                              if c != "row_index"))
                     for n, df in kw["sheets"].items()
                     if n not in SKIP_VALIDATION)),
                 kw.get("today"), kw.get("fix_reference_bugs", True))

@@ -68,9 +68,14 @@ def main() -> int:
         load_icd10_codes,
     )
     glob = os.path.join(args.root_dir, "*", args.sheet)
+    # OUT_DIR is epoch-partitioned and accumulates across drains; the
+    # summary below must cover THIS run only, so record the epochs this
+    # drain writes (status_cb fires once per committed micro-batch).
+    run_epochs: list[int] = []
     q = validate_stream_multi(
         spark, glob, args.checkpoint, args.sheet, list(columns),
         cbc_by_sub, args.out, max_files_per_trigger=args.max_files,
+        status_cb=lambda _f, epoch_id: run_epochs.append(int(epoch_id)),
         icd10_codes=load_icd10_codes(spark))
     q.awaitTermination(args.timeout)
     if q.isActive:
@@ -84,12 +89,19 @@ def main() -> int:
     except Exception:
         print("drained: no findings written (no files, or all rows clean)")
         return 0
+    if not run_epochs:
+        print(f"drained: no new files this run; cumulative findings "
+              f"remain under {args.out} ({got.count()} rows)")
+        return 0
+    # epoch is the partition column — this filter prunes to exactly the
+    # directories this drain wrote, so re-drains don't overstate counts.
+    got = got.filter(F.col("epoch").isin(run_epochs))
     (got.groupBy("__submission_id", "Message_Type")
      .count().orderBy("__submission_id", "Message_Type")
      .show(100, truncate=False))
     n_err = got.filter(F.col("Message_Type") == "Error").count()
-    print(f"drained; findings under {args.out} "
-          f"({got.count()} rows, {n_err} errors)")
+    print(f"drained epoch(s) {sorted(run_epochs)}; findings under "
+          f"{args.out} ({got.count()} rows this run, {n_err} errors)")
     return 0
 
 
