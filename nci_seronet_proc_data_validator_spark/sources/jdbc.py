@@ -115,6 +115,25 @@ def read_pending_submissions(spark: SparkSession, url: str,
             .option("query", q).options(**(properties or {})).load())
 
 
+def read_cbc_map(spark: SparkSession, url: str,
+                 properties: dict | None = None) -> dict[str, str]:
+    """CBC lab-name → 2-digit id map from the CBC table.
+
+    The reference resolves one name per submission at load time
+    (``SELECT CBC_ID FROM CBC WHERE CBC_Name = %s``,
+    File_Submission_Object.py:82-87); the set form here reads the whole
+    (tiny) table once. Pass ``lambda: read_cbc_map(spark, url)`` as a
+    watcher's ``cbc_map``/``cbc_by_sub`` to re-resolve per micro-batch —
+    a lab registered while the watcher runs is honored by the next batch
+    without restart (``streaming.watcher._resolve``)."""
+    if not url:
+        return {}
+    df = (spark.read.format("jdbc").option("url", url)
+          .option("query", "SELECT CBC_Name, CBC_ID FROM CBC")
+          .options(**(properties or {})).load())
+    return {str(r["CBC_Name"]): str(r["CBC_ID"]) for r in df.collect()}
+
+
 # Reference's bookkeeping anti-filter, verbatim incl. the lowercase 't' in
 # Submission_time (nci-seronet-data-validator.py:148).
 IGNORED_CATALOG_COLUMNS = [

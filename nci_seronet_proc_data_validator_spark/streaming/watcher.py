@@ -38,6 +38,87 @@ def _icd10_flags(df: DataFrame, bound, icd10_codes) -> DataFrame:
     return df
 
 
+def _resolve(value_or_fn):
+    """Per-micro-batch resolution of a watcher side input: a callable is
+    re-evaluated at every batch (the stream-static pattern — a CBC
+    registered or a dictionary updated BETWEEN batches is honored by the
+    next batch without restarting the query, mirroring the reference's
+    per-submission MySQL resolution, File_Submission_Object.py:82-87); a
+    plain value is used as-is."""
+    return value_or_fn() if callable(value_or_fn) else value_or_fn
+
+
+def _sheet_batch_findings(df: DataFrame, epoch_id: int, sheet_name: str,
+                          columns: list, cbc, bind_kwargs: dict | None,
+                          icd10_codes,
+                          carry_cols: tuple = ()) -> DataFrame:
+    """The shared per-micro-batch findings body of every watcher:
+    typed shadows → memoized rule bind → dependency-column defaults →
+    ICD-10 flags → ONE rendered findings statement. ``df`` must already
+    carry ``row_index`` plus any ``carry_cols``; ``cbc`` is a literal id
+    or a :class:`PerRowCbc`. Registered against the MICRO-BATCH session
+    (foreachBatch hands a df bound to a batch-cloned session; the view
+    must live and be queried there, not on the outer session a closure
+    would capture)."""
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        with_typed_shadows)
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules_cached)
+    from nci_seronet_proc_data_validator_spark.plans.rules import (
+        sheet_findings_sql)
+
+    df = with_typed_shadows(df, list(columns))
+    # Memoized: long-lived watchers re-bind identical rules every
+    # micro-batch; the cache keys on (sheet, columns, cbc, date) so a
+    # midnight rollover still refreshes expiration cutoffs.
+    bound = bind_sheet_rules_cached(sheet_name, list(columns), cbc,
+                                    **(bind_kwargs or {}))
+    if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
+        df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
+    df = _icd10_flags(df, bound, icd10_codes)
+    import uuid as _uuid
+    sess = df.sparkSession
+    # uuid, not (sheet, epoch): two concurrent watchers on the same
+    # sheet name would collide on epoch-keyed names mid-analysis
+    view = f"__watch_{_uuid.uuid4().hex[:8]}_{epoch_id}"
+    df.createOrReplaceTempView(view)
+    legs = sheet_findings_sql(view, sheet_name, bound.column_rules,
+                              carry_cols=carry_cols)
+    findings = sess.sql(" UNION ALL ".join(legs))
+    sess.catalog.dropTempView(view)     # resolved eagerly by sess.sql
+    return findings
+
+
+def _epoch_sink(findings: DataFrame, epoch_id: int, output_dir: str,
+                status_cb=None) -> None:
+    """The watchers' restart-recovery contract, in one place.
+
+    foreachBatch is at-least-once: if the process dies between the
+    findings write and the checkpoint commit, the restarted query
+    REPLAYS that batch with the SAME ``epoch_id``. A plain
+    ``mode("append")`` sink would then hold the batch's findings twice.
+    Findings are therefore written ``partitionBy("epoch")`` with dynamic
+    partition overwrite, so a replayed batch overwrites exactly its own
+    ``epoch=<id>`` directory and nothing else — committed epochs are
+    untouched, the half-written epoch is replaced, and the drained
+    output equals the batch compile with no duplicates or gaps. This
+    mirrors the reference's Lambda retry model, where a re-invoked
+    submission overwrites its own status row / error report rather than
+    appending (nci-seronet-data-validator.py:152-159,
+    File_Submission_Object.py:439-499). Any replacement sink wired in
+    via ``status_cb`` must honor the same contract: dedupe or upsert on
+    ``epoch_id`` (the S11 job-status upsert already does — it keys on
+    the sheet and overwrites the status row).
+    """
+    (findings.withColumn("epoch", F.lit(epoch_id))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch")
+     .parquet(output_dir))
+    if status_cb is not None:
+        status_cb(findings, epoch_id)
+
+
 def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
                     sheet_name: str, columns: list[str], cbc_id: str,
                     output_dir: str,
@@ -75,23 +156,11 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     (``drop_list``, ``today``, ``fix_reference_bugs``) so a watcher can
     pin the same binding a batch run uses.
 
-    **Sink idempotence (restart-recovery contract).** foreachBatch is
-    at-least-once: if the process dies between the findings write and the
-    checkpoint commit, the restarted query REPLAYS that batch with the
-    SAME ``epoch_id``. A plain ``mode("append")`` sink would then hold the
-    batch's findings twice. The sink below is therefore keyed on the
-    epoch: findings are written ``partitionBy("epoch")`` with dynamic
-    partition overwrite, so a replayed batch overwrites exactly its own
-    ``epoch=<id>`` directory and nothing else — committed epochs are
-    untouched, the half-written epoch is replaced, and the drained output
-    equals the batch compile with no duplicates or gaps. This mirrors the
-    reference's Lambda retry model, where a re-invoked submission
-    overwrites its own status row / error report rather than appending
-    (nci-seronet-data-validator.py:152-159,
-    File_Submission_Object.py:439-499). Any replacement sink wired in via
-    ``status_cb`` must honor the same contract: dedupe or upsert on
-    ``epoch_id`` (the S11 job-status upsert already does — it keys on the
-    sheet and overwrites the status row).
+    **Sink idempotence (restart-recovery contract):** see
+    :func:`_epoch_sink` — the shared epoch-keyed dynamic-partition-
+    overwrite sink every watcher writes through. ``icd10_codes`` may be
+    a DataFrame or a zero-arg callable re-resolved per micro-batch
+    (:func:`_resolve`).
 
     Layout note: the epoch-partitioned layout is NOT compatible with an
     ``output_dir`` written by the pre-r10 flat-append sink (``epoch`` was
@@ -101,14 +170,8 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
     pair, or one-shot rewrite the old output
     (``read.parquet(old).write.partitionBy("epoch").parquet(new)``).
     """
-    from nci_seronet_proc_data_validator_spark.operators.typing import (
-        with_typed_shadows)
     from nci_seronet_proc_data_validator_spark.plans.advisor import (
         warn_nonsplittable_csv)
-    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
-        bind_sheet_rules_cached)
-    from nci_seronet_proc_data_validator_spark.plans.rules import (
-        compile_sheet_findings)
 
     # The multiLine option below makes each landed file single-task;
     # flag any oversized file already sitting in the watched dir (files
@@ -140,26 +203,10 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
         # convention, which needs a single-file batch to be meaningful).
         df = df.withColumn("row_index",
                            F.monotonically_increasing_id() + 2)
-        df = with_typed_shadows(df)
-        # Memoized: long-lived watchers re-bind identical rules every
-        # microbatch; the cache keys on (sheet, columns, cbc, date) so a
-        # midnight rollover still refreshes expiration cutoffs.
-        bound = bind_sheet_rules_cached(sheet_name, columns, cbc_id,
-                                        **(bind_kwargs or {}))
-        if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
-            df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
-        df = _icd10_flags(df, bound, icd10_codes)
-        findings = compile_sheet_findings(df, sheet_name, bound.column_rules)
-        # Idempotent under batch replay: a restarted query re-runs an
-        # uncommitted batch with the same epoch_id, and dynamic partition
-        # overwrite replaces only that epoch's directory (see docstring).
-        (findings.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("epoch")
-         .parquet(output_dir))
-        if status_cb is not None:
-            status_cb(findings, epoch_id)
+        findings = _sheet_batch_findings(
+            df, epoch_id, sheet_name, list(columns), cbc_id, bind_kwargs,
+            _resolve(icd10_codes))
+        _epoch_sink(findings, epoch_id, output_dir, status_cb)
 
     return (raw.writeStream
             .foreachBatch(process)
@@ -171,7 +218,7 @@ def validate_stream(spark: SparkSession, input_dir: str, checkpoint: str,
 def validate_stream_multi(spark: SparkSession, input_glob: str,
                           checkpoint: str, sheet_name: str,
                           columns: list[str],
-                          cbc_by_sub: "dict[str, str]",
+                          cbc_by_sub,
                           output_dir: str,
                           status_cb=None,
                           bind_kwargs: dict | None = None,
@@ -194,7 +241,14 @@ def validate_stream_multi(spark: SparkSession, input_glob: str,
       path via ``sub_pattern``) and ``__cbc_id`` (``cbc_by_sub``
       lookup; unknown submissions get '0', the reference's unknown-lab
       code, so their ID checks report "submission file is missing"
-      instead of silently passing);
+      instead of silently passing). ``cbc_by_sub`` may be a dict or a
+      ZERO-ARG CALLABLE returning one — a callable is re-evaluated at
+      every micro-batch (:func:`_resolve`), so a resident watcher picks
+      up labs registered AFTER the query started without restart (the
+      stream-static pattern; the reference resolves the CBC per
+      submission from MySQL at load time,
+      File_Submission_Object.py:82-87 — pair with
+      ``sources.jdbc.read_cbc_map`` for the JDBC-backed form);
     - the rulebook binds ONCE per (schema, distinct-CBC-set, date) with
       ``PerRowCbc`` — the C5 prefix checks render as CASEs over
       ``__cbc_id``, identical to batched mode — and the memoized bind
@@ -211,21 +265,13 @@ def validate_stream_multi(spark: SparkSession, input_glob: str,
     """
     from nci_seronet_proc_data_validator_spark.functions.checks import (
         PerRowCbc)
-    from nci_seronet_proc_data_validator_spark.operators.typing import (
-        with_typed_shadows)
     from nci_seronet_proc_data_validator_spark.plans.advisor import (
         warn_nonsplittable_csv)
-    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
-        bind_sheet_rules_cached)
-    from nci_seronet_proc_data_validator_spark.plans.rules import (
-        sheet_findings_sql)
     from nci_seronet_proc_data_validator_spark.sources.readers import (
         with_per_file_row_index)
 
     warn_nonsplittable_csv(input_glob)
     sub_col, cbc_col, file_col = "__submission_id", "__cbc_id", "__sg_file"
-    cbc_map = {str(s): str(c) for s, c in cbc_by_sub.items()}
-    cbc_values = tuple(sorted(set(cbc_map.values()) | {"0"}))
 
     schema = T.StructType(
         [T.StructField(c, T.StringType(), True) for c in columns])
@@ -241,6 +287,12 @@ def validate_stream_multi(spark: SparkSession, input_glob: str,
     raw = reader.csv(input_glob)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # CBC map resolved PER BATCH (dynamic when cbc_by_sub is a
+        # callable): a lab registered between micro-batches is honored
+        # by this batch; still-unknown submissions stay '0'.
+        cbc_map = {str(s): str(c)
+                   for s, c in _resolve(cbc_by_sub).items()}
+        cbc_values = tuple(sorted(set(cbc_map.values()) | {"0"}))
         df = with_per_file_row_index(batch_df.na.fill(""),
                                      file_col=file_col)
         sub = F.regexp_extract(F.col(file_col), sub_pattern, 1)
@@ -250,29 +302,202 @@ def validate_stream_multi(spark: SparkSession, input_glob: str,
             F.lit("0")) if cbc_map else F.lit("0"))
         df = (df.withColumn(sub_col, sub).withColumn(cbc_col, cbc)
               .drop(file_col))
-        df = with_typed_shadows(df, columns)
-        bound = bind_sheet_rules_cached(
-            sheet_name, columns,
+        findings = _sheet_batch_findings(
+            df, epoch_id, sheet_name, columns,
             PerRowCbc(column=cbc_col, values=cbc_values),
-            **(bind_kwargs or {}))
-        if "SARS_CoV_2_PCR_Test_Result" not in df.columns:
-            df = df.withColumn("SARS_CoV_2_PCR_Test_Result", F.lit(""))
-        df = _icd10_flags(df, bound, icd10_codes)
-        # foreachBatch hands a df bound to a micro-batch-cloned session;
-        # the view must be registered and queried THERE, not on the
-        # outer session captured by the closure.
-        sess = df.sparkSession
-        view = f"__watch_multi_{epoch_id}"
-        df.createOrReplaceTempView(view)
-        legs = sheet_findings_sql(view, sheet_name, bound.column_rules,
-                                  carry_cols=(sub_col,))
-        findings = sess.sql(" UNION ALL ".join(legs))
-        (findings.withColumn("epoch", F.lit(epoch_id))
+            bind_kwargs, _resolve(icd10_codes), carry_cols=(sub_col,))
+        _epoch_sink(findings, epoch_id, output_dir, status_cb)
+
+    return (raw.writeStream
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def validate_stream_submissions(spark: SparkSession, root_dir: str,
+                                checkpoint: str,
+                                declared_sheets,
+                                output_dir: str,
+                                cbc_map=None,
+                                icd10_codes=None,
+                                expected_columns: dict | None = None,
+                                bind_kwargs: dict | None = None,
+                                max_files_per_trigger: int | None = None,
+                                status_cb=None
+                                ) -> "StreamingQuery":
+    """Submission-COMPLETENESS-gated watcher: continuous operation with
+    the reference's FULL per-submission semantics — per-sheet rules,
+    dup-ID checks, enrichment-dependent rules, the J3-J6 cross-sheet
+    spines + presence decoding, the A4 count reconciliation, and the
+    global findings dedup.
+
+    The reference's production flow validates a submission only once it
+    is COMPLETE (the jobs table marks arrival; the Lambda picks up whole
+    submissions, nci-seronet-data-validator.py:152-159) — cross-sheet
+    checks are meaningless against a partial submission. This watcher is
+    the streaming form of that gate:
+
+    - ONE file-source stream watches ``<root>/<submission>/<sheet>`` for
+      every declared sheet name at once (a ``binaryFile`` source with
+      only ``path`` projected — the scan never reads file CONTENT; the
+      stream is a checkpointed arrival queue, the jobs-table twin);
+    - each micro-batch appends the newly-landed (submission, sheet,
+      path) rows to an epoch-keyed ARRIVALS ledger
+      (``<output>/arrivals``, same dynamic-partition-overwrite
+      idempotence as the findings sink);
+    - a submission whose cumulative arrivals first cover
+      ``declared_sheets`` IN THIS BATCH is validated through the batch
+      compiler (``SubmissionValidator.validate`` over per-file
+      ``read_sheet_csv`` reads — byte-identical row identity and
+      findings to the batch CLI), and its full findings land in the
+      epoch-keyed findings sink (``<output>/findings``) tagged
+      ``__submission_id``.
+
+    Why findings emit at COMPLETION rather than per sheet at arrival:
+    the batch compile's per-sheet findings depend on cross-sheet
+    enrichment (merge_tables dependency columns — e.g. demographic rules
+    scoped by the prior sheet's SARS result, C9 assay resolution), so
+    findings computed against a partial submission can both MISS
+    findings and RAISE spurious ones relative to the complete compile,
+    and an append-only sink cannot retract. Emitting once, at the gate,
+    makes the drained output hash-match the batch compile exactly —
+    the property the per-sheet watchers (:func:`validate_stream`,
+    :func:`validate_stream_multi`) trade away for earlier feedback.
+    Run one of those beside this watcher (separate checkpoint/output)
+    when provisional per-sheet findings are wanted too.
+
+    **Restart / replay correctness.** Completion is a deterministic
+    function of the arrivals ledger: at epoch E the newly-complete set
+    is ``complete(prior ∪ batch) − complete(prior)`` where ``prior`` is
+    the ledger below epoch E — committed epochs never change, and a
+    REPLAYED epoch overwrites exactly its own ledger and findings
+    partitions with identical content, so a crash anywhere between the
+    two writes and the checkpoint commit neither loses nor duplicates a
+    submission's validation. A submission interrupted mid-arrival keeps
+    its committed arrivals and completes in a later epoch (or a later
+    ``availableNow`` drain — the ledger and checkpoint carry across
+    runs).
+
+    Parameters beyond the shared watcher surface:
+
+    - ``declared_sheets``: the sheet FILE names whose arrival completes
+      a submission (include ``submission.csv`` to have the CBC and the
+      declared A4 counts parsed from it). Files with other names are
+      ignored (consumed but neither ledgered nor validated).
+    - ``cbc_map``: lab NAME → 2-digit id for submission.csv parsing
+      (``parse_submission_metadata``); a dict or a zero-arg callable
+      re-resolved per micro-batch (:func:`_resolve` — labs registered
+      while the watcher runs are honored without restart; pair with
+      ``sources.jdbc.read_cbc_map``). ``icd10_codes`` may likewise be a
+      DataFrame or a callable.
+    - ``status_cb(findings_df_or_None, epoch_id)``: fires every batch;
+      ``None`` when no submission completed (arrival-only batch).
+
+    100 TB posture: per-batch driver work is O(files in batch) ledger
+    rows plus one batch compile per NEWLY COMPLETE submission — the
+    reference's own per-submission unit, with memoized rule binds making
+    repeated schemas cheap; the data-scale work stays in executor scans
+    of exactly the completed submissions' files. The ledger read is
+    error-bounded metadata (one row per arrived file).
+    """
+    import os
+    import re
+
+    from nci_seronet_proc_data_validator_spark.errors import union_findings
+    from nci_seronet_proc_data_validator_spark.plans.advisor import (
+        warn_nonsplittable_csv)
+
+    declared = frozenset(declared_sheets)
+    if not declared:
+        raise ValueError("declared_sheets must name at least one sheet")
+    arrivals_dir = os.path.join(output_dir, "arrivals")
+    findings_dir = os.path.join(output_dir, "findings")
+    warn_nonsplittable_csv(root_dir)
+
+    # binaryFile's schema is fixed by the source, but streaming sources
+    # demand it explicitly (no schema inference on streams)
+    src_schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True)])
+    reader = (spark.readStream.format("binaryFile")
+              .schema(src_schema)
+              .option("pathGlobFilter", "*.csv"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    raw = reader.load(os.path.join(root_dir, "*"))
+
+    ledger_schema = "submission_id string, sheet string, path string"
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # One row per FILE — metadata-scale by construction (the source
+        # emits file-level rows; content is never projected).
+        paths = [re.sub(r"^file:/+", "/", r["path"])
+                 for r in batch_df.select("path").collect()]
+        rows = []
+        for pth in paths:
+            sheet = os.path.basename(pth)
+            if sheet in declared:
+                rows.append(
+                    (os.path.basename(os.path.dirname(pth)), sheet, pth))
+        adf = sess.createDataFrame(rows, ledger_schema)
+        (adf.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("epoch")
-         .parquet(output_dir))
-        sess.catalog.dropTempView(view)
+         .partitionBy("epoch").parquet(arrivals_dir))
+
+        have: dict[str, dict[str, str]] = {}
+        try:
+            prior = (sess.read.parquet(arrivals_dir)
+                     .filter(F.col("epoch") < epoch_id).collect())
+        except Exception:          # first epoch: no ledger yet
+            prior = []
+        for r in prior:
+            have.setdefault(r["submission_id"], {})[r["sheet"]] = r["path"]
+        complete_before = {s for s, m in have.items()
+                           if declared <= set(m)}
+        for sub, sheet, pth in rows:
+            have.setdefault(sub, {})[sheet] = pth
+        complete_now = sorted(
+            s for s, m in have.items()
+            if declared <= set(m) and s not in complete_before)
+
+        findings = None
+        if complete_now:
+            from nci_seronet_proc_data_validator_spark.sources.readers \
+                import read_sheet_csv
+            from nci_seronet_proc_data_validator_spark.submission import (
+                SubmissionValidator,
+                parse_submission_metadata,
+            )
+            cbc = {str(k): str(v)
+                   for k, v in (_resolve(cbc_map) or {}).items()}
+            icd = _resolve(icd10_codes)
+            parts = []
+            for sub in complete_now:
+                sheets = {name: read_sheet_csv(sess, pth)
+                          for name, pth in sorted(have[sub].items())}
+                meta = (parse_submission_metadata(sheets["submission.csv"],
+                                                  cbc)
+                        if "submission.csv" in sheets
+                        else {"cbc_id": "0",
+                              "declared_participants": None,
+                              "declared_biospecimens": None})
+                res = SubmissionValidator(
+                    sess, sheets=sheets, cbc_id=str(meta["cbc_id"]),
+                    declared_participants=meta.get("declared_participants"),
+                    declared_biospecimens=meta.get("declared_biospecimens"),
+                    icd10_codes=icd,
+                    expected_columns=expected_columns,
+                    **(bind_kwargs or {})).validate()
+                parts.append(res.findings.withColumn(
+                    "__submission_id", F.lit(sub)))
+            findings = union_findings(parts)
+            _epoch_sink(findings, epoch_id, findings_dir)
         if status_cb is not None:
             status_cb(findings, epoch_id)
 

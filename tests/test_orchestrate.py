@@ -663,3 +663,57 @@ def test_cli_batched_groups_by_column_order(spark, tmp_path, monkeypatch,
         assert any(r["Column_Name"] == "Age" and r["Column_Value"]
                    in ("930", "931") for r in b.collect()), base
     del out_serial
+
+
+def test_validate_stream_multi_dynamic_cbc(spark, tmp_path):
+    """r13 (verdict item 2): cbc_by_sub as a CALLABLE re-resolved per
+    micro-batch — a lab registered BETWEEN micro-batches (from epoch 0's
+    status_cb, which runs strictly before epoch 1 starts) is honored by
+    later batches of the SAME query, no restart; still-unknown
+    submissions stay '0'."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream_multi)
+
+    cols = ["Research_Participant_ID", "Age", "Race"]
+    root = tmp_path / "landing"
+    csv = ("Research_Participant_ID,Age,Race\n"
+           "14_000001,30,White\n")
+    t0 = 1_700_000_000
+    for k, sub in enumerate(("subA", "subB")):
+        d = root / sub
+        d.mkdir(parents=True)
+        p = d / "demographic.csv"
+        p.write_text(csv)
+        # mtime order pins subA to epoch 0, subB to epoch 1
+        os.utime(p, (t0 + 10 * k, t0 + 10 * k))
+
+    registry: dict[str, str] = {}
+
+    def register_after_first_batch(_findings, epoch_id):
+        if epoch_id == 0:
+            registry["subB"] = "41"     # lab registered mid-query
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = validate_stream_multi(
+        spark, str(root / "*" / "demographic.csv"), cp,
+        "demographic.csv", cols, lambda: dict(registry), out,
+        max_files_per_trigger=1,
+        status_cb=register_after_first_batch)
+    q.awaitTermination(300)
+    assert not q.isActive
+
+    got = spark.read.parquet(out)
+    msgs = {
+        sub: {r["Error_Message"] for r in got.filter(
+            F.col("__submission_id") == sub).collect()}
+        for sub in ("subA", "subB")}
+    # epoch 0 ran before registration: subA validated under '0'
+    assert any("submission file is missing" in m for m in msgs["subA"])
+    # epoch 1 picked the registration up WITHOUT restart
+    assert any("Expecting CBC Code (41)" in m for m in msgs["subB"])
+    assert all("submission file is missing" not in m
+               for m in msgs["subB"])

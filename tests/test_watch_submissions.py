@@ -1,0 +1,252 @@
+"""Submission-completeness-gated streaming (r13): the continuous form of
+the reference's whole-submission validation gate
+(nci-seronet-data-validator.py:152-159) — sheets of several submissions
+land interleaved across micro-batches; a submission validates through the
+FULL batch compiler (per-sheet + dup-ID + cross-sheet J3-J6 + A4 + global
+dedup) exactly once, at the epoch where its declared sheet set first
+completes, and the drained findings hash-match the batch compile."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+from nci_seronet_proc_data_validator_spark.streaming import (
+    validate_stream_submissions)
+from nci_seronet_proc_data_validator_spark.submission import (
+    SubmissionValidator,
+    parse_submission_metadata,
+)
+
+TODAY = datetime.date(2026, 1, 1)
+CBC_MAP = {"LabX": "14", "LabY": "41"}
+DECLARED = frozenset(
+    {"submission.csv", "demographic.csv", "biospecimen.csv"})
+
+
+def _write_submission(root, name: str, lab: str, i: int) -> dict:
+    """Sheets with planted errors: range+vocab on demographic, a
+    cross-sheet orphan participant in biospecimen (14_9000i appears in
+    biospecimen only -> J3 presence finding), declared counts that
+    mismatch (A4)."""
+    d = root / name
+    d.mkdir(parents=True)
+    sheets = {
+        "demographic.csv": (
+            "Research_Participant_ID,Age,Race\n"
+            f"14_00000{i},30,White\n"
+            f"14_10000{i},9{i}9,Race_{i}\n"),
+        "biospecimen.csv": (
+            "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+            f"14_00000{i},14_00000{i}_001,PBMC\n"
+            f"14_90000{i},14_90000{i}_001,Serum\n"),
+        # declared 9/9 vs 2 passing each -> two A4 findings
+        "submission.csv": f"key,{lab}\np,9\nb,9\n",
+    }
+    paths = {}
+    for fname, content in sheets.items():
+        (d / fname).write_text(content)
+        paths[fname] = str(d / fname)
+    return paths
+
+
+def _batch_twin(spark, paths: dict):
+    """The batch compile the watcher must reproduce byte-for-byte."""
+    sheets = {n: read_sheet_csv(spark, p) for n, p in paths.items()}
+    meta = parse_submission_metadata(sheets["submission.csv"], CBC_MAP)
+    return SubmissionValidator(
+        spark, sheets=sheets, cbc_id=str(meta["cbc_id"]),
+        declared_participants=meta.get("declared_participants"),
+        declared_biospecimens=meta.get("declared_biospecimens"),
+        today=TODAY).validate()
+
+
+def _finding_set(findings):
+    return sorted(
+        (r["Message_Type"], r["CSV_Sheet_Name"], r["Row_Index"],
+         r["Column_Name"], r["Column_Value"], r["Error_Message"])
+        for r in findings.collect())
+
+
+def test_interleaved_arrival_matches_batch_compile(spark, tmp_path):
+    """Two submissions' sheets arriving ONE FILE PER MICRO-BATCH (fully
+    interleaved): each submission validates exactly once — at the epoch
+    its declared set completes — and per-submission drained findings
+    (all epochs) equal its batch compile, cross-sheet and A4 included."""
+    root = tmp_path / "landing"
+    pa = _write_submission(root, "subA", "LabX", 0)
+    pb = _write_submission(root, "subB", "LabY", 1)
+    # deterministic interleaving: the file source orders new files by
+    # modification time — A.demo, B.demo, A.bio, B.bio, A.sub, B.sub
+    order = [pa["demographic.csv"], pb["demographic.csv"],
+             pa["biospecimen.csv"], pb["biospecimen.csv"],
+             pa["submission.csv"], pb["submission.csv"]]
+    t0 = 1_700_000_000
+    for k, p in enumerate(order):
+        os.utime(p, (t0 + 10 * k, t0 + 10 * k))
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    completed: list[tuple[int, list[str]]] = []
+
+    def cb(f, epoch):
+        if f is not None:
+            completed.append(
+                (epoch, sorted({r["__submission_id"]
+                                for r in f.select("__submission_id")
+                                .distinct().collect()})))
+
+    q = validate_stream_submissions(
+        spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+        bind_kwargs={"today": TODAY}, max_files_per_trigger=1,
+        status_cb=cb)
+    q.awaitTermination(600)
+
+    # each submission completed exactly once, in arrival (mtime) order
+    assert [subs for _e, subs in completed] == [["subA"], ["subB"]]
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    for name, paths in (("subA", pa), ("subB", pb)):
+        mine = got.filter(F.col("__submission_id") == name).drop(
+            "__submission_id", "epoch")
+        want = _batch_twin(spark, paths).findings
+        assert _finding_set(mine) == _finding_set(want), name
+    # the planted classes actually streamed through: cross-sheet (J3)
+    # and count reconciliation (A4)
+    msgs = [r["CSV_Sheet_Name"] for r in got.collect()]
+    assert "Cross_Participant_ID.csv" in msgs
+    assert any(r["Column_Name"] == "submit_Participant_IDs"
+               for r in got.collect())
+    # the arrivals ledger holds one row per declared file
+    ledger = spark.read.parquet(os.path.join(out, "arrivals"))
+    assert ledger.count() == 6
+
+
+def test_restart_mid_submission_no_loss_no_dup(spark, tmp_path):
+    """Drain 1 sees a PARTIAL submission (no findings); the remaining
+    sheet lands and drain 2 (same checkpoint — the restart) completes it
+    exactly once; drain 3 is a no-op. The gate must neither lose the
+    committed arrivals nor re-validate on later drains."""
+    root = tmp_path / "landing"
+    pa = _write_submission(root, "subA", "LabX", 0)
+    held_back = pa["biospecimen.csv"]
+    staged = held_back + ".hold"
+    os.rename(held_back, staged)
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    events: list[tuple[int, bool]] = []
+
+    def run_drain():
+        q = validate_stream_submissions(
+            spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+            bind_kwargs={"today": TODAY},
+            status_cb=lambda f, e: events.append((e, f is not None)))
+        q.awaitTermination(600)
+
+    run_drain()                              # partial: arrivals only
+    assert not os.path.isdir(os.path.join(out, "findings"))
+    assert all(not done for _e, done in events)
+
+    os.rename(staged, held_back)             # last sheet lands
+    run_drain()                              # restart completes it
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    want = _batch_twin(spark, pa).findings
+    assert _finding_set(got.drop("__submission_id", "epoch")) == \
+        _finding_set(want)
+
+    n_events = len(events)
+    run_drain()                              # nothing new
+    assert all(not done for _e, done in events[n_events:])
+    again = spark.read.parquet(os.path.join(out, "findings"))
+    assert again.count() == got.count()      # validated exactly once
+
+
+def test_dynamic_cbc_between_drains(spark, tmp_path):
+    """cbc_map as a CALLABLE: a lab registered after the first drain is
+    honored by the next one without rebuilding the watcher args — subA
+    (drained before registration) validates under '0' (the reference's
+    unknown-lab code), subB (after) under its real code."""
+    root = tmp_path / "landing"
+    pa = _write_submission(root, "subA", "LabZ", 0)
+    pb_dir = tmp_path / "stage_b"
+    pb = _write_submission(pb_dir, "subB", "LabZ", 1)
+
+    registry: dict[str, str] = {}
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_drain():
+        q = validate_stream_submissions(
+            spark, str(root), cp, DECLARED, out,
+            cbc_map=lambda: dict(registry),
+            bind_kwargs={"today": TODAY})
+        q.awaitTermination(600)
+
+    run_drain()                              # subA: LabZ unknown -> '0'
+    registry["LabZ"] = "41"                  # lab registered
+    os.rename(str(pb_dir / "subB"), str(root / "subB"))
+    run_drain()                              # subB: LabZ -> 41
+    del pb
+
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    a = got.filter(F.col("__submission_id") == "subA")
+    b = got.filter(F.col("__submission_id") == "subB")
+    assert a.filter(F.col("Error_Message").contains(
+        "submission file is missing")).count() > 0
+    assert b.filter(F.col("Error_Message").contains(
+        "Expecting CBC Code (41)")).count() > 0
+    assert b.filter(F.col("Error_Message").contains(
+        "submission file is missing")).count() == 0
+
+
+def test_rejects_empty_declared_set(spark, tmp_path):
+    with pytest.raises(ValueError, match="declared_sheets"):
+        validate_stream_submissions(
+            spark, str(tmp_path), str(tmp_path / "cp"), frozenset(),
+            str(tmp_path / "out"))
+
+
+def test_cli_complete_mode(spark, tmp_path, monkeypatch, capsys):
+    """The watcher CLI's --complete mode end-to-end: a partial drain
+    reports arrivals-only, the completing drain validates and prints
+    per-submission counts for THIS run, and the findings match the
+    batch compile."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_watcher as rw
+    finally:
+        sys.path.pop(0)
+
+    root = tmp_path / "landing"
+    pa = _write_submission(root, "subA", "LabX", 0)
+    held = pa["submission.csv"]
+    os.rename(held, held + ".hold")
+
+    out, cp = str(tmp_path / "wout"), str(tmp_path / "wcp")
+    argv = ["run_watcher.py", str(root), "--complete",
+            "--sheets", "submission.csv,demographic.csv,biospecimen.csv",
+            "--out", out, "--checkpoint", cp, "--cbc", "LabX=14"]
+    monkeypatch.setattr(sys, "argv", argv)
+    assert rw.main() == 0
+    assert "no submission completed" in capsys.readouterr().out
+
+    os.rename(held + ".hold", held)
+    monkeypatch.setattr(sys, "argv", argv)
+    assert rw.main() == 0
+    text = capsys.readouterr().out
+    assert "completed ['subA']" in text, text
+
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    # CLI passes the real ICD-10 dictionary; the batch twin must too
+    from nci_seronet_proc_data_validator_spark.sources.icd10 import (
+        load_icd10_codes)
+    sheets = {n: read_sheet_csv(spark, p) for n, p in pa.items()}
+    meta = parse_submission_metadata(sheets["submission.csv"], CBC_MAP)
+    want = SubmissionValidator(
+        spark, sheets=sheets, cbc_id=str(meta["cbc_id"]),
+        declared_participants=meta.get("declared_participants"),
+        declared_biospecimens=meta.get("declared_biospecimens"),
+        icd10_codes=load_icd10_codes(spark)).validate().findings
+    assert _finding_set(got.drop("__submission_id", "epoch")) == \
+        _finding_set(want)

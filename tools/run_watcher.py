@@ -1,22 +1,38 @@
-"""Run the multi-submission streaming watcher — the CLI face of
-``streaming.validate_stream_multi`` (the continuous twin of
-``tools/run_submission.py --batched``).
+"""Run the streaming watchers — the CLI face of
+``streaming.validate_stream_multi`` (per-sheet mode, the continuous twin
+of ``tools/run_submission.py --batched``) and
+``streaming.validate_stream_submissions`` (complete-submission mode).
+
+Per-sheet mode (early feedback; per-sheet rulebook only):
 
     python tools/run_watcher.py ROOT_DIR --sheet SHEET.csv
         --out OUT_DIR --checkpoint CP_DIR
         [--cbc SUBDIR=ID ...] [--max-files N] [--timeout SECONDS]
 
-Submissions land as ``ROOT_DIR/<submission>/<SHEET.csv>`` (mixed labs
-fine — each row validates against ITS submission's CBC; submissions not
-named by ``--cbc`` get lab code '0', the reference's unknown-lab
-behavior). One availableNow query drains the backlog and stops; re-run
-to drain what landed since (the checkpoint carries the offset — the
-reference's Lambda-trigger pattern, nci-seronet-data-validator.py:62-117,
-with the jobs-table bookkeeping replaced by engine checkpoints).
-Findings parquet lands under OUT_DIR partitioned by epoch
-(idempotent under batch replay — see validate_stream's docstring).
+Complete-submission mode (the reference's full semantics — per-sheet +
+dup-ID + cross-sheet J3-J6 + A4 + global dedup, gated on each
+submission's declared sheet set completing):
 
-Sheet columns come from the expected-columns catalog
+    python tools/run_watcher.py ROOT_DIR --complete
+        --sheets submission.csv,demographic.csv,biospecimen.csv
+        --out OUT_DIR --checkpoint CP_DIR
+        [--cbc LABNAME=ID ...] [--max-files N] [--timeout SECONDS]
+
+Submissions land as ``ROOT_DIR/<submission>/<sheet>.csv``. One
+availableNow query drains the backlog and stops; re-run to drain what
+landed since (the checkpoint carries the offset — the reference's
+Lambda-trigger pattern, nci-seronet-data-validator.py:62-117, with the
+jobs-table bookkeeping replaced by engine checkpoints). In per-sheet
+mode findings parquet lands under OUT_DIR partitioned by epoch; in
+complete mode under OUT_DIR/findings, with the arrivals ledger under
+OUT_DIR/arrivals (both idempotent under batch replay — see the watcher
+docstrings). NOTE the ``--cbc`` key differs by mode: per-sheet maps the
+submission SUBDIR name to a lab code (there is no submission.csv to
+parse mid-stream); complete mode maps the LAB NAME that submission.csv
+carries, exactly like ``run_submission.py`` (unknown either way -> '0',
+the reference's unknown-lab behavior).
+
+Sheet columns in per-sheet mode come from the expected-columns catalog
 (``sources.catalog.static_expected_columns``), the same catalog the
 batch header check validates against.
 """
@@ -33,8 +49,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("root_dir")
-    ap.add_argument("--sheet", required=True,
-                    help="sheet file name to watch (e.g. demographic.csv)")
+    ap.add_argument("--sheet", default=None,
+                    help="per-sheet mode: sheet file name to watch "
+                         "(e.g. demographic.csv)")
+    ap.add_argument("--complete", action="store_true",
+                    help="complete-submission mode: gate on --sheets, run "
+                         "the FULL batch compile per completed submission")
+    ap.add_argument("--sheets", default=None,
+                    help="complete mode: comma-separated sheet file names "
+                         "whose arrival completes a submission")
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--cbc", action="append", default=[],
@@ -55,6 +78,14 @@ def main() -> int:
         validate_stream_multi,
     )
 
+    if args.complete:
+        if not args.sheets:
+            print("--complete requires --sheets (the declared sheet set)")
+            return 2
+        return _run_complete(args)
+    if not args.sheet:
+        print("per-sheet mode requires --sheet (or pass --complete)")
+        return 2
     catalog = static_expected_columns()
     columns = catalog.get(args.sheet)
     if not columns:
@@ -102,6 +133,60 @@ def main() -> int:
     n_err = got.filter(F.col("Message_Type") == "Error").count()
     print(f"drained epoch(s) {sorted(run_epochs)}; findings under "
           f"{args.out} ({got.count()} rows this run, {n_err} errors)")
+    return 0
+
+
+def _run_complete(args) -> int:
+    """Complete-submission mode body (validate_stream_submissions)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.session import get_spark
+    from nci_seronet_proc_data_validator_spark.sources.icd10 import (
+        load_icd10_codes,
+    )
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream_submissions,
+    )
+
+    declared = frozenset(s.strip() for s in args.sheets.split(",")
+                         if s.strip())
+    cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
+    spark = get_spark("run_watcher")
+    run_epochs: list[int] = []
+    completed: list[str] = []
+
+    def cb(findings, epoch_id):
+        run_epochs.append(int(epoch_id))
+        if findings is not None:
+            completed.extend(
+                r["__submission_id"] for r in
+                findings.select("__submission_id").distinct().collect())
+
+    q = validate_stream_submissions(
+        spark, args.root_dir, args.checkpoint, declared, args.out,
+        cbc_map=cbc_map, icd10_codes=load_icd10_codes(spark),
+        max_files_per_trigger=args.max_files, status_cb=cb)
+    q.awaitTermination(args.timeout)
+    if q.isActive:
+        q.stop()
+        print(f"TIMEOUT after {args.timeout}s — backlog not fully "
+              f"drained; re-run to continue from the checkpoint")
+        return 1
+    if not completed:
+        print("drained: no submission completed this run (arrivals "
+              "recorded; re-run once the remaining sheets land)")
+        return 0
+    got = (spark.read.parquet(os.path.join(args.out, "findings"))
+           .filter(F.col("__submission_id").isin(sorted(set(completed)))))
+    (got.groupBy("__submission_id", "Message_Type")
+     .count().orderBy("__submission_id", "Message_Type")
+     .show(100, truncate=False))
+    n_err = got.filter(F.col("Message_Type") == "Error").count()
+    print(f"completed {sorted(set(completed))}; findings under "
+          f"{os.path.join(args.out, 'findings')} "
+          f"({got.count()} rows this run, {n_err} errors)")
     return 0
 
 
