@@ -866,6 +866,7 @@ def q_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(interval_arm).unionByName(cdc_arm)
             .unionByName(watch_arm).unionByName(recovery_arm)
             .unionByName(_watch_multi_arm(spark, sf_dir))
+            .unionByName(_watch_complete_arm(spark, sf_dir))
             .orderBy("arm", "k", "s"))
 
 
@@ -947,6 +948,245 @@ def _watch_multi_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "Column_Name", "Column_Value",
                                 "Error_Message").alias("s"),
                     F.col("n"), F.lit(None).cast("double").alias("v")))
+
+
+# --- watch_complete: the submission-completeness-gated watcher ----------
+# Two 2-sheet submissions (demographic + biospecimen + submission.csv)
+# with DIFFERENT labs, staged as per-submission CSV files and drained by
+# ONE validate_stream_submissions query at one file per micro-batch (fully
+# interleaved arrival); the oracle recomputes the FULL batch compile per
+# submission — per-sheet rules, dup-ID legs, the J3 participant cross
+# decode, and the A4 count reconciliation — from the same bound rules.
+_WC_SUBS = (("wcA", "LabA", "14", 0), ("wcB", "LabB", "41", 1))
+_WC_DECLARED = ("3", "5")         # planted (participants, biospecimens)
+
+
+def _wc_rpid(cbc: str, shift: int, lo: int, span: int) -> str:
+    """Participant-id generator: mostly well-formed '{cbc}_NNNNNN' ids in
+    [lo, lo+span), with planted malformed and blank values. Demographic
+    uses [0, 400); biospecimen [200, 450) — so ids exist in demographic
+    only, in both, and in biospecimen only, firing three distinct J3
+    presence patterns."""
+    h = f"(c_custkey + {shift})"
+    return (f"CASE WHEN {h} % 97 = 0 THEN 'BAD_ID!'"
+            f" WHEN {h} % 53 = 0 THEN ''"
+            f" ELSE '{cbc}_' || lpad(CAST({lo} + ({h} % {span})"
+            f" AS STRING), 6, '0') END")
+
+
+def _wc_demo_cols(cbc: str) -> "dict[str, str]":
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        DEMOGRAPHIC,
+    )
+    cols = {"Research_Participant_ID": _wc_rpid(cbc, 0, 0, 400)}
+    for c in ("Age", "Race", "Ethnicity", "Gender"):
+        cols[c] = DEMOGRAPHIC.columns[c]
+    return cols
+
+
+def _wc_bio_cols(cbc: str) -> "dict[str, str]":
+    rp = _wc_rpid(cbc, 37, 200, 250)
+    return {
+        "Research_Participant_ID": rp,
+        # contains its participant id (C7) and is well-formed exactly
+        # when the participant id is; %120 suffix plants duplicate ids
+        # (custkeys 1200 apart collide on both components)
+        "Biospecimen_ID": (f"({rp}) || '_' || "
+                           f"lpad(CAST((c_custkey + 37) % 120"
+                           f" AS STRING), 3, '0')"),
+        "Biospecimen_Type": ("CASE WHEN c_custkey % 3 = 0 THEN 'PBMC'"
+                             " WHEN c_custkey % 3 = 1 THEN 'Serum'"
+                             " ELSE 'Plasma' END"),       # vocab error
+    }
+
+
+def _wc_bound(cbc: str):
+    """(bound_demo, bound_bio) — the SAME binding validate() uses for
+    this submission shape: demographic has no present parent (drop_list
+    []); biospecimen is enriched with Age from demographic's
+    Merged_Table (ENRICH_PARENTS), so Age rides drop_list."""
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        FIXED_TODAY,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.rulebook import (
+        bind_sheet_rules,
+    )
+    bd = bind_sheet_rules("demographic.csv", list(_wc_demo_cols(cbc)),
+                          cbc, drop_list=[], today=FIXED_TODAY)
+    bb = bind_sheet_rules("biospecimen.csv", list(_wc_bio_cols(cbc)),
+                          cbc, drop_list=["Age"], today=FIXED_TODAY)
+    return bd, bb
+
+
+def _watch_complete_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage, drain, read back. Sheets are staged as single CSV FILES per
+    submission (coalesce(1) + rename of the part file — the watcher's
+    path contract is <root>/<submission>/<sheet>.csv); submission.csv is
+    a 4-line literal carrying the lab name and the planted declared
+    counts. maxFilesPerTrigger=1 interleaves the two submissions' sheets
+    across micro-batches, exercising the completeness gate's ledger."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        FIXED_TODAY,
+    )
+    from nci_seronet_proc_data_validator_spark.streaming import (
+        validate_stream_submissions,
+    )
+
+    root, cp, out = (_tmpdir(f"wcomp_{t}") for t in ("in", "cp", "out"))
+    cust = read_table(spark, sf_dir, "customer")
+    dp, db = _WC_DECLARED
+    for sid, lab, cbc, par in _WC_SUBS:
+        sub_dir = os.path.join(root, sid)
+        os.makedirs(sub_dir, exist_ok=True)
+        for sheet, cols in (("demographic.csv", _wc_demo_cols(cbc)),
+                            ("biospecimen.csv", _wc_bio_cols(cbc))):
+            stage = os.path.join(root, f"_stage_{sid}_{sheet}")
+            (cust.filter(f"c_custkey % 2 = {par}")
+             .selectExpr(*[f"CAST({e} AS STRING) AS {c}"
+                           for c, e in cols.items()])
+             .coalesce(1).write.mode("overwrite")
+             .option("header", "true").csv(stage))
+            part = _glob.glob(os.path.join(stage, "part-*.csv"))[0]
+            shutil.move(part, os.path.join(sub_dir, sheet))
+            shutil.rmtree(stage)
+        with open(os.path.join(sub_dir, "submission.csv"), "w") as f:
+            f.write(f"key,{lab}\nname,{sid}\np,{dp}\nb,{db}\n")
+
+    q = validate_stream_submissions(
+        spark, root, cp,
+        frozenset({"submission.csv", "demographic.csv",
+                   "biospecimen.csv"}),
+        out, cbc_map={lab: cbc for _s, lab, cbc, _p in _WC_SUBS},
+        bind_kwargs={"today": FIXED_TODAY}, max_files_per_trigger=1)
+    q.awaitTermination(600)
+    return (spark.read.parquet(os.path.join(out, "findings"))
+            .groupBy("__submission_id", "Message_Type", "CSV_Sheet_Name",
+                     "Column_Name", "Column_Value", "Error_Message")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("watch_complete").alias("arm"),
+                    F.lit(-1).cast("bigint").alias("k"),
+                    F.concat_ws("|", "__submission_id", "Message_Type",
+                                "CSV_Sheet_Name", "Column_Name",
+                                "Column_Value", "Error_Message").alias("s"),
+                    F.col("n"), F.lit(None).cast("double").alias("v")))
+
+
+def _sql_watch_complete_arm() -> "tuple[str, str]":
+    """(CTEs, UNION-ALL legs) of the watch_complete oracle: per
+    submission, the batch compile recomputed — per-sheet rule legs
+    (keep-first coalesce, so the global dedup is an identity here),
+    dup-ID legs, the J3 participant cross decode (prior/confirmatory
+    absent -> empty CTEs), and both A4 reconciliation rows (passing =
+    distinct ids with no finding on their ID column at Row_Index >= 0,
+    per registering sheet)."""
+    from nci_seronet_proc_data_validator_spark.operators.joins import (
+        participant_cross_oracle_sql,
+    )
+    from nci_seronet_proc_data_validator_spark.operators.typing import (
+        duckdb_shadow_exprs,
+    )
+    from nci_seronet_proc_data_validator_spark.plans.sql_oracle import (
+        _column_select,
+        _dup_select,
+    )
+
+    dp, db = _WC_DECLARED
+    ctes = ["wc_empty AS (SELECT CAST(NULL AS VARCHAR)"
+            " AS Research_Participant_ID WHERE 1 = 0)"]
+    legs = []
+
+    def agg(sid: str, body: str, tag: str) -> str:
+        return (
+            f"SELECT 'watch_complete' AS arm, CAST(-1 AS BIGINT) AS k,\n"
+            f"  '{sid}|' || Message_Type || '|' || CSV_Sheet_Name || '|'"
+            f" || Column_Name || '|' || Column_Value || '|'"
+            f" || Error_Message AS s,\n"
+            f"  count(*) AS n, CAST(NULL AS DOUBLE) AS v\n"
+            f"FROM ({body}) wc_{tag}_{sid}\nGROUP BY 1, 2, 3")
+
+    for sid, _lab, cbc, par in _WC_SUBS:
+        bd, bb = _wc_bound(cbc)
+        sheet_ctes = {}
+        for sheet, cols, bound in (
+                ("demographic.csv", _wc_demo_cols(cbc), bd),
+                ("biospecimen.csv", _wc_bio_cols(cbc), bb)):
+            inner = ("SELECT CAST(c_custkey AS BIGINT) AS row_index, "
+                     + ", ".join(f"CAST({e} AS STRING) AS {c}"
+                                 for c, e in cols.items())
+                     + f" FROM customer WHERE c_custkey % 2 = {par}")
+            cte = f"wc_{sheet.split('.')[0]}_{sid}"
+            ctes.append(f"{cte} AS MATERIALIZED (SELECT *, "
+                        + ", ".join(duckdb_shadow_exprs(list(cols)))
+                        + f" FROM ({inner}))")
+            sheet_ctes[sheet] = (cte, bound)
+
+        # per-sheet rule legs, materialized once: the A4 passing counts
+        # re-read them
+        row_sel = []
+        dup_sel = []
+        for sheet, (cte, bound) in sheet_ctes.items():
+            row_sel.extend(_column_select(cte, sheet, cr.column, cr.checks)
+                           for cr in bound.column_rules)
+            dup_sel.extend(_dup_select(cte, sheet, c)
+                           for c in bound.dup_id_columns)
+        rows_cte = f"wc_rows_{sid}"
+        ctes.append(f"{rows_cte} AS MATERIALIZED ("
+                    + "\nUNION ALL\n".join(row_sel) + ")")
+        legs.append(agg(sid, f"SELECT * FROM {rows_cte}", "row"))
+        if dup_sel:
+            legs.append(agg(sid, "\nUNION ALL\n".join(dup_sel), "dup"))
+
+        # J3 participant cross: prior/confirmatory were not submitted
+        legs.append(agg(sid, participant_cross_oracle_sql(
+            "wc_empty", sheet_ctes["demographic.csv"][0],
+            sheet_ctes["biospecimen.csv"][0], "wc_empty", cbc), "cross"))
+
+        # A4: both registering sheets contribute participant ids; only
+        # biospecimen registers biospecimen ids. Any finding on the ID
+        # column at a real row disqualifies the id (Message_Type-blind,
+        # like the engine's anti-join).
+        demo_cte = sheet_ctes["demographic.csv"][0]
+        bio_cte = sheet_ctes["biospecimen.csv"][0]
+
+        def _errs(sheet: str, col: str) -> str:
+            return (f"SELECT Column_Value FROM {rows_cte} "
+                    f"WHERE CSV_Sheet_Name = '{sheet}'"
+                    f" AND Column_Name = '{col}' AND Row_Index >= 0")
+
+        part_pass = (
+            f"SELECT count(DISTINCT id) AS n FROM ("
+            f"SELECT Research_Participant_ID AS id FROM {demo_cte}"
+            f" WHERE Research_Participant_ID NOT IN"
+            f" ({_errs('demographic.csv', 'Research_Participant_ID')})"
+            f" UNION ALL "
+            f"SELECT Research_Participant_ID FROM {bio_cte}"
+            f" WHERE Research_Participant_ID NOT IN"
+            f" ({_errs('biospecimen.csv', 'Research_Participant_ID')}))")
+        bio_pass = (
+            f"SELECT count(DISTINCT id) AS n FROM ("
+            f"SELECT Biospecimen_ID AS id FROM {bio_cte}"
+            f" WHERE Biospecimen_ID NOT IN"
+            f" ({_errs('biospecimen.csv', 'Biospecimen_ID')}))")
+        a4 = []
+        for declared, label, fname, pass_sql in (
+                (dp, "Participat", "submit_Participant_IDs", part_pass),
+                (db, "Biospecimen", "submit_Biospecimen_IDs", bio_pass)):
+            a4.append(
+                f"SELECT 'Error' AS Message_Type,"
+                f" 'submission.csv' AS CSV_Sheet_Name,"
+                f" CAST(-5 AS BIGINT) AS Row_Index,"
+                f" '{fname}' AS Column_Name,"
+                f" '{declared}' AS Column_Value,"
+                f" 'After validation only ' || CAST(n AS VARCHAR)"
+                f" || ' {label} IDS are valid' AS Error_Message"
+                f" FROM ({pass_sql}) WHERE n <> {declared}")
+        legs.append(agg(sid, "\nUNION ALL\n".join(a4), "a4"))
+
+    return (",\n".join(ctes), "\n  UNION ALL\n".join(legs))
 
 
 def _sql_watch_multi_arm() -> "tuple[str, str]":
@@ -1099,11 +1339,13 @@ def sql_streaming_parity() -> str:
   FROM ({watch_sels}) {tag[0]}w
   GROUP BY 1, 2, 3""" for tag in ("watch", "recovery"))
     wm_ctes, wm_legs = _sql_watch_multi_arm()
+    wc_ctes, wc_legs = _sql_watch_complete_arm()
     return (_SQL_STREAMING_HEAD
             + f",\n{name} AS MATERIALIZED ({fixture_sheet_cte(spec)}),\n"
-            + wm_ctes + "\n"
+            + wm_ctes + ",\n" + wc_ctes + "\n"
             + _SQL_STREAMING_BODY + watch_arm
             + "\n  UNION ALL\n" + wm_legs
+            + "\n  UNION ALL\n" + wc_legs
             + "\n)\nORDER BY arm, k, s\n")
 
 

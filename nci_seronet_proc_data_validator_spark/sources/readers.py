@@ -168,11 +168,17 @@ def with_per_file_row_index(df: DataFrame, offset: int = 2,
 
     data_cols = list(df.columns)
     file_norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
-    try:                      # eager analysis: resolvable or it raises
-        df.select("_metadata.file_block_start")
-        blk = F.col("_metadata.file_block_start")
+    # Probe for file metadata. inputFiles() first: a plan with no file
+    # leaves (e.g. the LogicalRDD frames foreachBatch hands a streaming
+    # watcher) can never resolve _metadata, and probing it with select()
+    # would log a spurious analyzer ERROR even though caught here.
+    blk = F.lit(0).cast("long")
+    try:
+        if df.inputFiles():
+            df.select("_metadata.file_block_start")   # eager analysis
+            blk = F.col("_metadata.file_block_start")
     except Exception:
-        blk = F.lit(0).cast("long")
+        pass
     mid_col, pid_col, base_col = "__sg_mid", "__sg_pid", "__sg_base"
     blk_col, cnt_col, prior_col = "__sg_blk", "__sg_cnt", "__sg_prior"
     tmp = (df.withColumn(mid_col, F.monotonically_increasing_id())
