@@ -92,8 +92,39 @@ def with_row_index(df: DataFrame, offset: int = 2,
             .select(*df.columns, col_name))
 
 
+def csv_header(path: str) -> "list[str] | None":
+    """Driver-side header probe with Spark-compatible naming: the first
+    CSV record parsed locally (csv module — same quote/embedded-newline
+    record semantics), empty header cells renamed ``_cN`` and a BOM
+    stripped, exactly as Spark's CSV source names them.
+
+    Feeding the result to :func:`read_sheet_csv` ``columns=`` gives the
+    reader an explicit schema, so building the DataFrame costs ZERO
+    Spark jobs — without it, every ``spark.read...csv`` runs a small
+    header job per file, which at N submissions × S sheets is the CLI
+    load phase's dominant cost (measured 21 s serial at 24 submissions,
+    BENCH_NOTES r12). Returns ``None`` whenever the cheap probe cannot
+    reproduce Spark's naming exactly — duplicate header names (Spark
+    position-suffixes them), gzip, non-local or unreadable files —
+    and callers fall back to the Spark header read.
+    """
+    import csv as _csv
+    if path.endswith(".gz") or not os.path.isfile(path):
+        return None
+    try:
+        with open(path, newline="", encoding="utf-8-sig") as f:
+            row = next(_csv.reader(f))
+    except (OSError, UnicodeDecodeError, StopIteration):
+        return None
+    cols = [c if c != "" else f"_c{i}" for i, c in enumerate(row)]
+    if len(set(cols)) != len(cols):
+        return None
+    return cols
+
+
 def read_sheet_csv(spark: SparkSession, path: str | list[str],
-                   offset: int = 2, multiline: bool = True) -> DataFrame:
+                   offset: int = 2, multiline: bool = True,
+                   columns: "list[str] | None" = None) -> DataFrame:
     """Read a submission sheet CSV the way the reference does.
 
     - all columns as strings (typing is a *validation concern*, §1.2);
@@ -114,19 +145,31 @@ def read_sheet_csv(spark: SparkSession, path: str | list[str],
       once more parse as phantom rows — caller asserts that can't
       happen. :func:`..plans.advisor.warn_nonsplittable_csv` flags
       oversized multiLine inputs.
+
+    ``columns``: when given (``csv_header``'s probe), used as an
+    explicit all-string schema so NO Spark job runs at read time; the
+    header line is still skipped (``header`` stays true) and rows bind
+    to the schema positionally, exactly as the schema-inferred read
+    does under ``enforceSchema``. Pass only names that match the file's
+    actual header — :func:`csv_header` guarantees that, returning None
+    for the cases it can't.
     """
     if multiline:
         from nci_seronet_proc_data_validator_spark.plans.advisor import (
             warn_nonsplittable_csv)
         warn_nonsplittable_csv(path)
-    df = (spark.read
+    from pyspark.sql import types as T
+    reader = (spark.read
           .option("header", "true")
           .option("inferSchema", "false")
           # Make nothing parse as null: empty stays empty string.
           .option("nullValue", "\u0000")
           .option("emptyValue", "")
-          .option("multiLine", "true" if multiline else "false")
-          .csv(path))
+          .option("multiLine", "true" if multiline else "false"))
+    if columns is not None:
+        reader = reader.schema(T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in columns]))
+    df = reader.csv(path)
     # Defensive: any residual nulls (e.g. short rows) become ''.
     df = df.na.fill("")
     return with_row_index(df, offset=offset)

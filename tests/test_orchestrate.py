@@ -717,3 +717,58 @@ def test_validate_stream_multi_dynamic_cbc(spark, tmp_path):
     assert any("Expecting CBC Code (41)" in m for m in msgs["subB"])
     assert all("submission file is missing" not in m
                for m in msgs["subB"])
+
+
+def test_cli_procs_shards_match_serial(spark, tmp_path, monkeypatch,
+                                       capsys):
+    """r13: --procs N shards schema groups across child PROCESSES (each
+    its own JVM running --batched over its shard). Two schema groups x
+    two submissions, 2 procs: the parent shards by driver-side header
+    probe (no JVM), children write the standard per-submission subdirs,
+    and merged findings are identical to the one-process serial run."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_submission as rs
+    finally:
+        sys.path.pop(0)
+
+    dirs = []
+    for name, header, row in (
+            ("pa0", "Research_Participant_ID,Age,Race", "14_000001,930,White"),
+            ("pa1", "Research_Participant_ID,Age,Race", "14_000002,931,White"),
+            ("pb0", "Research_Participant_ID,Age", "14_000003,932"),
+            ("pb1", "Research_Participant_ID,Age", "14_000004,933")):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "demographic.csv").write_text(f"{header}\n{row}\n")
+        (d / "submission.csv").write_text("key,LabX\np,1\nb,0\n")
+        dirs.append(str(d))
+
+    # serial reference (in-process; same session)
+    monkeypatch.setattr(sys, "argv", [
+        "run_submission.py", *dirs, "--out", str(tmp_path / "serial_out"),
+        "--cbc", "LabX=14"])
+    rc_serial = rs.main()
+    capsys.readouterr()
+
+    # --procs 2: run the real CLI as a subprocess (children are
+    # subprocesses anyway; the parent must not touch this session's JVM)
+    proc = subprocess.run(
+        [sys.executable, "tools/run_submission.py", *dirs,
+         "--batched", "--procs", "2",
+         "--out", str(tmp_path / "procs_out"), "--cbc", "LabX=14"],
+        capture_output=True, text=True, timeout=600)
+    assert f"over 2 process(es), shard sizes [2, 2]" in proc.stdout, \
+        proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert proc.returncode == rc_serial, proc.stdout[-2000:]
+
+    for d in dirs:
+        base = d.rstrip("/").split("/")[-1]
+        a = spark.read.parquet(
+            str(tmp_path / "serial_out" / base / "findings.parquet"))
+        b = spark.read.parquet(
+            str(tmp_path / "procs_out" / base / "findings.parquet"))
+        assert _finding_set(a) == _finding_set(b), base

@@ -1247,3 +1247,48 @@ def test_per_file_row_index_split_safe(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_csv_header_probe_matches_spark(spark, tmp_path):
+    """r13: csv_header (the zero-job load-phase probe) must reproduce
+    Spark's header naming exactly on everything it accepts — quoted
+    names, empty cells (_cN), BOM — and refuse (None) what it can't
+    reproduce (duplicate names, gzip), so read_sheet_csv(columns=...)
+    always equals the schema-inferred read."""
+    import gzip
+
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        csv_header,
+        read_sheet_csv,
+    )
+
+    cases = {
+        "plain.csv": "Research_Participant_ID,Age,Race\n14_000001,30,White\n",
+        "quoted.csv": 'A,"B x",C\n1,2,3\n',
+        "empty_cell.csv": "A,,B\n1,2,3\n",
+        "bom.csv": "﻿A,B\n1,2\n",
+        "embedded_newline_header.csv": 'A,"B\nx",C\n1,2,3\n',
+    }
+    for name, content in cases.items():
+        p = tmp_path / name
+        p.write_text(content)
+        # multiLine, like read_sheet_csv: the header is the first CSV
+        # RECORD, not the first physical line
+        want = (spark.read.option("header", "true")
+                .option("multiLine", "true").csv(str(p)).columns)
+        got = csv_header(str(p))
+        assert got == want, (name, got, want)
+        # and the schema'd read round-trips identical rows + row_index
+        a = sorted(map(tuple, read_sheet_csv(spark, str(p)).collect()))
+        b = sorted(map(tuple, read_sheet_csv(spark, str(p),
+                                             columns=got).collect()))
+        assert a == b, name
+
+    dup = tmp_path / "dup.csv"
+    dup.write_text("A,A,B\n1,2,3\n")
+    assert csv_header(str(dup)) is None     # Spark position-suffixes
+    gz = tmp_path / "x.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("A,B\n1,2\n")
+    assert csv_header(str(gz)) is None
+    assert csv_header(str(tmp_path / "missing.csv")) is None

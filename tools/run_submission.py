@@ -40,13 +40,22 @@ def _load(spark, sub_dir: str, cbc_map: dict, fix_bugs: bool,
     ``icd10_codes`` / ``expected_columns`` are shared reference data,
     loaded ONCE by the caller (identical across submissions)."""
     from nci_seronet_proc_data_validator_spark.sources import read_sheet_csv
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        csv_header,
+    )
     from nci_seronet_proc_data_validator_spark.submission import (
         parse_submission_metadata,
     )
     paths = sorted(glob.glob(os.path.join(sub_dir, "*.csv")))
     if not paths:
         return None, None, None
-    sheets = {os.path.basename(p): read_sheet_csv(spark, p) for p in paths}
+    # Header probed driver-side (csv_header) → explicit schema → ZERO
+    # Spark jobs in the load phase (r12's measured 21 s at 24 subs was
+    # entirely per-file header jobs); probe-refused files (dup headers,
+    # gzip) fall back to the Spark header read per file.
+    sheets = {os.path.basename(p):
+              read_sheet_csv(spark, p, columns=csv_header(p))
+              for p in paths}
     meta = {"cbc_id": "0", "declared_participants": None,
             "declared_biospecimens": None}
     if "submission.csv" in sheets:
@@ -230,6 +239,86 @@ def _validate_batched_groups(spark, subs: dict) -> dict:
     return out
 
 
+def _run_procs(args) -> int:
+    """--procs N: shard schema groups across N child PROCESSES, each its
+    own JVM running ``--batched`` over its shard.
+
+    Why processes: a batched run's residual serial cost is driver-side
+    Python (plan build, py4j round-trips) under ONE GIL; BENCH_NOTES r12
+    measured two processes composing with batching (24 tiny subs:
+    89.9 -> 63.3 s). Sharding is by SCHEMA GROUP so each child still
+    batches maximally: headers are probed driver-side (``csv_header`` —
+    zero Spark, no JVM in the parent), submissions grouped by the same
+    order-sensitive signature the child will compute, and groups dealt
+    largest-first round-robin onto the shards. Children write the same
+    per-submission subdirs under --out they would in one process;
+    findings are identical because group membership, not process
+    placement, determines the compiled plan.
+    """
+    import subprocess
+
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        csv_header,
+    )
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SKIP_VALIDATION,
+    )
+
+    names = [os.path.basename(d.rstrip("/")) or "submission"
+             for d in args.submission_dirs]
+    if len(set(names)) != len(names):
+        print("--procs needs unique submission dir basenames (children "
+              "resolve output subdirs independently; a collision would "
+              "clobber reports across shards) — rename the duplicates "
+              "or run with --procs 1")
+        return 2
+
+    def sig(d: str) -> tuple:
+        out = []
+        for p_ in sorted(glob.glob(os.path.join(d, "*.csv"))):
+            name = os.path.basename(p_)
+            if name in SKIP_VALIDATION:
+                continue       # metadata sheets don't shape the plan
+            cols = csv_header(p_)
+            out.append((name,
+                        tuple(cols) if cols is not None else ("?", p_)))
+        return tuple(out)
+
+    groups: dict[tuple, list] = {}
+    for d in args.submission_dirs:
+        groups.setdefault(sig(d), []).append(d)
+    # Deal groups largest-first onto the least-loaded shard, SPLITTING a
+    # group when it exceeds the ideal shard size: splitting is safe (the
+    # batched plan keys every join/agg on the submission tag, so any
+    # partition of a group yields per-submission findings identical to
+    # serial — pinned by test_batched_matches_serial) and without it one
+    # dominant schema would collapse --procs N to one busy process.
+    n = len(args.submission_dirs)
+    n_shards = min(args.procs, n)
+    ideal = -(-n // n_shards)          # ceil
+    shards: list[list] = [[] for _ in range(n_shards)]
+    for members in sorted(groups.values(), key=len, reverse=True):
+        for i in range(0, len(members), ideal):
+            min(shards, key=len).extend(members[i:i + ideal])
+    shards = [s for s in shards if s]
+    print(f"procs: {len(groups)} schema group(s) over {len(shards)} "
+          f"process(es), shard sizes {[len(s) for s in shards]}")
+
+    base = [sys.executable, os.path.abspath(__file__)]
+    passthrough = []
+    if args.out:
+        passthrough += ["--out", args.out]
+    if args.jobs != 1:
+        passthrough += ["--jobs", str(args.jobs)]
+    for kv in args.cbc:
+        passthrough += ["--cbc", kv]
+    if args.keep_reference_bugs:
+        passthrough += ["--keep-reference-bugs"]
+    procs = [subprocess.Popen(base + shard + ["--batched"] + passthrough)
+             for shard in shards]
+    return max(p_.wait() for p_ in procs)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("submission_dirs", nargs="+")
@@ -241,12 +330,27 @@ def main() -> int:
                     help="compile same-schema submissions through ONE "
                          "plan (O(distinct schemas) driver build; "
                          "singleton schemas fall back to serial)")
+    ap.add_argument("--procs", type=int, default=1,
+                    help="shard schema groups across N driver PROCESSES "
+                         "(each its own JVM, each running --batched over "
+                         "its shard) — the GIL escape for driver-bound "
+                         "many-tiny-submission batches (BENCH_NOTES r12: "
+                         "processes compose with batching). Requires "
+                         "--batched; findings identical to one process.")
     ap.add_argument("--cbc", action="append", default=[],
                     metavar="NAME=ID", help="CBC name → 2-digit id mapping")
     ap.add_argument("--keep-reference-bugs", action="store_true",
                     help="reproduce the reference's buggy behaviors instead "
                          "of the documented fixes")
     args = ap.parse_args()
+
+    if args.procs > 1:
+        if not args.batched:
+            print("--procs requires --batched (it shards schema groups)")
+            return 2
+        if len(args.submission_dirs) > 1:
+            return _run_procs(args)
+        # single dir: nothing to shard — fall through to one process
 
     from nci_seronet_proc_data_validator_spark.session import get_spark
     from nci_seronet_proc_data_validator_spark.submission import (
