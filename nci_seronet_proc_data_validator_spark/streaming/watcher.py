@@ -398,8 +398,11 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
     rows plus one batch compile per NEWLY COMPLETE submission — the
     reference's own per-submission unit, with memoized rule binds making
     repeated schemas cheap; the data-scale work stays in executor scans
-    of exactly the completed submissions' files. The ledger read is
-    error-bounded metadata (one row per arrived file).
+    of exactly the completed submissions' files. Arrival state is
+    driver-resident and incremental: the full ledger (one metadata row
+    per file ever arrived) is read ONCE per query run, then each batch
+    adds only its own rows — a resident watcher's per-batch cost never
+    grows with its history.
     """
     import os
     import re
@@ -431,6 +434,14 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
     raw = reader.load(os.path.join(root_dir, "*"))
 
     ledger_schema = "submission_id string, sheet string, path string"
+    # Driver-resident arrival state, initialized ONCE per query run from
+    # the committed ledger and updated incrementally per batch: without
+    # it every batch re-reads the whole ledger — O(total files ever) per
+    # batch, quadratic over a resident watcher's lifetime. The init
+    # filters to epochs BELOW the first observed epoch id, so a crashed
+    # epoch's own (overwritten-on-replay) ledger partition can never
+    # leak into `complete_before` and suppress its re-validation.
+    state: dict = {"have": None}
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -450,14 +461,18 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("epoch").parquet(arrivals_dir))
 
-        have: dict[str, dict[str, str]] = {}
-        try:
-            prior = (sess.read.parquet(arrivals_dir)
-                     .filter(F.col("epoch") < epoch_id).collect())
-        except Exception:          # first epoch: no ledger yet
-            prior = []
-        for r in prior:
-            have.setdefault(r["submission_id"], {})[r["sheet"]] = r["path"]
+        if state["have"] is None:
+            have: dict[str, dict[str, str]] = {}
+            try:
+                prior = (sess.read.parquet(arrivals_dir)
+                         .filter(F.col("epoch") < epoch_id).collect())
+            except Exception:      # first epoch ever: no ledger yet
+                prior = []
+            for r in prior:
+                have.setdefault(r["submission_id"],
+                                {})[r["sheet"]] = r["path"]
+            state["have"] = have
+        have = state["have"]
         complete_before = {s for s, m in have.items()
                            if declared <= set(m)}
         for sub, sheet, pth in rows:
@@ -468,8 +483,10 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
 
         findings = None
         if complete_now:
+            from concurrent.futures import ThreadPoolExecutor
+
             from nci_seronet_proc_data_validator_spark.sources.readers \
-                import read_sheet_csv
+                import csv_header, read_sheet_csv
             from nci_seronet_proc_data_validator_spark.submission import (
                 SubmissionValidator,
                 parse_submission_metadata,
@@ -477,9 +494,12 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             cbc = {str(k): str(v)
                    for k, v in (_resolve(cbc_map) or {}).items()}
             icd = _resolve(icd10_codes)
-            parts = []
-            for sub in complete_now:
-                sheets = {name: read_sheet_csv(sess, pth)
+
+            def _compile_one(sub: str) -> DataFrame:
+                # header probed driver-side -> explicit schema -> the
+                # reads cost no Spark jobs (csv_header contract)
+                sheets = {name: read_sheet_csv(sess, pth,
+                                               columns=csv_header(pth))
                           for name, pth in sorted(have[sub].items())}
                 meta = (parse_submission_metadata(sheets["submission.csv"],
                                                   cbc)
@@ -494,8 +514,20 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                     icd10_codes=icd,
                     expected_columns=expected_columns,
                     **(bind_kwargs or {})).validate()
-                parts.append(res.findings.withColumn(
-                    "__submission_id", F.lit(sub)))
+                return res.findings.withColumn("__submission_id",
+                                               F.lit(sub))
+            # Several submissions completing in one epoch are independent
+            # compiles (memoized binds make repeated schemas cheap);
+            # overlap their driver builds + small reconciliation actions
+            # on a bounded pool — validate_concurrent's model, width 4
+            # (the measured GIL ceiling for plan builds, BENCH_NOTES r11)
+            if len(complete_now) == 1:
+                parts = [_compile_one(complete_now[0])]
+            else:
+                with ThreadPoolExecutor(
+                        max_workers=min(4, len(complete_now)),
+                        thread_name_prefix="watch-complete") as pool:
+                    parts = list(pool.map(_compile_one, complete_now))
             findings = union_findings(parts)
             _epoch_sink(findings, epoch_id, findings_dir)
         if status_cb is not None:

@@ -250,3 +250,30 @@ def test_cli_complete_mode(spark, tmp_path, monkeypatch, capsys):
         icd10_codes=load_icd10_codes(spark)).validate().findings
     assert _finding_set(got.drop("__submission_id", "epoch")) == \
         _finding_set(want)
+
+
+def test_two_submissions_complete_in_one_epoch(spark, tmp_path):
+    """Both submissions fully staged before the drain and no
+    maxFilesPerTrigger: one micro-batch completes BOTH — the overlapped
+    (thread-pool) compile path — and each submission's findings still
+    equal its batch compile."""
+    root = tmp_path / "landing"
+    pa = _write_submission(root, "subA", "LabX", 0)
+    pb = _write_submission(root, "subB", "LabY", 1)
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    epochs_with_findings: list[int] = []
+    q = validate_stream_submissions(
+        spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+        bind_kwargs={"today": TODAY},
+        status_cb=lambda f, e: (f is not None
+                                and epochs_with_findings.append(e)))
+    q.awaitTermination(600)
+
+    assert epochs_with_findings == [0]       # ONE completing epoch
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    for name, paths in (("subA", pa), ("subB", pb)):
+        mine = got.filter(F.col("__submission_id") == name).drop(
+            "__submission_id", "epoch")
+        want = _batch_twin(spark, paths).findings
+        assert _finding_set(mine) == _finding_set(want), name

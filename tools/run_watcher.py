@@ -61,9 +61,11 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--cbc", action="append", default=[],
-                    metavar="SUBDIR=ID",
-                    help="submission dir name -> 2-digit lab code "
-                         "(unlisted submissions validate under '0')")
+                    metavar="KEY=ID",
+                    help="2-digit lab code mapping; the KEY is the "
+                         "submission dir name in per-sheet mode, the "
+                         "LAB NAME from submission.csv in --complete "
+                         "mode (unknown keys validate under '0')")
     ap.add_argument("--max-files", type=int, default=None,
                     help="maxFilesPerTrigger bound (backlog sizing)")
     ap.add_argument("--timeout", type=int, default=600,
