@@ -277,3 +277,74 @@ def test_two_submissions_complete_in_one_epoch(spark, tmp_path):
             "__submission_id", "epoch")
         want = _batch_twin(spark, paths).findings
         assert _finding_set(mine) == _finding_set(want), name
+
+
+def test_complete_watcher_drives_job_status_upserts(spark, tmp_path):
+    """The full production loop in continuous mode: arrivals ->
+    completeness gate -> batch compile -> S11 jobs-table upsert via
+    status_cb (the reference's Lambda bookkeeping,
+    nci-seronet-data-validator.py:152-159 / File_Submission_Object.py:458).
+    Two submissions completing across two drains each upsert their own
+    per-sheet status rows exactly once; a replayed upsert (same rows)
+    stays idempotent by key."""
+    import sqlite3
+
+    from nci_seronet_proc_data_validator_spark.sinks.reports import (
+        job_status_rows,
+        upsert_job_status,
+    )
+
+    db = str(tmp_path / "jobs.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE table_data_validator ("
+        "orig_file_id TEXT, file_name TEXT, data_validation_status TEXT, "
+        "batch_validation_status TEXT, n_errors INTEGER, "
+        "n_warnings INTEGER, data_validation_date TEXT)")
+    conn.commit()
+    conn.close()
+
+    root = tmp_path / "landing"
+    _write_submission(root, "subA", "LabX", 0)
+    stage = tmp_path / "stage"
+    _write_submission(stage, "subB", "LabY", 1)
+
+    def cb(findings, epoch_id):
+        if findings is None:
+            return
+        for r in (findings.select("__submission_id").distinct().collect()):
+            sub = r["__submission_id"]
+            rows = job_status_rows(
+                findings.filter(F.col("__submission_id") == sub)
+                .drop("__submission_id", "epoch"),
+                sub, f"epoch-{epoch_id}", sheet_names=sorted(DECLARED))
+            upsert_job_status(rows,
+                              lambda: sqlite3.connect(db, timeout=30),
+                              key=["orig_file_id", "file_name"])
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_drain():
+        q = validate_stream_submissions(
+            spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+            bind_kwargs={"today": TODAY}, status_cb=cb)
+        q.awaitTermination(600)
+
+    run_drain()                                  # subA completes
+    os.rename(str(stage / "subB"), str(root / "subB"))
+    run_drain()                                  # subB completes
+
+    conn = sqlite3.connect(db)
+    rows = conn.execute(
+        "SELECT orig_file_id, file_name, data_validation_status, count(*) "
+        "FROM table_data_validator GROUP BY 1, 2, 3 ORDER BY 1, 2").fetchall()
+    conn.close()
+    subs = sorted({r[0] for r in rows})
+    assert subs == ["subA", "subB"]
+    assert all(r[3] == 1 for r in rows)          # exactly one row per key
+    # every declared sheet of each submission got a status row, and the
+    # planted errors mark the error vocabulary
+    by_sub = {s: {r[1]: r[2] for r in rows if r[0] == s} for s in subs}
+    for s in subs:
+        assert set(by_sub[s]) == set(DECLARED), by_sub[s]
+        assert by_sub[s]["demographic.csv"] == "FILE_PROCESSED_ERRORS_FOUND"
