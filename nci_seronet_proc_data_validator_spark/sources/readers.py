@@ -105,8 +105,11 @@ def csv_header(path: str) -> "list[str] | None":
     load phase's dominant cost (measured 21 s serial at 24 submissions,
     BENCH_NOTES r12). Returns ``None`` whenever the cheap probe cannot
     reproduce Spark's naming exactly — duplicate header names (Spark
-    position-suffixes them), gzip, non-local or unreadable files —
-    and callers fall back to the Spark header read.
+    position-suffixes them), names containing a quote or backslash
+    (Python csv's RFC-4180 doubled-quote dialect vs Spark's
+    ``escape='\\'``: ``""`` is an escaped quote to one and a literal to
+    the other, both ways — measured divergent), gzip, non-local or
+    unreadable files — and callers fall back to the Spark header read.
     """
     import csv as _csv
     if path.endswith(".gz") or not os.path.isfile(path):
@@ -116,6 +119,8 @@ def csv_header(path: str) -> "list[str] | None":
             row = next(_csv.reader(f))
     except (OSError, UnicodeDecodeError, StopIteration):
         return None
+    if any('"' in c or "\\" in c for c in row):
+        return None          # quote/escape dialect divergence possible
     cols = [c if c != "" else f"_c{i}" for i, c in enumerate(row)]
     if len(set(cols)) != len(cols):
         return None

@@ -324,7 +324,8 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                                 expected_columns: dict | None = None,
                                 bind_kwargs: dict | None = None,
                                 max_files_per_trigger: int | None = None,
-                                status_cb=None
+                                status_cb=None,
+                                complete_cb=None
                                 ) -> "StreamingQuery":
     """Submission-COMPLETENESS-gated watcher: continuous operation with
     the reference's FULL per-submission semantics — per-sheet rules,
@@ -393,6 +394,16 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
       DataFrame or a callable.
     - ``status_cb(findings_df_or_None, epoch_id)``: fires every batch;
       ``None`` when no submission completed (arrival-only batch).
+    - ``complete_cb({submission_id: ValidationResult}, epoch_id)``:
+      fires only on batches where submissions completed, BEFORE their
+      findings caches are released — the hook for the quality gate /
+      notification / jobs-table bookkeeping, with the full result
+      (``column_findings`` included — the P10 header findings are NOT
+      part of the findings sink, same as the batch CLI where they feed
+      the quality gate, so ``expected_columns`` is observable only
+      here). Completion reporting must come from this callback, not
+      from counting findings rows: a fully CLEAN submission completes
+      with an empty findings frame.
 
     100 TB posture: per-batch driver work is O(files in batch) ledger
     rows plus one batch compile per NEWLY COMPLETE submission — the
@@ -462,11 +473,17 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
          .partitionBy("epoch").parquet(arrivals_dir))
 
         if state["have"] is None:
+            from pyspark.errors import AnalysisException
             have: dict[str, dict[str, str]] = {}
             try:
                 prior = (sess.read.parquet(arrivals_dir)
                          .filter(F.col("epoch") < epoch_id).collect())
-            except Exception:      # first epoch ever: no ledger yet
+            except AnalysisException:   # first epoch ever: no ledger yet
+                # narrowed on purpose: a transient IO failure reading a
+                # ledger that EXISTS must fail the batch (Spark retries)
+                # rather than silently treat history as empty — that
+                # would strand partially-arrived submissions forever
+                # (the file source never re-emits their sheets)
                 prior = []
             for r in prior:
                 have.setdefault(r["submission_id"],
@@ -495,7 +512,7 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                    for k, v in (_resolve(cbc_map) or {}).items()}
             icd = _resolve(icd10_codes)
 
-            def _compile_one(sub: str) -> DataFrame:
+            def _compile_one(sub: str):
                 # header probed driver-side -> explicit schema -> the
                 # reads cost no Spark jobs (csv_header contract)
                 sheets = {name: read_sheet_csv(sess, pth,
@@ -507,29 +524,38 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                         else {"cbc_id": "0",
                               "declared_participants": None,
                               "declared_biospecimens": None})
-                res = SubmissionValidator(
+                return SubmissionValidator(
                     sess, sheets=sheets, cbc_id=str(meta["cbc_id"]),
                     declared_participants=meta.get("declared_participants"),
                     declared_biospecimens=meta.get("declared_biospecimens"),
                     icd10_codes=icd,
                     expected_columns=expected_columns,
                     **(bind_kwargs or {})).validate()
-                return res.findings.withColumn("__submission_id",
-                                               F.lit(sub))
             # Several submissions completing in one epoch are independent
             # compiles (memoized binds make repeated schemas cheap);
             # overlap their driver builds + small reconciliation actions
             # on a bounded pool — validate_concurrent's model, width 4
             # (the measured GIL ceiling for plan builds, BENCH_NOTES r11)
             if len(complete_now) == 1:
-                parts = [_compile_one(complete_now[0])]
+                results = {complete_now[0]: _compile_one(complete_now[0])}
             else:
                 with ThreadPoolExecutor(
                         max_workers=min(4, len(complete_now)),
                         thread_name_prefix="watch-complete") as pool:
-                    parts = list(pool.map(_compile_one, complete_now))
-            findings = union_findings(parts)
+                    results = dict(zip(complete_now,
+                                       pool.map(_compile_one,
+                                                complete_now)))
+            findings = union_findings(
+                [r.findings.withColumn("__submission_id", F.lit(sub))
+                 for sub, r in results.items()])
             _epoch_sink(findings, epoch_id, findings_dir)
+            if complete_cb is not None:
+                complete_cb(results, epoch_id)
+            # a RESIDENT watcher validates submissions for the query's
+            # lifetime — release each result's findings cache after its
+            # final action, or pinned storage blocks accumulate forever
+            for r in results.values():
+                r.release()
         if status_cb is not None:
             status_cb(findings, epoch_id)
 

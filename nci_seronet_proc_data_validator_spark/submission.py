@@ -117,9 +117,21 @@ class ValidationResult:
     findings: DataFrame            # canonical 6-column findings table
     column_findings: DataFrame     # header/schema findings (4 columns)
     summary: DataFrame             # sheet × {Errors, Warnings} crosstab
+    # The cache() node inside `findings` (the deduped row findings) —
+    # long-lived consumers (a resident watcher validating thousands of
+    # submissions) must `release()` after their final action on
+    # `findings`, or pinned storage blocks accumulate for the session's
+    # lifetime. Batch CLIs may ignore it (the process exits).
+    cached: DataFrame | None = None
 
     def error_count(self) -> int:
         return self.findings.filter(F.col("Message_Type") == "Error").count()
+
+    def release(self) -> None:
+        """Unpersist the internal findings cache (no-op when absent).
+        After this, further actions on `findings` recompute the plan."""
+        if self.cached is not None:
+            self.cached.unpersist()
 
 
 @dataclass
@@ -227,7 +239,7 @@ class SubmissionValidator:
         parts.extend(self._cross_sheet_findings(clean, merged))
 
         findings = union_findings(parts) or empty_findings(self.spark)
-        findings = dedup_findings(findings).cache()
+        findings = cached = dedup_findings(findings).cache()
 
         parts2 = [findings]
         parts2.extend(self._count_reconciliation(findings, part_sheets,
@@ -237,7 +249,8 @@ class SubmissionValidator:
         column_findings = self._column_findings(clean)
         return ValidationResult(findings=findings,
                                 column_findings=column_findings,
-                                summary=findings_summary(findings))
+                                summary=findings_summary(findings),
+                                cached=cached)
 
     # ------------------------------------------------------------------
     def _ensure_columns(self, df: DataFrame, bound: BoundSheet) -> DataFrame:

@@ -1292,3 +1292,12 @@ def test_csv_header_probe_matches_spark(spark, tmp_path):
         f.write("A,B\n1,2\n")
     assert csv_header(str(gz)) is None
     assert csv_header(str(tmp_path / "missing.csv")) is None
+    # quote/escape dialect divergence (measured both ways): Python csv
+    # reads '""' as an escaped quote where Spark (escape='\\') keeps it
+    # literal, and vice versa for '\\"' — the probe must refuse both
+    dq = tmp_path / "dq.csv"
+    dq.write_text('"Age ""years""",Race\n1,2\n')
+    assert csv_header(str(dq)) is None
+    bs = tmp_path / "bs.csv"
+    bs.write_text('"Age \\"years\\"",Race\n1,2\n')
+    assert csv_header(str(bs)) is None

@@ -348,3 +348,55 @@ def test_complete_watcher_drives_job_status_upserts(spark, tmp_path):
     for s in subs:
         assert set(by_sub[s]) == set(DECLARED), by_sub[s]
         assert by_sub[s]["demographic.csv"] == "FILE_PROCESSED_ERRORS_FOUND"
+
+
+def test_clean_submission_reports_completed(spark, tmp_path, monkeypatch,
+                                            capsys):
+    """r13 (review): a fully CLEAN submission (zero findings) must still
+    be reported as completed — completion comes from the gate via
+    complete_cb, never from counting findings rows. Also pins that
+    complete_cb hands the FULL ValidationResult (column_findings
+    observable) and that results are released after the sink."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_watcher as rw
+    finally:
+        sys.path.pop(0)
+
+    root = tmp_path / "landing"
+    d = root / "cleanA"
+    d.mkdir(parents=True)
+    # every value passes its rules; declared count matches (no A4);
+    # single data sheet, so no cross-sheet family can fire (a 2-sheet
+    # demo+bio submission ALWAYS flags the missing-prior J3 pattern)
+    (d / "demographic.csv").write_text(
+        "Research_Participant_ID,Age,Race\n14_000001,30,White\n")
+    (d / "submission.csv").write_text("key,LabX\nname,cleanA\np,1\nb,0\n")
+    declared = frozenset({"submission.csv", "demographic.csv"})
+
+    # library-level: complete_cb fires with the result, findings empty
+    results_seen: dict = {}
+    q = validate_stream_submissions(
+        spark, str(root), str(tmp_path / "cp0"), declared,
+        str(tmp_path / "out0"), cbc_map=CBC_MAP,
+        bind_kwargs={"today": TODAY},
+        complete_cb=lambda res, e: results_seen.update(res))
+    q.awaitTermination(600)
+    assert set(results_seen) == {"cleanA"}
+    want = _batch_twin(spark, {
+        n: str(d / n) for n in
+        ("demographic.csv", "submission.csv")}).findings
+    assert want.count() == 0
+
+    # CLI-level: the summary says completed, not "no submission"
+    argv = ["run_watcher.py", str(root), "--complete",
+            "--sheets", "submission.csv,demographic.csv",
+            "--out", str(tmp_path / "out1"),
+            "--checkpoint", str(tmp_path / "cp1"), "--cbc", "LabX=14"]
+    monkeypatch.setattr(sys, "argv", argv)
+    assert rw.main() == 0
+    text = capsys.readouterr().out
+    assert "completed ['cleanA']" in text, text
+    assert "no submission completed" not in text

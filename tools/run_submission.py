@@ -248,12 +248,17 @@ def _run_procs(args) -> int:
     measured two processes composing with batching (24 tiny subs:
     89.9 -> 63.3 s). Sharding is by SCHEMA GROUP so each child still
     batches maximally: headers are probed driver-side (``csv_header`` —
-    zero Spark, no JVM in the parent), submissions grouped by the same
-    order-sensitive signature the child will compute, and groups dealt
-    largest-first round-robin onto the shards. Children write the same
-    per-submission subdirs under --out they would in one process;
-    findings are identical because group membership, not process
-    placement, determines the compiled plan.
+    zero Spark, no JVM in the parent) and submissions grouped by an
+    order-sensitive (sheet, header-columns) signature. This PARENT
+    signature is a sharding heuristic, not the child's grouping
+    authority: the child recomputes its own signature from the real
+    Spark frames (including today/fix-bug flags; probe-refused files
+    key here on their path, which conservatively never merges distinct
+    schemas), so a parent/child disagreement costs only plan sharing,
+    never correctness. Groups are dealt largest-first round-robin onto
+    the shards; children write the same per-submission subdirs under
+    --out they would in one process, and findings are identical because
+    group membership, not process placement, determines results.
     """
     import subprocess
 

@@ -145,6 +145,9 @@ def _run_complete(args) -> int:
     from pyspark.sql import functions as F
 
     from nci_seronet_proc_data_validator_spark.session import get_spark
+    from nci_seronet_proc_data_validator_spark.sources.catalog import (
+        static_expected_columns,
+    )
     from nci_seronet_proc_data_validator_spark.sources.icd10 import (
         load_icd10_codes,
     )
@@ -156,20 +159,26 @@ def _run_complete(args) -> int:
                          if s.strip())
     cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
     spark = get_spark("run_watcher")
-    run_epochs: list[int] = []
     completed: list[str] = []
 
-    def cb(findings, epoch_id):
-        run_epochs.append(int(epoch_id))
-        if findings is not None:
-            completed.extend(
-                r["__submission_id"] for r in
-                findings.select("__submission_id").distinct().collect())
+    def on_complete(results, epoch_id):
+        # completion comes from the gate, NOT from counting findings
+        # rows — a fully clean submission completes with zero findings.
+        # column_findings (P10 header-vs-catalog) feed the printout the
+        # way the batch CLI's quality gate consumes them; they are not
+        # part of the findings sink there either.
+        for sub in sorted(results):
+            completed.append(sub)
+            n_col = results[sub].column_findings.count()
+            if n_col:
+                print(f"{sub}: {n_col} header/column finding(s):")
+                results[sub].column_findings.show(50, truncate=False)
 
     q = validate_stream_submissions(
         spark, args.root_dir, args.checkpoint, declared, args.out,
         cbc_map=cbc_map, icd10_codes=load_icd10_codes(spark),
-        max_files_per_trigger=args.max_files, status_cb=cb)
+        expected_columns=static_expected_columns(),
+        max_files_per_trigger=args.max_files, complete_cb=on_complete)
     q.awaitTermination(args.timeout)
     if q.isActive:
         q.stop()
@@ -180,8 +189,15 @@ def _run_complete(args) -> int:
         print("drained: no submission completed this run (arrivals "
               "recorded; re-run once the remaining sheets land)")
         return 0
-    got = (spark.read.parquet(os.path.join(args.out, "findings"))
-           .filter(F.col("__submission_id").isin(sorted(set(completed)))))
+    try:
+        got = spark.read.parquet(os.path.join(args.out, "findings"))
+    except Exception:
+        # every completed submission was CLEAN: the epoch-keyed sink
+        # wrote an empty frame (no part files to infer a schema from)
+        print(f"completed {sorted(set(completed))}; no findings "
+              f"(all rows clean)")
+        return 0
+    got = got.filter(F.col("__submission_id").isin(sorted(set(completed))))
     (got.groupBy("__submission_id", "Message_Type")
      .count().orderBy("__submission_id", "Message_Type")
      .show(100, truncate=False))
