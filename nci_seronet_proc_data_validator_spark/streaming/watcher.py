@@ -325,7 +325,8 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                                 bind_kwargs: dict | None = None,
                                 max_files_per_trigger: int | None = None,
                                 status_cb=None,
-                                complete_cb=None
+                                complete_cb=None,
+                                batch_threshold: int = 2
                                 ) -> "StreamingQuery":
     """Submission-COMPLETENESS-gated watcher: continuous operation with
     the reference's FULL per-submission semantics — per-sheet rules,
@@ -406,14 +407,21 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
       with an empty findings frame.
 
     100 TB posture: per-batch driver work is O(files in batch) ledger
-    rows plus one batch compile per NEWLY COMPLETE submission — the
-    reference's own per-submission unit, with memoized rule binds making
-    repeated schemas cheap; the data-scale work stays in executor scans
-    of exactly the completed submissions' files. Arrival state is
-    driver-resident and incremental: the full ledger (one metadata row
-    per file ever arrived) is read ONCE per query run, then each batch
-    adds only its own rows — a resident watcher's per-batch cost never
-    grows with its history.
+    rows plus compiles for the NEWLY COMPLETE submissions — and when
+    ``batch_threshold`` or more of them share a schema (order-sensitive
+    header signature, probed driver-side), the whole group goes through
+    ONE compiled plan with ONE multi-file scan per sheet
+    (``orchestrate.validate_batched_results`` + pretagged
+    ``read_sheet_csv_tagged`` — the CLI --batched machinery, findings
+    byte-identical to per-submission compiles by its pinned contract),
+    so a burst of thousands of same-shape submissions completing in one
+    epoch costs O(distinct schemas) driver builds, not O(N). Submissions
+    whose schema group is smaller than the threshold (or whose headers
+    the probe refuses) compile per submission on a bounded thread pool.
+    Arrival state is driver-resident and incremental: the full ledger
+    (one metadata row per file ever arrived) is read ONCE per query run,
+    then each batch adds only its own rows — a resident watcher's
+    per-batch cost never grows with its history.
     """
     import os
     import re
@@ -512,7 +520,10 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                    for k, v in (_resolve(cbc_map) or {}).items()}
             icd = _resolve(icd10_codes)
 
-            def _compile_one(sub: str):
+            from nci_seronet_proc_data_validator_spark.submission \
+                import SKIP_VALIDATION
+
+            def _kwargs_for(sub: str) -> dict:
                 # header probed driver-side -> explicit schema -> the
                 # reads cost no Spark jobs (csv_header contract)
                 sheets = {name: read_sheet_csv(sess, pth,
@@ -524,27 +535,65 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                         else {"cbc_id": "0",
                               "declared_participants": None,
                               "declared_biospecimens": None})
-                return SubmissionValidator(
-                    sess, sheets=sheets, cbc_id=str(meta["cbc_id"]),
+                return dict(
+                    sheets=sheets, cbc_id=str(meta["cbc_id"]),
                     declared_participants=meta.get("declared_participants"),
                     declared_biospecimens=meta.get("declared_biospecimens"),
                     icd10_codes=icd,
                     expected_columns=expected_columns,
-                    **(bind_kwargs or {})).validate()
-            # Several submissions completing in one epoch are independent
-            # compiles (memoized binds make repeated schemas cheap);
-            # overlap their driver builds + small reconciliation actions
-            # on a bounded pool — validate_concurrent's model, width 4
-            # (the measured GIL ceiling for plan builds, BENCH_NOTES r11)
-            if len(complete_now) == 1:
-                results = {complete_now[0]: _compile_one(complete_now[0])}
-            else:
+                    **(bind_kwargs or {}))
+
+            def _compile_one(sub: str):
+                return SubmissionValidator(sess,
+                                           **_kwargs_for(sub)).validate()
+
+            # Group completing submissions by order-sensitive header
+            # signature (probe driver-side, no Spark): a group of
+            # batch_threshold+ compiles through ONE plan with ONE
+            # multi-file scan per sheet — the CLI --batched machinery.
+            # A probe-refused header (None) keys on its path, which
+            # never merges distinct schemas.
+            groups: dict = {}
+            for sub in complete_now:
+                key = tuple(
+                    (name, tuple(cols) if (cols := csv_header(pth))
+                     is not None else ("?", pth))
+                    for name, pth in sorted(have[sub].items())
+                    if name not in SKIP_VALIDATION)
+                groups.setdefault(key, []).append(sub)
+            batched = [m for m in groups.values()
+                       if len(m) >= max(2, batch_threshold)]
+            singles = [s for m in groups.values()
+                       if len(m) < max(2, batch_threshold) for s in m]
+
+            results = {}
+            for members in batched:
+                from nci_seronet_proc_data_validator_spark.orchestrate \
+                    import SUB_COL, validate_batched_results
+                from nci_seronet_proc_data_validator_spark.sources.readers \
+                    import read_sheet_csv_tagged
+                subs_kw = {s: _kwargs_for(s) for s in members}
+                names = [n for n in subs_kw[members[0]]["sheets"]
+                         if n not in SKIP_VALIDATION]
+                pretagged = {
+                    n: read_sheet_csv_tagged(
+                        sess, {s: have[s][n] for s in members}, SUB_COL)
+                    for n in names}
+                results.update(validate_batched_results(
+                    sess, subs_kw, pretagged=pretagged))
+            # Singletons/sub-threshold groups are independent compiles
+            # (memoized binds make repeated schemas cheap); overlap
+            # their driver builds + small reconciliation actions on a
+            # bounded pool — validate_concurrent's model, width 4 (the
+            # measured GIL ceiling for plan builds, BENCH_NOTES r11)
+            if len(singles) == 1:
+                results[singles[0]] = _compile_one(singles[0])
+            elif singles:
                 with ThreadPoolExecutor(
-                        max_workers=min(4, len(complete_now)),
+                        max_workers=min(4, len(singles)),
                         thread_name_prefix="watch-complete") as pool:
-                    results = dict(zip(complete_now,
-                                       pool.map(_compile_one,
-                                                complete_now)))
+                    results.update(zip(singles,
+                                       pool.map(_compile_one, singles)))
             findings = union_findings(
                 [r.findings.withColumn("__submission_id", F.lit(sub))
                  for sub, r in results.items()])

@@ -400,3 +400,53 @@ def test_clean_submission_reports_completed(spark, tmp_path, monkeypatch,
     text = capsys.readouterr().out
     assert "completed ['cleanA']" in text, text
     assert "no submission completed" not in text
+
+
+def test_same_schema_completions_batch_through_one_plan(spark, tmp_path,
+                                                        monkeypatch):
+    """r13: three same-schema submissions + one different-schema one all
+    completing in ONE epoch — the same-schema group must route through
+    validate_batched_results (ONE compiled plan, pretagged multi-file
+    scans) and the odd one through the per-submission path, with every
+    submission's findings still equal to its own batch compile."""
+    import nci_seronet_proc_data_validator_spark.orchestrate as orch
+
+    calls = []
+    real = orch.validate_batched_results
+
+    def spy(spark_, subs, pretagged=None):
+        calls.append((sorted(subs), pretagged is not None))
+        return real(spark_, subs, pretagged=pretagged)
+
+    monkeypatch.setattr(orch, "validate_batched_results", spy)
+
+    root = tmp_path / "landing"
+    paths = {}
+    for i in range(3):                       # same schema, mixed labs
+        paths[f"s{i}"] = _write_submission(
+            root, f"s{i}", "LabX" if i % 2 == 0 else "LabY", i)
+    odd = root / "odd"                       # different demographic cols
+    odd.mkdir()
+    (odd / "demographic.csv").write_text(
+        "Research_Participant_ID,Age\n14_000009,939\n")
+    (odd / "biospecimen.csv").write_text(
+        "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type\n"
+        "14_000009,14_000009_001,PBMC\n")
+    (odd / "submission.csv").write_text("key,LabX\nname,odd\np,9\nb,9\n")
+    paths["odd"] = {n: str(odd / n) for n in
+                    ("demographic.csv", "biospecimen.csv",
+                     "submission.csv")}
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = validate_stream_submissions(
+        spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+        bind_kwargs={"today": TODAY})
+    q.awaitTermination(600)
+
+    assert calls == [(["s0", "s1", "s2"], True)]    # one batched group
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    for name, p in paths.items():
+        mine = got.filter(F.col("__submission_id") == name).drop(
+            "__submission_id", "epoch")
+        want = _batch_twin(spark, p).findings
+        assert _finding_set(mine) == _finding_set(want), name
