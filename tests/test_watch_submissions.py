@@ -450,3 +450,28 @@ def test_same_schema_completions_batch_through_one_plan(spark, tmp_path,
             "__submission_id", "epoch")
         want = _batch_twin(spark, p).findings
         assert _finding_set(mine) == _finding_set(want), name
+
+
+def test_cli_complete_warns_on_unknown_declared_sheet(spark, tmp_path,
+                                                      monkeypatch, capsys):
+    """A typo'd --sheets name means no submission can ever complete —
+    the CLI must warn loudly up front (and still run: custom sheets are
+    allowed)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_watcher as rw
+    finally:
+        sys.path.pop(0)
+
+    root = tmp_path / "landing"
+    root.mkdir()
+    monkeypatch.setattr(sys, "argv", [
+        "run_watcher.py", str(root), "--complete",
+        "--sheets", "submission.csv,demografic.csv",      # typo
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "cp"), "--timeout", "60"])
+    assert rw.main() == 0
+    text = capsys.readouterr().out
+    assert "WARNING: declared sheet(s) ['demografic.csv']" in text, text

@@ -157,6 +157,17 @@ def _run_complete(args) -> int:
 
     declared = frozenset(s.strip() for s in args.sheets.split(",")
                          if s.strip())
+    # a typo'd declared sheet name is an operational trap: no arrival
+    # can ever match it, so every submission waits forever — flag names
+    # outside the expected-columns catalog loudly (warn, not error:
+    # deployments may watch genuinely custom sheets)
+    catalog = static_expected_columns()
+    unknown = sorted(declared - set(catalog) - {"submission.csv"})
+    if unknown:
+        print(f"WARNING: declared sheet(s) {unknown} are not in the "
+              f"expected-columns catalog — a misspelled name here means "
+              f"submissions NEVER complete (known sheets: "
+              f"{', '.join(sorted(catalog))})")
     cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
     spark = get_spark("run_watcher")
     completed: list[str] = []
