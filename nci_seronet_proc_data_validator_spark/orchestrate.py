@@ -133,7 +133,8 @@ CBC_COL = "__cbc_id"
 
 def validate_batched(spark: SparkSession,
                      subs: "dict[str, dict]",
-                     pretagged: "dict[str, DataFrame] | None" = None
+                     pretagged: "dict[str, DataFrame] | None" = None,
+                     pinned_out: "list | None" = None
                      ) -> "DataFrame":
     """N same-shape submissions through ONE compiled plan: findings for
     every submission, tagged ``__submission_id``, from a single
@@ -198,6 +199,16 @@ def validate_batched(spark: SparkSession,
     count reconciliation and the P10 column findings), so callers of
     THAT entry point must supply real frames, not placeholders; callers
     must build both structures from the same listing either way.
+
+    ``pinned_out``: optional list the function APPENDS its per-sheet
+    persisted union frames to. Those persists are data-scale (N
+    submissions' parsed CSVs) and multi-consumer within the one
+    compiled statement, but once a caller has materialized the findings
+    (e.g. :func:`validate_batched_results`' eager checkpoint) they are
+    dead weight until the ContextCleaner notices — pass a list and
+    ``unpersist()`` each after your materializing action for
+    deterministic release (a resident watcher must; a batch CLI may
+    skip it and let process exit clean up).
 
     Returns a DataFrame with ``__submission_id`` + the six finding
     columns, deduplicated per submission with the standard key.
@@ -297,6 +308,8 @@ def validate_batched(spark: SparkSession,
             u = df.withColumn(CBC_COL, cbc_expr)
             clean[name] = cleanup_sheet(
                 u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
+            if pinned_out is not None:
+                pinned_out.append(clean[name])
     else:
         # -- tag + union same-named sheets, one cleanup per sheet name
         by_sheet: dict[str, list] = {}
@@ -325,6 +338,8 @@ def validate_batched(spark: SparkSession,
             # note as semdedup's localCheckpoint).
             clean[name] = cleanup_sheet(
                 u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
+            if pinned_out is not None:
+                pinned_out.append(clean[name])
 
     # -- per-submission-keyed Merged_Tables (tags carried: the submission
     # id keys every join; the CBC tag rides along for the cross-sheet
@@ -500,8 +515,17 @@ def validate_batched_results(
     # summary, 78 s total. The eager checkpoint truncates lineage to a
     # leaf scan (executor-resident blocks, same ContextCleaner lifetime
     # note as semdedup's) — findings are error-bounded, not data-scale.
-    tagged = validate_batched(spark, subs,
-                              pretagged=pretagged).localCheckpoint(eager=True)
+    # The per-sheet union persists (data-scale: N submissions' parsed
+    # CSVs) have exactly one consumer tree, the checkpoint
+    # materialization — free them deterministically the moment it is
+    # done, instead of pinning executor storage until GC (a resident
+    # watcher compiles bursts for the query's lifetime).
+    pinned: list = []
+    tagged = validate_batched(
+        spark, subs, pretagged=pretagged,
+        pinned_out=pinned).localCheckpoint(eager=True)
+    for df in pinned:
+        df.unpersist()
 
     def _tail(item: "tuple[str, dict]") -> "tuple[str, ValidationResult]":
         sid, kw = item

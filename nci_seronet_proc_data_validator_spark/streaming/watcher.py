@@ -507,6 +507,7 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             if declared <= set(m) and s not in complete_before)
 
         findings = None
+        results: dict = {}
         if complete_now:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -523,11 +524,19 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             from nci_seronet_proc_data_validator_spark.submission \
                 import SKIP_VALIDATION
 
+            # headers probed driver-side ONCE per file (the grouping
+            # signature and the explicit-schema reads below share this
+            # cache — re-probing would double the open+parse of every
+            # sheet header per epoch, the cost the probe exists to cut)
+            hdr_cache = {pth: csv_header(pth)
+                         for sub in complete_now
+                         for pth in have[sub].values()}
+
             def _kwargs_for(sub: str) -> dict:
-                # header probed driver-side -> explicit schema -> the
-                # reads cost no Spark jobs (csv_header contract)
+                # probed header -> explicit schema -> the reads cost no
+                # Spark jobs (csv_header contract)
                 sheets = {name: read_sheet_csv(sess, pth,
-                                               columns=csv_header(pth))
+                                               columns=hdr_cache[pth])
                           for name, pth in sorted(have[sub].items())}
                 meta = (parse_submission_metadata(sheets["submission.csv"],
                                                   cbc)
@@ -556,17 +565,21 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             groups: dict = {}
             for sub in complete_now:
                 key = tuple(
-                    (name, tuple(cols) if (cols := csv_header(pth))
+                    (name, tuple(cols) if (cols := hdr_cache[pth])
                      is not None else ("?", pth))
                     for name, pth in sorted(have[sub].items())
                     if name not in SKIP_VALIDATION)
                 groups.setdefault(key, []).append(sub)
-            batched = [m for m in groups.values()
-                       if len(m) >= max(2, batch_threshold)]
-            singles = [s for m in groups.values()
-                       if len(m) < max(2, batch_threshold) for s in m]
+            # a db_merged_tables side input is per-submission by nature;
+            # validate_batched rejects it — don't even form groups
+            if (bind_kwargs or {}).get("db_merged_tables"):
+                batched, singles = [], list(complete_now)
+            else:
+                batched = [m for m in groups.values()
+                           if len(m) >= max(2, batch_threshold)]
+                singles = [s for m in groups.values()
+                           if len(m) < max(2, batch_threshold) for s in m]
 
-            results = {}
             for members in batched:
                 from nci_seronet_proc_data_validator_spark.orchestrate \
                     import SUB_COL, validate_batched_results
@@ -579,8 +592,22 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                     n: read_sheet_csv_tagged(
                         sess, {s: have[s][n] for s in members}, SUB_COL)
                     for n in names}
-                results.update(validate_batched_results(
-                    sess, subs_kw, pretagged=pretagged))
+                try:
+                    results.update(validate_batched_results(
+                        sess, subs_kw, pretagged=pretagged))
+                except ValueError as exc:
+                    # an eligibility rejection (Column-valued custom
+                    # check, mixed bind config, ...) must NOT wedge the
+                    # stream: the batch would fail, replay the same
+                    # grouping, and fail identically forever. Fall back
+                    # to per-submission compiles — identical findings,
+                    # just without the one-plan economy.
+                    import warnings
+                    warnings.warn(
+                        f"batched completion-group compile rejected "
+                        f"({exc}); falling back to per-submission "
+                        f"compiles for {members}")
+                    singles.extend(members)
             # Singletons/sub-threshold groups are independent compiles
             # (memoized binds make repeated schemas cheap); overlap
             # their driver builds + small reconciliation actions on a
@@ -600,13 +627,16 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             _epoch_sink(findings, epoch_id, findings_dir)
             if complete_cb is not None:
                 complete_cb(results, epoch_id)
-            # a RESIDENT watcher validates submissions for the query's
-            # lifetime — release each result's findings cache after its
-            # final action, or pinned storage blocks accumulate forever
-            for r in results.values():
-                r.release()
         if status_cb is not None:
             status_cb(findings, epoch_id)
+        # a RESIDENT watcher validates submissions for the query's
+        # lifetime — release each result's findings cache after the
+        # LAST consumer (status_cb included: its actions must hit the
+        # cache, not a recompute whose dedup could pick a different
+        # duplicate representative than the sinked rows), or pinned
+        # storage blocks accumulate forever
+        for r in results.values():
+            r.release()
 
     return (raw.writeStream
             .foreachBatch(process)

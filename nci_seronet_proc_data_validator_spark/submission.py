@@ -283,13 +283,31 @@ class SubmissionValidator:
         )
         import uuid as _uuid
         run = _uuid.uuid4().hex[:8]
-        views: list[str] = []
+        views: list[tuple[bool, str]] = []
 
         def reg(df: DataFrame, tag: str) -> str:
             v = f"__cross_{run}_{tag}"
-            df.createOrReplaceTempView(v)
-            views.append(v)
-            return v
+            # A temp view registers in the DATAFRAME's session, but the
+            # SQL below runs on self.spark — fine until a caller-provided
+            # side input (a db_merged_tables fallback) was created on a
+            # DIFFERENT session. The real case: foreachBatch hands the
+            # validator the streaming CLONE session while the fallback
+            # frame lives on the original — the view lands in a catalog
+            # self.spark.sql never consults (TABLE_OR_VIEW_NOT_FOUND).
+            # Global temp views are the public cross-session mechanism;
+            # use one exactly when the sessions differ.
+            try:
+                same = df.sparkSession._jsparkSession.equals(
+                    self.spark._jsparkSession)
+            except AttributeError:   # e.g. connect-mode wrappers
+                same = df.sparkSession is self.spark
+            if same:
+                df.createOrReplaceTempView(v)
+                views.append((False, v))
+                return v
+            df.createOrReplaceGlobalTempView(v)
+            views.append((True, v))
+            return f"global_temp.{v}"
 
         out = []
         part_sources = {s: merged.get(s) for s in
@@ -317,8 +335,11 @@ class SubmissionValidator:
             sv = reg(submitted, "bsub") if submitted is not None else None
             out.append(self.spark.sql(biospecimen_cross_sql(
                 bviews, self.cbc_id, sv, type_sources=type_sources)))
-        for v in views:      # resolved eagerly by spark.sql above
-            self.spark.catalog.dropTempView(v)
+        for is_global, v in views:      # resolved eagerly by spark.sql above
+            if is_global:
+                self.spark.catalog.dropGlobalTempView(v)
+            else:
+                self.spark.catalog.dropTempView(v)
         return out
 
     def _submitted_ids(self, clean, sources, key) -> DataFrame | None:

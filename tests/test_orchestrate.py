@@ -480,6 +480,25 @@ def test_batched_pretagged_matches_serial(spark, tmp_path):
         assert p.count("FileScan csv") <= 2, (n, p[:500])
 
 
+def test_batched_results_free_data_scale_caches(spark, tmp_path):
+    """r13 review: validate_batched's per-sheet union persists are
+    data-scale (N submissions' parsed CSVs); once validate_batched_results
+    has materialized its eager checkpoint they have no consumer, and a
+    resident watcher compiling bursts for the query's lifetime must not
+    pin them until GC. The call must leave the cache manager EMPTY —
+    the checkpointed findings live as RDD blocks outside it."""
+    from nci_seronet_proc_data_validator_spark.orchestrate import (
+        validate_batched_results)
+
+    spark.catalog.clearCache()
+    subs = {f"sub{i}": _load(spark, tmp_path, i) for i in range(3)}
+    results = validate_batched_results(spark, subs)
+    for sid, r in results.items():
+        assert r.findings.count() > 0, sid
+        r.release()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()  # noqa: SLF001
+
+
 def test_validate_stream_multi_mixed_cbc(spark, tmp_path):
     """r12: the multi-submission watcher — ONE streaming query draining
     files from per-submission directories with MIXED labs (subA cbc 14,

@@ -452,6 +452,102 @@ def test_same_schema_completions_batch_through_one_plan(spark, tmp_path,
         assert _finding_set(mine) == _finding_set(want), name
 
 
+def test_batched_group_rejection_falls_back_not_wedges(spark, tmp_path,
+                                                       monkeypatch):
+    """r13 review: a ValueError from the batched compile (e.g. a
+    Column-valued custom rule, which has no SQL text form) must NOT
+    fail the micro-batch — a failed batch replays the same grouping on
+    restart and fails identically forever, wedging the stream. The
+    group must fall back to per-submission serial compiles (which
+    evaluate such rules via the DataFrame path) with findings still
+    equal to each submission's own batch compile."""
+    import warnings
+
+    from nci_seronet_proc_data_validator_spark.functions.checks import (
+        CheckExpr)
+    from nci_seronet_proc_data_validator_spark.plans import rulebook as rb
+    from nci_seronet_proc_data_validator_spark.plans.rules import ColumnRules
+
+    real_bind = rb.bind_sheet_rules_cached
+
+    def bind_with_column_rule(sheet, columns, cbc_id, **kw):
+        import copy
+        bound = copy.copy(real_bind(sheet, columns, cbc_id, **kw))
+        if sheet == "demographic.csv":
+            bound.column_rules = [*bound.column_rules, ColumnRules(
+                "Age", [CheckExpr(F.col("Age") == "13", "unlucky age")])]
+        return bound
+
+    monkeypatch.setattr(
+        "nci_seronet_proc_data_validator_spark.plans.rulebook."
+        "bind_sheet_rules_cached", bind_with_column_rule)
+
+    root = tmp_path / "landing"
+    paths = {f"s{i}": _write_submission(root, f"s{i}", "LabX", i)
+             for i in range(2)}               # same schema -> one group
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        q = validate_stream_submissions(
+            spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+            bind_kwargs={"today": TODAY})
+        q.awaitTermination(600)
+    assert any("falling back to per-submission" in str(w.message)
+               for w in caught), [str(w.message) for w in caught]
+
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    for name, p in paths.items():            # twins under the same patch
+        mine = got.filter(F.col("__submission_id") == name).drop(
+            "__submission_id", "epoch")
+        want = _batch_twin(spark, p).findings
+        assert _finding_set(mine) == _finding_set(want), name
+
+
+def test_db_merged_tables_routes_around_batching(spark, tmp_path,
+                                                 monkeypatch):
+    """r13 review: bind_kwargs with db_merged_tables (the S5 JDBC
+    fallback, a per-submission side input validate_batched rejects)
+    must route every completion through the per-submission path — the
+    batched group would otherwise raise inside foreachBatch and wedge
+    the stream."""
+    import nci_seronet_proc_data_validator_spark.orchestrate as orch
+
+    def boom(*a, **kw):
+        raise AssertionError("batched path must not be reached")
+
+    monkeypatch.setattr(orch, "validate_batched_results", boom)
+
+    root = tmp_path / "landing"
+    paths = {f"s{i}": _write_submission(root, f"s{i}", "LabX", i)
+             for i in range(2)}               # same schema -> groupable
+    fallback = spark.createDataFrame(
+        [("14_999999", "Negative")],
+        "Research_Participant_ID string, "
+        "SARS_CoV_2_PCR_Test_Result string")
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = validate_stream_submissions(
+        spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+        bind_kwargs={"today": TODAY, "db_merged_tables": {
+            "prior_clinical_test.csv": fallback}})
+    q.awaitTermination(600)
+
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    for name, p in paths.items():
+        mine = got.filter(F.col("__submission_id") == name).drop(
+            "__submission_id", "epoch")
+        sheets = {n: read_sheet_csv(spark, pth) for n, pth in p.items()}
+        meta = parse_submission_metadata(sheets["submission.csv"], CBC_MAP)
+        want = SubmissionValidator(
+            spark, sheets=sheets, cbc_id=str(meta["cbc_id"]),
+            declared_participants=meta.get("declared_participants"),
+            declared_biospecimens=meta.get("declared_biospecimens"),
+            db_merged_tables={"prior_clinical_test.csv": fallback},
+            today=TODAY).validate()
+        assert _finding_set(mine) == _finding_set(want.findings), name
+
+
 def test_cli_complete_warns_on_unknown_declared_sheet(spark, tmp_path,
                                                       monkeypatch, capsys):
     """A typo'd --sheets name means no submission can ever complete —

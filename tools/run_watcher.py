@@ -116,10 +116,14 @@ def main() -> int:
         print(f"TIMEOUT after {args.timeout}s — backlog not fully "
               f"drained; re-run to continue from the checkpoint")
         return 1
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
     try:
         got = spark.read.parquet(args.out)
-    except Exception:
+    except AnalysisException:
+        # narrowed on purpose: the empty-sink case (no part files to
+        # infer a schema from) is an AnalysisException; a real IO
+        # failure must NOT print "all clean" and exit 0
         print("drained: no findings written (no files, or all rows clean)")
         return 0
     if not run_epochs:
@@ -160,9 +164,15 @@ def _run_complete(args) -> int:
     # a typo'd declared sheet name is an operational trap: no arrival
     # can ever match it, so every submission waits forever — flag names
     # outside the expected-columns catalog loudly (warn, not error:
-    # deployments may watch genuinely custom sheets)
+    # deployments may watch genuinely custom sheets). SKIP_VALIDATION
+    # names (submission.csv, shipping_manifest.csv) are standard files
+    # with no catalog entry BY DESIGN — exempt them or the warning
+    # cries wolf on a legitimate manifest-gated declaration.
+    from nci_seronet_proc_data_validator_spark.submission import (
+        SKIP_VALIDATION,
+    )
     catalog = static_expected_columns()
-    unknown = sorted(declared - set(catalog) - {"submission.csv"})
+    unknown = sorted(declared - set(catalog) - set(SKIP_VALIDATION))
     if unknown:
         print(f"WARNING: declared sheet(s) {unknown} are not in the "
               f"expected-columns catalog — a misspelled name here means "
@@ -188,7 +198,7 @@ def _run_complete(args) -> int:
     q = validate_stream_submissions(
         spark, args.root_dir, args.checkpoint, declared, args.out,
         cbc_map=cbc_map, icd10_codes=load_icd10_codes(spark),
-        expected_columns=static_expected_columns(),
+        expected_columns=catalog,
         max_files_per_trigger=args.max_files, complete_cb=on_complete)
     q.awaitTermination(args.timeout)
     if q.isActive:
@@ -200,11 +210,14 @@ def _run_complete(args) -> int:
         print("drained: no submission completed this run (arrivals "
               "recorded; re-run once the remaining sheets land)")
         return 0
+    from pyspark.errors import AnalysisException
     try:
         got = spark.read.parquet(os.path.join(args.out, "findings"))
-    except Exception:
+    except AnalysisException:
         # every completed submission was CLEAN: the epoch-keyed sink
-        # wrote an empty frame (no part files to infer a schema from)
+        # wrote an empty frame (no part files to infer a schema from).
+        # Narrowed on purpose: a real IO failure must NOT print "all
+        # rows clean" and exit 0.
         print(f"completed {sorted(set(completed))}; no findings "
               f"(all rows clean)")
         return 0
