@@ -61,6 +61,12 @@ COLUMN_FINDING_SCHEMA = T.StructType([
 ROW_DUPLICATE_ID = -3
 ROW_COUNT_MISMATCH = -5
 ROW_CROSS_SHEET = -10
+# Ours, not the reference's: a whole-submission validation FAILURE
+# (unreadable/poisoned sheet, compile error). The reference logs it and
+# moves to the next submission (nci-seronet-data-validator.py:109-111);
+# the streaming watcher additionally records it durably as one finding
+# row so the sink carries the outcome.
+ROW_VALIDATION_FAILURE = -99
 
 ERROR = "Error"
 WARNING = "Warning"

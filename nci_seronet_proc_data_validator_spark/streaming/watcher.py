@@ -326,6 +326,7 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                                 max_files_per_trigger: int | None = None,
                                 status_cb=None,
                                 complete_cb=None,
+                                failed_cb=None,
                                 batch_threshold: int = 2
                                 ) -> "StreamingQuery":
     """Submission-COMPLETENESS-gated watcher: continuous operation with
@@ -396,15 +397,37 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
     - ``status_cb(findings_df_or_None, epoch_id)``: fires every batch;
       ``None`` when no submission completed (arrival-only batch).
     - ``complete_cb({submission_id: ValidationResult}, epoch_id)``:
-      fires only on batches where submissions completed, BEFORE their
-      findings caches are released — the hook for the quality gate /
-      notification / jobs-table bookkeeping, with the full result
-      (``column_findings`` included — the P10 header findings are NOT
-      part of the findings sink, same as the batch CLI where they feed
-      the quality gate, so ``expected_columns`` is observable only
-      here). Completion reporting must come from this callback, not
-      from counting findings rows: a fully CLEAN submission completes
-      with an empty findings frame.
+      fires only on batches where submissions completed successfully,
+      BEFORE their findings caches are released — the hook for the
+      quality gate / notification / jobs-table bookkeeping, with the
+      full result (``column_findings`` included — the P10 header
+      findings are NOT part of the findings sink, same as the batch
+      CLI where they feed the quality gate, so ``expected_columns`` is
+      observable only here). Completion reporting must come from this
+      callback, not from counting findings rows: a fully CLEAN
+      submission completes with an empty findings frame.
+    - ``failed_cb({submission_id: "ExcType: message"}, epoch_id)``:
+      fires when a completing submission's VALIDATION ITSELF failed.
+
+    **Per-submission error isolation** (the reference's "Moving onto
+    Next Submitted File" loop, nci-seronet-data-validator.py:70,
+    109-111): a poisoned submission — unreadable sheet, a column name
+    the rulebook cannot render, malformed metadata — must not fail the
+    micro-batch, because a failed batch replays the same input and
+    fails identically forever, wedging every LATER submission behind
+    it. Each per-submission compile is isolated; a failure is recorded
+    DURABLY as one findings row (``CSV_Sheet_Name='__submission__'``,
+    ``Row_Index=ROW_VALIDATION_FAILURE``,
+    ``Column_Name='__validation_failure__'``, the exception in
+    ``Error_Message``) in the same epoch-keyed sink, and reported via
+    ``failed_cb``. A batched group that fails falls back to
+    per-submission compiles first, so only the genuinely poisoned
+    member is recorded as failed. Replay semantics: if the epoch
+    crashes before its checkpoint commit, the replay RETRIES the
+    compile (a transient failure heals; a deterministic one re-records
+    the identical row); after the commit the submission counts as
+    handled — re-land it under a new submission directory to
+    revalidate, exactly like re-submitting to the reference pipeline.
 
     100 TB posture: per-batch driver work is O(files in batch) ledger
     rows plus compiles for the NEWLY COMPLETE submissions — and when
@@ -552,9 +575,28 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                     expected_columns=expected_columns,
                     **(bind_kwargs or {}))
 
+            failures: dict[str, str] = {}
+
             def _compile_one(sub: str):
-                return SubmissionValidator(sess,
-                                           **_kwargs_for(sub)).validate()
+                # Per-submission error isolation — the reference's
+                # "Moving onto Next Submitted File" loop
+                # (nci-seronet-data-validator.py:70,109-111). Without
+                # it one poisoned submission (unreadable sheet, column
+                # name the rulebook cannot render, ...) fails the
+                # micro-batch, which replays and fails identically
+                # forever — a permanent wedge blocking every LATER
+                # submission. Record the failure (durably, as one
+                # finding row below) and move on.
+                import warnings
+                try:
+                    return SubmissionValidator(
+                        sess, **_kwargs_for(sub)).validate()
+                except Exception as exc:
+                    failures[sub] = f"{type(exc).__name__}: " \
+                                    f"{str(exc)[:300]}"
+                    warnings.warn(f"validation FAILED for submission "
+                                  f"{sub}: {failures[sub]}; moving on")
+                    return None
 
             # Group completing submissions by order-sensitive header
             # signature (probe driver-side, no Spark): a group of
@@ -585,23 +627,26 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                     import SUB_COL, validate_batched_results
                 from nci_seronet_proc_data_validator_spark.sources.readers \
                     import read_sheet_csv_tagged
-                subs_kw = {s: _kwargs_for(s) for s in members}
-                names = [n for n in subs_kw[members[0]]["sheets"]
-                         if n not in SKIP_VALIDATION]
-                pretagged = {
-                    n: read_sheet_csv_tagged(
-                        sess, {s: have[s][n] for s in members}, SUB_COL)
-                    for n in names}
                 try:
+                    subs_kw = {s: _kwargs_for(s) for s in members}
+                    names = [n for n in subs_kw[members[0]]["sheets"]
+                             if n not in SKIP_VALIDATION]
+                    pretagged = {
+                        n: read_sheet_csv_tagged(
+                            sess, {s: have[s][n] for s in members},
+                            SUB_COL)
+                        for n in names}
                     results.update(validate_batched_results(
                         sess, subs_kw, pretagged=pretagged))
-                except ValueError as exc:
-                    # an eligibility rejection (Column-valued custom
-                    # check, mixed bind config, ...) must NOT wedge the
-                    # stream: the batch would fail, replay the same
-                    # grouping, and fail identically forever. Fall back
-                    # to per-submission compiles — identical findings,
-                    # just without the one-plan economy.
+                except Exception as exc:
+                    # an eligibility rejection (ValueError: Column-valued
+                    # custom check, mixed bind config) or any one
+                    # member's poison (unrenderable column name, ...)
+                    # must NOT wedge the stream: the batch would fail,
+                    # replay the same grouping, and fail identically
+                    # forever. Fall back to per-submission compiles —
+                    # identical findings semantics, and the singles path
+                    # then isolates WHICH member is at fault.
                     import warnings
                     warnings.warn(
                         f"batched completion-group compile rejected "
@@ -614,19 +659,41 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             # bounded pool — validate_concurrent's model, width 4 (the
             # measured GIL ceiling for plan builds, BENCH_NOTES r11)
             if len(singles) == 1:
-                results[singles[0]] = _compile_one(singles[0])
+                compiled = [_compile_one(singles[0])]
             elif singles:
                 with ThreadPoolExecutor(
                         max_workers=min(4, len(singles)),
                         thread_name_prefix="watch-complete") as pool:
-                    results.update(zip(singles,
-                                       pool.map(_compile_one, singles)))
-            findings = union_findings(
-                [r.findings.withColumn("__submission_id", F.lit(sub))
-                 for sub, r in results.items()])
+                    compiled = list(pool.map(_compile_one, singles))
+            else:
+                compiled = []
+            results.update((s, r) for s, r in zip(singles, compiled)
+                           if r is not None)
+            parts = [r.findings.withColumn("__submission_id", F.lit(sub))
+                     for sub, r in results.items()]
+            if failures:
+                # durable failure record: one row per failed submission
+                # in the SAME findings sink (the reference's jobs-table
+                # "File_Error" twin) — replay-idempotent like every
+                # other row of the epoch partition
+                from nci_seronet_proc_data_validator_spark.errors import (
+                    FINDING_SCHEMA, ROW_VALIDATION_FAILURE)
+                fail_schema = T.StructType(
+                    list(FINDING_SCHEMA.fields)
+                    + [T.StructField("__submission_id",
+                                     T.StringType(), False)])
+                parts.append(sess.createDataFrame(
+                    [("Error", "__submission__",
+                      ROW_VALIDATION_FAILURE, "__validation_failure__",
+                      None, msg, sub)
+                     for sub, msg in sorted(failures.items())],
+                    fail_schema))
+            findings = union_findings(parts)
             _epoch_sink(findings, epoch_id, findings_dir)
-            if complete_cb is not None:
+            if complete_cb is not None and results:
                 complete_cb(results, epoch_id)
+            if failures and failed_cb is not None:
+                failed_cb(dict(failures), epoch_id)
         if status_cb is not None:
             status_cb(findings, epoch_id)
         # a RESIDENT watcher validates submissions for the query's

@@ -548,6 +548,88 @@ def test_db_merged_tables_routes_around_batching(spark, tmp_path,
         assert _finding_set(mine) == _finding_set(want.findings), name
 
 
+def test_poisoned_submission_is_isolated_not_wedging(spark, tmp_path):
+    """r13: per-submission error isolation (the reference's "Moving
+    onto Next Submitted File", nci-seronet-data-validator.py:109-111).
+    A submission whose sheet the engine cannot even compile (binary
+    junk with a backtick column name -> AnalysisException at plan
+    build) must not fail the micro-batch: the healthy submission
+    validates normally, the poisoned one records ONE durable failure
+    row in the findings sink and fires failed_cb."""
+    from nci_seronet_proc_data_validator_spark.errors import (
+        ROW_VALIDATION_FAILURE)
+
+    root = tmp_path / "landing"
+    good = _write_submission(root, "good", "LabX", 0)
+    bad = root / "bad"
+    bad.mkdir()
+    (bad / "demographic.csv").write_text(
+        "Research_Participant_ID,Age,Race\n14_000005,30,White\n")
+    # backtick in a column name -> INVALID_ATTRIBUTE_NAME_SYNTAX at
+    # compile; the junk bytes make the header probe refuse it too
+    (bad / "biospecimen.csv").write_bytes(
+        b"\x00\xff`\x01,bad`col\njunk,1\n")
+    (bad / "submission.csv").write_text("key,LabX\np,9\nb,9\n")
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    failures: list[tuple[int, dict]] = []
+    q = validate_stream_submissions(
+        spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+        bind_kwargs={"today": TODAY},
+        failed_cb=lambda f, e: failures.append((e, f)))
+    q.awaitTermination(600)
+
+    # the healthy submission validated exactly as its batch compile
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    mine = got.filter(F.col("__submission_id") == "good").drop(
+        "__submission_id", "epoch")
+    want = _batch_twin(spark, good).findings
+    assert _finding_set(mine) == _finding_set(want)
+
+    # the poisoned one has exactly one durable failure row + a callback
+    fail_rows = got.filter(F.col("__submission_id") == "bad").collect()
+    assert len(fail_rows) == 1
+    r = fail_rows[0]
+    assert r["CSV_Sheet_Name"] == "__submission__"
+    assert r["Row_Index"] == ROW_VALIDATION_FAILURE
+    assert r["Column_Name"] == "__validation_failure__"
+    assert "AnalysisException" in r["Error_Message"]
+    assert len(failures) == 1 and set(failures[0][1]) == {"bad"}
+
+
+def test_cli_complete_reports_poisoned_submission(spark, tmp_path,
+                                                  monkeypatch, capsys):
+    """CLI face of per-submission isolation: a poisoned submission
+    prints FAILED and exits 3; the drain itself succeeds."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import run_watcher as rw
+    finally:
+        sys.path.pop(0)
+
+    root = tmp_path / "landing"
+    bad = root / "bad"
+    bad.mkdir(parents=True)
+    (bad / "demographic.csv").write_text(
+        "Research_Participant_ID,Age,Race\n14_000005,30,White\n")
+    (bad / "biospecimen.csv").write_bytes(
+        b"\x00\xff`\x01,bad`col\njunk,1\n")
+    (bad / "submission.csv").write_text("key,LabX\np,9\nb,9\n")
+
+    monkeypatch.setattr(sys, "argv", [
+        "run_watcher.py", str(root), "--complete",
+        "--sheets", "submission.csv,demographic.csv,biospecimen.csv",
+        "--cbc", "LabX=14",
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "cp"), "--timeout", "300"])
+    assert rw.main() == 3
+    text = capsys.readouterr().out
+    assert "FAILED bad: AnalysisException" in text, text
+    assert "1 submission(s) FAILED validation" in text, text
+
+
 def test_cli_complete_warns_on_unknown_declared_sheet(spark, tmp_path,
                                                       monkeypatch, capsys):
     """A typo'd --sheets name means no submission can ever complete —

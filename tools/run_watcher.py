@@ -35,6 +35,13 @@ the reference's unknown-lab behavior).
 Sheet columns in per-sheet mode come from the expected-columns catalog
 (``sources.catalog.static_expected_columns``), the same catalog the
 batch header check validates against.
+
+Exit codes: 0 drained clean; 1 timeout (backlog remains); 2 usage;
+3 (complete mode) at least one submission FAILED validation — its
+durable record is in the findings sink under
+``CSV_Sheet_Name='__submission__'`` (per-submission isolation: a
+poisoned submission never blocks the ones behind it, the reference's
+"Moving onto Next Submitted File" semantics).
 """
 
 from __future__ import annotations
@@ -181,6 +188,7 @@ def _run_complete(args) -> int:
     cbc_map = dict(kv.split("=", 1) for kv in args.cbc)
     spark = get_spark("run_watcher")
     completed: list[str] = []
+    failed: dict[str, str] = {}
 
     def on_complete(results, epoch_id):
         # completion comes from the gate, NOT from counting findings
@@ -195,18 +203,28 @@ def _run_complete(args) -> int:
                 print(f"{sub}: {n_col} header/column finding(s):")
                 results[sub].column_findings.show(50, truncate=False)
 
+    def on_failed(failures, epoch_id):
+        # per-submission isolation (reference: "Moving onto Next
+        # Submitted File") — a poisoned submission is reported, not a
+        # stream-wedging batch failure; its durable record is in the
+        # findings sink under CSV_Sheet_Name='__submission__'
+        for sub, msg in sorted(failures.items()):
+            failed[sub] = msg
+            print(f"FAILED {sub}: {msg}")
+
     q = validate_stream_submissions(
         spark, args.root_dir, args.checkpoint, declared, args.out,
         cbc_map=cbc_map, icd10_codes=load_icd10_codes(spark),
         expected_columns=catalog,
-        max_files_per_trigger=args.max_files, complete_cb=on_complete)
+        max_files_per_trigger=args.max_files, complete_cb=on_complete,
+        failed_cb=on_failed)
     q.awaitTermination(args.timeout)
     if q.isActive:
         q.stop()
         print(f"TIMEOUT after {args.timeout}s — backlog not fully "
               f"drained; re-run to continue from the checkpoint")
         return 1
-    if not completed:
+    if not completed and not failed:
         print("drained: no submission completed this run (arrivals "
               "recorded; re-run once the remaining sheets land)")
         return 0
@@ -221,7 +239,8 @@ def _run_complete(args) -> int:
         print(f"completed {sorted(set(completed))}; no findings "
               f"(all rows clean)")
         return 0
-    got = got.filter(F.col("__submission_id").isin(sorted(set(completed))))
+    got = got.filter(F.col("__submission_id").isin(
+        sorted(set(completed) | set(failed))))
     (got.groupBy("__submission_id", "Message_Type")
      .count().orderBy("__submission_id", "Message_Type")
      .show(100, truncate=False))
@@ -229,6 +248,11 @@ def _run_complete(args) -> int:
     print(f"completed {sorted(set(completed))}; findings under "
           f"{os.path.join(args.out, 'findings')} "
           f"({got.count()} rows this run, {n_err} errors)")
+    if failed:
+        print(f"{len(failed)} submission(s) FAILED validation: "
+              f"{sorted(failed)} — see the '__submission__' rows above "
+              f"and re-land each under a new submission directory")
+        return 3
     return 0
 
 
