@@ -548,6 +548,56 @@ def test_db_merged_tables_routes_around_batching(spark, tmp_path,
         assert _finding_set(mine) == _finding_set(want.findings), name
 
 
+def test_batched_groups_form_per_drain_across_restart(spark, tmp_path,
+                                                      monkeypatch):
+    """Completion groups are per-EPOCH: four same-schema submissions
+    where two complete in drain 1 and two (held back) in drain 2 (same
+    checkpoint — a restart between) must compile as TWO batched groups,
+    one per completing epoch, each exactly once, with the carried
+    arrivals ledger gating drain 2's completions correctly."""
+    import nci_seronet_proc_data_validator_spark.orchestrate as orch
+
+    calls = []
+    real = orch.validate_batched_results
+
+    def spy(spark_, subs, pretagged=None):
+        calls.append(sorted(subs))
+        return real(spark_, subs, pretagged=pretagged)
+
+    monkeypatch.setattr(orch, "validate_batched_results", spy)
+
+    root = tmp_path / "landing"
+    paths = {f"s{i}": _write_submission(root, f"s{i}", "LabX", i)
+             for i in range(4)}
+    held = {}
+    for name in ("s2", "s3"):                  # drain-2 completers
+        p = paths[name]["biospecimen.csv"]
+        held[name] = p
+        os.rename(p, p + ".hold")
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+
+    def run_drain():
+        q = validate_stream_submissions(
+            spark, str(root), cp, DECLARED, out, cbc_map=CBC_MAP,
+            bind_kwargs={"today": TODAY})
+        q.awaitTermination(600)
+
+    run_drain()                                # s0+s1 complete, batched
+    assert calls == [["s0", "s1"]]
+    for p in held.values():
+        os.rename(p + ".hold", p)
+    run_drain()                                # restart: s2+s3 batched
+    assert calls == [["s0", "s1"], ["s2", "s3"]]
+
+    got = spark.read.parquet(os.path.join(out, "findings"))
+    for name, p in paths.items():
+        mine = got.filter(F.col("__submission_id") == name).drop(
+            "__submission_id", "epoch")
+        want = _batch_twin(spark, p).findings
+        assert _finding_set(mine) == _finding_set(want), name
+
+
 def test_poisoned_submission_is_isolated_not_wedging(spark, tmp_path):
     """r13: per-submission error isolation (the reference's "Moving
     onto Next Submitted File", nci-seronet-data-validator.py:109-111).
