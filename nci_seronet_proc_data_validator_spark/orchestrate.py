@@ -134,7 +134,8 @@ CBC_COL = "__cbc_id"
 def validate_batched(spark: SparkSession,
                      subs: "dict[str, dict]",
                      pretagged: "dict[str, DataFrame] | None" = None,
-                     pinned_out: "list | None" = None
+                     pinned_out: "list | None" = None,
+                     clean_out: "dict | None" = None
                      ) -> "DataFrame":
     """N same-shape submissions through ONE compiled plan: findings for
     every submission, tagged ``__submission_id``, from a single
@@ -199,6 +200,12 @@ def validate_batched(spark: SparkSession,
     count reconciliation and the P10 column findings), so callers of
     THAT entry point must supply real frames, not placeholders; callers
     must build both structures from the same listing either way.
+
+    ``clean_out``: optional dict the function fills with its per-sheet
+    CLEANED tagged union frames ({sheet_name: DataFrame carrying
+    ``__submission_id``/``__cbc_id``}) — the exact frames the findings
+    compiled from, for callers that need batch-wide derived work over
+    the same rows (:func:`validate_batched_results`' one-job A4).
 
     ``pinned_out``: optional list the function APPENDS its per-sheet
     persisted union frames to. Those persists are data-scale (N
@@ -340,6 +347,8 @@ def validate_batched(spark: SparkSession,
                 u, fix_bugs, carry_cols=(SUB_COL, CBC_COL)).persist()
             if pinned_out is not None:
                 pinned_out.append(clean[name])
+    if clean_out is not None:
+        clean_out.update(clean)
 
     # -- per-submission-keyed Merged_Tables (tags carried: the submission
     # id keys every join; the CBC tag rides along for the cross-sheet
@@ -463,7 +472,8 @@ def validate_batched(spark: SparkSession,
 def validate_batched_results(
         spark: SparkSession,
         subs: "dict[str, dict]",
-        pretagged: "dict[str, DataFrame] | None" = None
+        pretagged: "dict[str, DataFrame] | None" = None,
+        combined_out: "list | None" = None
         ) -> "dict[str, ValidationResult]":
     """CLI-grade batched validation: ONE compiled plan for the findings
     (:func:`validate_batched`), then the per-submission driver tail —
@@ -472,26 +482,46 @@ def validate_batched_results(
     :class:`ValidationResult` objects keyed like
     :func:`validate_concurrent`.
 
-    The tail is per-submission BY CONTRACT (the declared counts come
-    from each submission's own ``submission.csv``, and the reconciling
-    ``count()`` is driver logic in the reference too,
-    File_Submission_Object.py:397-415) — it costs one small action per
-    submission WITH declared counts, over the persisted batched
-    findings; submissions without declared counts pay no action here.
+    The tail COMPARISONS are per-submission by contract (the declared
+    counts come from each submission's own ``submission.csv``, and the
+    reconciling comparison is driver logic in the reference too,
+    File_Submission_Object.py:397-415) — but the COUNTS they compare
+    against are computed batch-wide: one grouped anti-join job per ID
+    family over the tagged clean frames, keyed by the submission tag,
+    instead of up to two driver actions per submission (r13: the
+    per-submission A4 actions were the last O(N)-actions stage of a
+    completion burst). Per-submission work is thereafter pure driver
+    logic: dict lookups, P10 header set algebra, and lazy summary plan
+    construction — no actions.
 
     Sheets register into the participant/biospecimen reconciliation
     exactly as in serial ``validate()``: the ID column is present in
     the sheet's own (pre-enrichment) columns — the bound flag reduces
     to column membership because enrichment-added columns are disjoint
     from the sheet's own by construction (``merge_tables`` only adds
-    absent columns).
+    absent columns), and sheet schemas are batch-uniform (the
+    validate_batched constraint), so the batch-wide family equals every
+    submission's own family.
 
     ``pretagged`` callers note: unlike :func:`validate_batched`, this
     entry point DEREFERENCES ``subs[sid]["sheets"]`` values — the tail
-    runs A4 count reconciliation and the P10 column findings over each
-    submission's own sheet frames — so real per-submission DataFrames
-    are required even when the findings compile reads only the
-    pretagged scans.
+    computes the P10 column findings from each submission's own sheet
+    COLUMN NAMES. With ``pretagged`` the values may therefore be plain
+    column-name lists (e.g. probed headers) instead of DataFrames —
+    the cheap shape for bursts, where per-submission DataFrame
+    construction is pure py4j overhead; without ``pretagged`` they must
+    be real DataFrames (the tag+union compile reads their rows).
+
+    ``combined_out``: optional list that receives ONE DataFrame holding
+    the whole batch's row findings (the six columns + the
+    ``__submission_id`` tag): the checkpointed batch frame unioned with
+    a single local relation of every A4 row. A consumer that sinks the
+    batch as a whole (the completion watcher) must use THIS frame, not
+    a re-union of the per-submission ``findings`` slices — N slices of
+    the same checkpoint execute as N× its partitions in one job
+    (measured: 96 tiny submissions → ~3000 tasks, 57 s, for 576 rows),
+    while the combined frame is one scan + one local leg. Contents are
+    identical (each slice is a partition of the combined frame by tag).
     """
     from pyspark.sql import functions as F
 
@@ -500,10 +530,14 @@ def validate_batched_results(
         union_findings,
     )
     from nci_seronet_proc_data_validator_spark.sources.readers import (
+        cleanup_columns,
         cleanup_sheet,
     )
     from nci_seronet_proc_data_validator_spark.submission import (
+        A4_FAMILIES,
+        A4_ROW_SCHEMA,
         SKIP_VALIDATION,
+        a4_mismatch_tuple,
     )
 
     # localCheckpoint, not persist: every per-submission tail/summary
@@ -521,36 +555,101 @@ def validate_batched_results(
     # done, instead of pinning executor storage until GC (a resident
     # watcher compiles bursts for the query's lifetime).
     pinned: list = []
+    clean_tagged: dict = {}
     tagged = validate_batched(
-        spark, subs, pretagged=pretagged,
-        pinned_out=pinned).localCheckpoint(eager=True)
+        spark, subs, pretagged=pretagged, pinned_out=pinned,
+        clean_out=clean_tagged).localCheckpoint(eager=True)
+
+    # -- batched A4: ONE grouped anti-join job per ID family for the
+    # WHOLE batch, replacing up to two driver actions per submission.
+    # The per-submission tail was the last O(N)-actions stage of a
+    # completion burst (~2.5 s/submission marginal at a 96-submission
+    # burst — the compile itself is O(distinct schemas)); the grouped
+    # form is the same math keyed by the submission tag: anti-join ids
+    # against same-sheet ID findings on (sub, sheet, value), then
+    # count DISTINCT (sub, id) per sub. Runs before the unpersist below
+    # so it reads the still-cached parses.
+    a4_counts: "dict[str, dict[str, int]]" = {}
+    declared_of = {
+        "Research_Participant_ID": "declared_participants",
+        "Biospecimen_ID": "declared_biospecimens"}
+    for col_name, _label, _fname in A4_FAMILIES:
+        family = [(n, df) for n, df in sorted(clean_tagged.items())
+                  if col_name in df.columns]
+        if not family or not any(
+                kw.get(declared_of[col_name]) is not None
+                for kw in subs.values()):
+            continue
+        errs = (tagged.filter((F.col("Column_Name") == col_name)
+                              & (F.col("Row_Index") >= 0))
+                .select(SUB_COL,
+                        F.col("CSV_Sheet_Name").alias("__sheet"),
+                        F.col("Column_Value").alias(col_name)))
+        ids = None
+        for name, df in family:
+            leg = df.select(SUB_COL, F.lit(name).alias("__sheet"),
+                            col_name)
+            ids = leg if ids is None else ids.unionByName(leg)
+        passing = ids.join(errs, [SUB_COL, "__sheet", col_name],
+                           "left_anti")
+        a4_counts[col_name] = {
+            r[SUB_COL]: r["n"]
+            for r in (passing.select(SUB_COL, col_name).distinct()
+                      .groupBy(SUB_COL).agg(F.count("*").alias("n"))
+                      .collect())}
     for df in pinned:
         df.unpersist()
+
+    # A4 comparisons from the batch-wide counts — pure driver logic,
+    # computed once as tuples so the per-submission results AND the
+    # combined batch frame are built from the same rows
+    a4_rows: "dict[str, list[tuple]]" = {}
+    for sid, kw in subs.items():
+        rows = []
+        for (col_name, label, fname), declared in (
+                (A4_FAMILIES[0], kw.get("declared_participants")),
+                (A4_FAMILIES[1], kw.get("declared_biospecimens"))):
+            if declared is None or col_name not in a4_counts:
+                continue
+            tup = a4_mismatch_tuple(declared,
+                                    a4_counts[col_name].get(sid, 0),
+                                    label, fname)
+            if tup is not None:
+                rows.append(tup)
+        if rows:
+            a4_rows[sid] = rows
+
+    if combined_out is not None:
+        combined = tagged
+        if a4_rows:
+            extra = spark.createDataFrame(
+                [(sid, *row) for sid, rows in sorted(a4_rows.items())
+                 for row in rows],
+                f"{SUB_COL} string, {A4_ROW_SCHEMA}")
+            combined = combined.unionByName(extra)
+        combined_out.append(combined)
 
     def _tail(item: "tuple[str, dict]") -> "tuple[str, ValidationResult]":
         sid, kw = item
         sv = SubmissionValidator(spark, **kw)
-        clean = {n: cleanup_sheet(df, sv.fix_reference_bugs)
+        clean = {n: (cleanup_columns(df) if isinstance(df, list)
+                     else cleanup_sheet(df, sv.fix_reference_bugs))
                  for n, df in kw["sheets"].items()
                  if n not in SKIP_VALIDATION}
         findings = tagged.filter(F.col(SUB_COL) == sid).drop(SUB_COL)
-        part = [(n, df, None) for n, df in clean.items()
-                if "Research_Participant_ID" in df.columns]
-        bio = [(n, df, None) for n, df in clean.items()
-               if "Biospecimen_ID" in df.columns]
-        tail = sv._count_reconciliation(findings, part, bio)
-        if tail:
-            findings = union_findings([findings, *tail])
+        if sid in a4_rows:
+            findings = union_findings([
+                findings,
+                spark.createDataFrame(a4_rows[sid], A4_ROW_SCHEMA)])
         return sid, ValidationResult(
             findings=findings,
             column_findings=sv._column_findings(clean),
             summary=findings_summary(findings))
 
-    # The reconciliation counts are independent driver actions (one per
-    # submission WITH declared counts) — overlap them on a bounded pool,
-    # same isolation model as validate_concurrent (measured: the serial
-    # tail loop cost ~1 s/submission at fixture scale, dominated by the
-    # per-submission CSV re-parse inside the anti-join).
+    # The tail is now action-free per submission (A4 counts precomputed
+    # batch-wide above; P10 is header set algebra; the summary is a
+    # lazy plan) — the pool overlaps the remaining per-submission py4j
+    # plan construction, same isolation model as validate_concurrent.
     with ThreadPoolExecutor(max_workers=min(8, len(subs)),
                             thread_name_prefix="batched-tail") as pool:
         return dict(pool.map(_tail, subs.items()))

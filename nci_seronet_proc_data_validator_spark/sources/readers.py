@@ -322,6 +322,16 @@ def read_sheet_csv_tagged(spark: SparkSession,
             .select(*data_cols, ROW_INDEX_COL, tag_col))
 
 
+def cleanup_columns(cols, drop: tuple = ()) -> list[str]:
+    """The column-NAME half of :func:`cleanup_sheet` (P3: drop unnamed
+    columns — pandas' ``Unnamed: N`` and Spark's ``_cN`` shapes), usable
+    driver-side on a probed header without any DataFrame."""
+    return [c for c in cols
+            if c not in drop
+            and not c.startswith("Unnamed")
+            and not (c.startswith("_c") and c[2:].isdigit())]
+
+
 def cleanup_sheet(df: DataFrame,
                   fix_reference_bugs: bool = True,
                   carry_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -338,10 +348,7 @@ def cleanup_sheet(df: DataFrame,
     headerless columns ``Unnamed: N``; Spark uses ``_cN`` — drop both
     shapes.
     """
-    keep = [c for c in df.columns
-            if c != ROW_INDEX_COL and c not in carry_cols
-            and not c.startswith("Unnamed")
-            and not (c.startswith("_c") and c[2:].isdigit())]
+    keep = cleanup_columns(df.columns, drop=(ROW_INDEX_COL, *carry_cols))
     # carry_cols (e.g. the batched-mode submission tag) pass through but
     # are neither data columns (excluded from the all-blank predicate —
     # a tag is never blank, so including it would keep every row) nor

@@ -539,6 +539,7 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             from nci_seronet_proc_data_validator_spark.submission import (
                 SubmissionValidator,
                 parse_submission_metadata,
+                parse_submission_metadata_local,
             )
             cbc = {str(k): str(v)
                    for k, v in (_resolve(cbc_map) or {}).items()}
@@ -555,18 +556,40 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                          for sub in complete_now
                          for pth in have[sub].values()}
 
-            def _kwargs_for(sub: str) -> dict:
+            def _kwargs_for(sub: str, frames: bool = True) -> dict:
                 # probed header -> explicit schema -> the reads cost no
-                # Spark jobs (csv_header contract)
-                sheets = {name: read_sheet_csv(sess, pth,
-                                               columns=hdr_cache[pth])
-                          for name, pth in sorted(have[sub].items())}
-                meta = (parse_submission_metadata(sheets["submission.csv"],
-                                                  cbc)
-                        if "submission.csv" in sheets
-                        else {"cbc_id": "0",
-                              "declared_participants": None,
-                              "declared_biospecimens": None})
+                # Spark jobs (csv_header contract); metadata parsed
+                # driver-side too (parse_submission_metadata_local) —
+                # the DataFrame parse is one small Spark job per
+                # submission, a real slice of a 96-submission burst.
+                # frames=False (the batched-group path): sheet values
+                # are the probed COLUMN LISTS — the batched tail only
+                # ever reads names (P10), so a burst pays zero
+                # per-submission DataFrame construction (measured
+                # 26 s of py4j plan building at a 96-submission burst).
+                sheets = {}
+                for name, pth in sorted(have[sub].items()):
+                    cols = hdr_cache[pth]
+                    if frames or cols is None:
+                        sheets[name] = read_sheet_csv(sess, pth,
+                                                      columns=cols)
+                    else:
+                        sheets[name] = list(cols)
+                if "submission.csv" in sheets:
+                    meta = parse_submission_metadata_local(
+                        have[sub]["submission.csv"], cbc)
+                    if meta is None:       # probe-refused: Spark parse
+                        sub_df = sheets["submission.csv"]
+                        if isinstance(sub_df, list):
+                            sub_df = read_sheet_csv(
+                                sess, have[sub]["submission.csv"],
+                                columns=hdr_cache[
+                                    have[sub]["submission.csv"]])
+                        meta = parse_submission_metadata(sub_df, cbc)
+                else:
+                    meta = {"cbc_id": "0",
+                            "declared_participants": None,
+                            "declared_biospecimens": None}
                 return dict(
                     sheets=sheets, cbc_id=str(meta["cbc_id"]),
                     declared_participants=meta.get("declared_participants"),
@@ -622,13 +645,16 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                 singles = [s for m in groups.values()
                            if len(m) < max(2, batch_threshold) for s in m]
 
+            group_frames: list = []      # one combined frame per group
+            grouped_sids: set = set()
             for members in batched:
                 from nci_seronet_proc_data_validator_spark.orchestrate \
                     import SUB_COL, validate_batched_results
                 from nci_seronet_proc_data_validator_spark.sources.readers \
                     import read_sheet_csv_tagged
                 try:
-                    subs_kw = {s: _kwargs_for(s) for s in members}
+                    subs_kw = {s: _kwargs_for(s, frames=False)
+                               for s in members}
                     names = [n for n in subs_kw[members[0]]["sheets"]
                              if n not in SKIP_VALIDATION]
                     pretagged = {
@@ -636,8 +662,16 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                             sess, {s: have[s][n] for s in members},
                             SUB_COL)
                         for n in names}
+                    combined: list = []
                     results.update(validate_batched_results(
-                        sess, subs_kw, pretagged=pretagged))
+                        sess, subs_kw, pretagged=pretagged,
+                        combined_out=combined))
+                    # sink the group's WHOLE batch frame, not N re-union
+                    # slices of the same checkpoint (N slices execute
+                    # as N x its partitions in one job — the dominant
+                    # burst cost once compiles batch)
+                    group_frames.extend(combined)
+                    grouped_sids.update(members)
                 except Exception as exc:
                     # an eligibility rejection (ValueError: Column-valued
                     # custom check, mixed bind config) or any one
@@ -669,8 +703,9 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                 compiled = []
             results.update((s, r) for s, r in zip(singles, compiled)
                            if r is not None)
-            parts = [r.findings.withColumn("__submission_id", F.lit(sub))
-                     for sub, r in results.items()]
+            parts = group_frames + [
+                r.findings.withColumn("__submission_id", F.lit(sub))
+                for sub, r in results.items() if sub not in grouped_sids]
             if failures:
                 # durable failure record: one row per failed submission
                 # in the SAME findings sink (the reference's jobs-table
@@ -688,7 +723,10 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                       None, msg, sub)
                      for sub, msg in sorted(failures.items())],
                     fail_schema))
-            findings = union_findings(parts)
+            from nci_seronet_proc_data_validator_spark.errors import (
+                FINDING_COLUMNS)
+            findings = union_findings(parts).select(
+                *FINDING_COLUMNS, "__submission_id")
             _epoch_sink(findings, epoch_id, findings_dir)
             if complete_cb is not None and results:
                 complete_cb(results, epoch_id)

@@ -79,6 +79,73 @@ def parse_submission_metadata(submission_df: DataFrame,
             "declared_biospecimens": biospecimens}
 
 
+def parse_submission_metadata_local(path: str,
+                                    cbc_name_to_id: dict | None = None
+                                    ) -> dict | None:
+    """Driver-side twin of :func:`parse_submission_metadata` reading the
+    tiny O4 key/value sheet with Python's csv module — ZERO Spark jobs.
+
+    A completion burst pays one metadata parse per submission; through
+    the DataFrame path that is one small Spark job each (the
+    ``limit(3).collect``), which at 96 tiny submissions was a
+    measurable slice of the drain (the watcher already opens the same
+    file driver-side for the header probe). Same fallback discipline as
+    ``csv_header``: returns ``None`` whenever the cheap parse cannot
+    reproduce the Spark read bit-for-bit — probe-refused header
+    (quotes/duplicates/gzip), a quote or backslash in the first two
+    data rows (RFC-4180 doubled-quote vs Spark ``escape='\\'``
+    divergence, both ways) — and the caller falls back to the DataFrame
+    parse.
+    """
+    import csv as _csv
+
+    from nci_seronet_proc_data_validator_spark.sources.readers import (
+        csv_header,
+    )
+
+    import io
+
+    cols = csv_header(path)
+    if cols is None:
+        return None
+    try:
+        with open(path, newline="", encoding="utf-8-sig") as f:
+            raw = f.read(1 << 20)
+    except (OSError, UnicodeDecodeError):
+        return None
+    # dialect guard on the RAW text (a parsed cell has its quotes
+    # consumed already): any quote/backslash in the sheet may parse
+    # differently under Spark's escape='\\' than Python's RFC-4180
+    # doubled-quote dialect — refuse and let the caller use the
+    # DataFrame parse. Oversized means it isn't the tiny O4 sheet.
+    if '"' in raw or "\\" in raw or len(raw) == (1 << 20):
+        return None
+    reader = _csv.reader(io.StringIO(raw, newline=""))
+    next(reader)                               # header
+    rows = []
+    for row in reader:
+        if not row:                            # Spark CSV skips blank lines
+            continue
+        rows.append(row)
+        if len(rows) == 3:                     # limit(3) twin
+            break
+    cbc_name = cols[1] if len(cols) > 1 else ""
+
+    def _cell(i: int) -> str:
+        # the DataFrame twin reads rows[1]/rows[2] of limit(3) —
+        # the reference's iloc[1][1] / iloc[2][1]
+        if cbc_name == "" or len(rows) <= i:
+            return "0"
+        row = rows[i]
+        v = row[1] if len(row) > 1 else ""     # short row -> null -> '0'
+        return v if v != "" else "0"
+
+    cbc_id = (cbc_name_to_id or {}).get(cbc_name, "0")
+    return {"cbc_name": cbc_name, "cbc_id": str(cbc_id),
+            "declared_participants": _cell(1),
+            "declared_biospecimens": _cell(2)}
+
+
 def check_submission_quality(sheets: dict[str, DataFrame],
                              column_findings_count: int,
                              cbc_id: str) -> tuple[bool, str]:
@@ -110,6 +177,41 @@ def column_compare_rows(name: str, have: list[str],
                      "This Column is Expected and is missing "
                      "from CSV File"))
     return rows
+
+
+# A4 ID families: (id column, reference's label typo included, the
+# Column_Name the mismatch finding carries) — File_Submission_Object.py:
+# 397-415.
+A4_FAMILIES = (
+    ("Research_Participant_ID", "Participat", "submit_Participant_IDs"),
+    ("Biospecimen_ID", "Biospecimen", "submit_Biospecimen_IDs"),
+)
+
+
+A4_ROW_SCHEMA = ("Message_Type string, CSV_Sheet_Name string, "
+                 "Row_Index long, Column_Name string, "
+                 "Column_Value string, Error_Message string")
+
+
+def a4_mismatch_tuple(declared, n: int, label: str,
+                      fname: str) -> tuple | None:
+    """The A4 count-mismatch finding as a driver tuple in
+    ``A4_ROW_SCHEMA`` order (None when counts agree) — shared by the
+    serial reconciliation and the batched tail so the message/schema
+    can never drift between paths."""
+    if int(declared) == n:
+        return None
+    msg = f"After validation only {n} {label} IDS are valid"
+    return ("Error", "submission.csv", ROW_COUNT_MISMATCH,
+            fname, str(declared), msg)
+
+
+def a4_mismatch_row(spark: SparkSession, declared, n: int, label: str,
+                    fname: str) -> DataFrame | None:
+    tup = a4_mismatch_tuple(declared, n, label, fname)
+    if tup is None:
+        return None
+    return spark.createDataFrame([tup], A4_ROW_SCHEMA)
 
 
 @dataclass
@@ -369,11 +471,9 @@ class SubmissionValidator:
         declared count, the evident intent).
         """
         out = []
-        for declared, sheets, col_name, label, fname in (
-                (self.declared_participants, part_sheets,
-                 "Research_Participant_ID", "Participat", "submit_Participant_IDs"),
-                (self.declared_biospecimens, bio_sheets,
-                 "Biospecimen_ID", "Biospecimen", "submit_Biospecimen_IDs")):
+        for declared, sheets, (col_name, label, fname) in (
+                (self.declared_participants, part_sheets, A4_FAMILIES[0]),
+                (self.declared_biospecimens, bio_sheets, A4_FAMILIES[1])):
             if declared is None or not sheets:
                 continue
             passing = None
@@ -386,27 +486,24 @@ class SubmissionValidator:
                 ok = df.select(col_name).join(errs, col_name, "left_anti")
                 passing = ok if passing is None else passing.unionByName(ok)
             n = passing.distinct().count()
-            if int(declared) != n:
-                msg = (f"After validation only {n} {label} IDS are valid")
-                row = self.spark.createDataFrame(
-                    [("Error", "submission.csv", ROW_COUNT_MISMATCH,
-                      fname, str(declared), msg)],
-                    "Message_Type string, CSV_Sheet_Name string, "
-                    "Row_Index long, Column_Name string, "
-                    "Column_Value string, Error_Message string")
+            row = a4_mismatch_row(self.spark, declared, n, label, fname)
+            if row is not None:
                 out.append(row)
         return out
 
-    def _column_findings(self, clean: dict[str, DataFrame]) -> DataFrame:
+    def _column_findings(self, clean: dict) -> DataFrame:
         """P10 ``check_col_names`` (File_Submission_Object.py:55-72):
         header set vs expected catalog — pure driver-side set algebra on
-        ``df.columns``, no data movement."""
+        the column NAMES, no data movement. Values may be DataFrames or
+        plain column-name lists (the batched tail passes probed headers
+        so no per-submission DataFrame need exist at all)."""
         rows = []
         if self.expected_columns:
             for name, df in clean.items():
                 expected = self.expected_columns.get(name)
                 if expected is None:
                     continue
-                have = [c for c in df.columns if c != "row_index"]
+                cols = df if isinstance(df, list) else df.columns
+                have = [c for c in cols if c != "row_index"]
                 rows.extend(column_compare_rows(name, have, expected))
         return self.spark.createDataFrame(rows, COLUMN_FINDING_SCHEMA)

@@ -414,9 +414,9 @@ def test_same_schema_completions_batch_through_one_plan(spark, tmp_path,
     calls = []
     real = orch.validate_batched_results
 
-    def spy(spark_, subs, pretagged=None):
+    def spy(spark_, subs, pretagged=None, **kw):
         calls.append((sorted(subs), pretagged is not None))
-        return real(spark_, subs, pretagged=pretagged)
+        return real(spark_, subs, pretagged=pretagged, **kw)
 
     monkeypatch.setattr(orch, "validate_batched_results", spy)
 
@@ -560,9 +560,9 @@ def test_batched_groups_form_per_drain_across_restart(spark, tmp_path,
     calls = []
     real = orch.validate_batched_results
 
-    def spy(spark_, subs, pretagged=None):
+    def spy(spark_, subs, pretagged=None, **kw):
         calls.append(sorted(subs))
-        return real(spark_, subs, pretagged=pretagged)
+        return real(spark_, subs, pretagged=pretagged, **kw)
 
     monkeypatch.setattr(orch, "validate_batched_results", spy)
 

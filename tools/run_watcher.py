@@ -200,13 +200,26 @@ def _run_complete(args) -> int:
         # rows — a fully clean submission completes with zero findings.
         # column_findings (P10 header-vs-catalog) feed the printout the
         # way the batch CLI's quality gate consumes them; they are not
-        # part of the findings sink there either.
+        # part of the findings sink there either. ONE collect for the
+        # whole batch, not one count job per submission — a burst of N
+        # completions would otherwise pay N driver actions here.
+        legs = []
         for sub in sorted(results):
             completed.append(sub)
-            n_col = results[sub].column_findings.count()
-            if n_col:
-                print(f"{sub}: {n_col} header/column finding(s):")
-                results[sub].column_findings.show(50, truncate=False)
+            legs.append(results[sub].column_findings
+                        .withColumn("__submission_id", F.lit(sub)))
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionByName(leg)
+        rows = u.collect()
+        by_sub: dict[str, list] = {}
+        for r in rows:
+            by_sub.setdefault(r["__submission_id"], []).append(r)
+        for sub, sub_rows in sorted(by_sub.items()):
+            print(f"{sub}: {len(sub_rows)} header/column finding(s):")
+            for r in sub_rows[:50]:
+                print(f"  {r['Message_Type']} {r['CSV_Sheet_Name']} "
+                      f"{r['Column_Name']}: {r['Error_Message']}")
 
     def on_failed(failures, epoch_id):
         # per-submission isolation (reference: "Moving onto Next
