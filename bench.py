@@ -458,6 +458,9 @@ def main() -> None:
         **partial,
         "value": best_total,
         "unit": "sec",
+        # the driver contract's per-query dict (best-of seconds, same as
+        # the full payload's "queries") — must survive the tail capture
+        "queries": timings,
         "sf": payload["sf"],
         "samples": n,
         "median_total": med_total,
@@ -468,8 +471,13 @@ def main() -> None:
         "queries_median": medians,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:      # still too wide: drop to headline numbers
-        compact.pop("queries_median")
+    # Shed optional dicts (NEVER "queries" — the driver contract) until
+    # the line fits the driver's ~2000-char stdout tail capture.
+    for drop in ("queries_median", "adjusted_total",
+                 "canonical_total_median", "canonical_total_best"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

@@ -153,13 +153,41 @@ def profile_table(df: DataFrame,
     return _agg_unpivot(df, _metric_plan(df.dtypes, columns))
 
 
+def _struct_agg(df: DataFrame, agg_items: list[str]) -> DataFrame:
+    """One-row global aggregate over ``agg_items`` (``<expr> AS alias``
+    strings), with exact-DISTINCT aggregates planned SEPARATELY from the
+    algebraic ones.
+
+    Why: Spark plans a mixed multi-DISTINCT aggregate as ONE
+    Expand(k distinct groups + 1) whose partial aggregate keys on the
+    expanded distinct columns AND evaluates every algebraic function for
+    every expanded row — for the fused quality pass that was 59 agg
+    functions dragged through a 15-slot Expand and a 74-column exchange
+    (r13 plan audit). Splitting into an algebraic aggregate (plain
+    partial agg, no Expand, tiny shuffle) and a distinct-only aggregate
+    (Expand whose partial agg is a pure keyed dedup with ZERO carried
+    functions) and cross-joining the two 1-row results computes the
+    identical values: measured 3.2 s → 1.1 s at sf0.1/local[32], row
+    equality checked. The input is scanned once per side; at any scale
+    the distinct side's Expand already multiplies rows (k+1)×, so the
+    second scan is small against the per-row work it stops duplicating.
+    """
+    items_d = [it for it in agg_items if _EXACT_DISTINCT_RE.search(it)]
+    items_a = [it for it in agg_items if not _EXACT_DISTINCT_RE.search(it)]
+    if not items_d or not items_a:
+        return (df.agg(F.expr(f"struct({', '.join(agg_items)})")
+                       .alias("_m")).select("_m.*"))
+    a = df.agg(F.expr(f"struct({', '.join(items_a)})").alias("_a"))
+    b = df.agg(F.expr(f"struct({', '.join(items_d)})").alias("_b"))
+    return a.crossJoin(b).select("_a.*", "_b.*")
+
+
 def _agg_unpivot(df: DataFrame, plan) -> DataFrame:
     """``[(col, metric, spark_sql, ...)]`` → one aggregate + inline
     unpivot, each ONE generated expression (not a Column per metric —
     see :func:`fused_quality_pass` for why)."""
-    aggs = ", ".join(f"CAST(({s}) AS LONG) AS m{i}"
-                     for i, (_, _, s, *_) in enumerate(plan))
-    aggd = df.agg(F.expr(f"struct({aggs})").alias("_m")).select("_m.*")
+    aggd = _struct_agg(df, [f"CAST(({s}) AS LONG) AS m{i}"
+                            for i, (_, _, s, *_) in enumerate(plan)])
     rows = ", ".join(
         f"named_struct('col_name', {_qs(c)}, 'metric', {_qs(m)}, "
         f"'value', m{i})"
@@ -319,8 +347,7 @@ def fused_quality_pass(df: DataFrame, constraints: list[Constraint],
             f"CAST(({_masked(s_tpl, slice_sql).format(c=c)}) AS LONG)"
             f" AS md{i}"
             for i, (c, _name, s_tpl) in enumerate(tpl_plan)]
-    aggd = (df.agg(F.expr(f"struct({', '.join(agg_items)})").alias("_m"))
-            .select("_m.*"))
+    aggd = _struct_agg(df, agg_items)
     rows = [f"named_struct('arm', 'profile', 'col_name', {_qs(c)}, "
             f"'metric', {_qs(m)}, 'value', m{i})"
             for i, (c, m, _) in enumerate(plan)]
@@ -665,8 +692,7 @@ def anomaly_slices_pass(df: DataFrame, history_preds: list[str],
             f"CAST(({_masked(s_tpl, pred).format(c=c)}) AS LONG)"
             f" AS {tag}m{i}"
             for i, (c, _name, s_tpl, _) in enumerate(tpl_plan)]
-    aggd = (df.agg(F.expr(f"struct({', '.join(agg_items)})").alias("_m"))
-            .select("_m.*"))
+    aggd = _struct_agg(df, agg_items)
     rows = [f"named_struct('col_name', {_qs(c)}, 'metric', {_qs(m)}, "
             f"'h0', h0m{i}, 'h1', h1m{i}, 'h2', h2m{i}, 'c', cm{i})"
             for i, (c, m, _, _) in enumerate(tpl_plan)]

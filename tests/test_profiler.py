@@ -246,14 +246,26 @@ def test_fused_quality_pass_matches_composition(typed_df):
             new if new is not None else old)
         assert got[("drift", c, f"{m}/{status}")] == want, (c, m)
 
-    # the fusion claim: ONE scan of one source, no join/union — the
-    # composition costs three separate scans + a drift join. (Take the
-    # final AQE plan section only; distinct aggregates legitimately add
-    # HashAggregate phases, so scans are the honest thing to count.)
+    # the fusion claim, r13 form: the pass reads ONE source with no
+    # Union (the composition costs three separate sources + a drift
+    # join). Since the r13 split-aggregate optimization
+    # (profiler._struct_agg), exact-DISTINCT aggregates are planned as
+    # their own aggregate over the same source — so the source appears
+    # (at most) twice: once under the algebraic aggregate (no Expand)
+    # and once under the distinct-only aggregate, and the only Join is
+    # the single-row cross join stitching the two 1-row results. (Take
+    # the final AQE plan section only.)
     plan = fused._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
-    assert plan.count("Scan ") == 1
-    assert "Union" not in plan and "Join" not in plan
+    assert 1 <= plan.count("Scan ") <= 2
+    assert "Union" not in plan
+    if plan.count("Scan ") == 2:      # split form: 1-row × 1-row stitch
+        assert plan.count("Join") == plan.count("BroadcastNestedLoopJoin")
+        # the algebraic side must NOT pay the distinct Expand: exactly
+        # one Expand (under the distinct-only aggregate)
+        assert plan.count("Expand") == 1
+    else:
+        assert "Join" not in plan
 
 
 def test_fused_quality_pass_approx_distinct_no_expand(spark, sf_dir):
