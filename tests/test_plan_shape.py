@@ -347,16 +347,18 @@ def test_quantized_ann_rerank_is_broadcast(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_data_profile_is_four_scans(spark, sf_dir):
-    """The quality tier's scan budget, pinned: ONE fused aggregation scan
-    of orders (profile + verify + drift share it), one masked-metrics
-    scan for the anomaly arm, plus the fk arm's probe (lineitem) and its
-    key-only dimension scan — and the dimension scan must prune to the
-    join key."""
+def test_data_profile_is_six_scans(spark, sf_dir):
+    """The quality tier's scan budget, pinned: the fused aggregation over
+    orders is planned as TWO one-row aggregates (algebraic + exact-
+    DISTINCT, stitched by a single-row cross join — ``_struct_agg``, r13:
+    a mixed multi-DISTINCT agg drags every algebraic function through the
+    Expand) = two scans; the anomaly masked-metrics pass splits the same
+    way = two more; plus the fk arm's probe (lineitem) and its key-only
+    dimension scan — and the dimension scan must prune to the join key."""
     from nci_seronet_proc_data_validator_spark.driver_queries import (
         q_data_profile)
     plan = _plan(q_data_profile(spark, sf_dir))
-    assert plan.count("Scan parquet") == 4
+    assert plan.count("Scan parquet") == 6
     # the fk dimension reads only o_orderkey (column pruning reached it)
     dim_reads = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")
                  if seg.startswith("struct<o_orderkey")]
