@@ -2505,33 +2505,35 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     length percentiles the sketch tier replaces at 100 TB
     (``approx_percentile``'s t-digest is the drop-in)."""
     from nci_seronet_proc_data_validator_spark.operators.sketches import (
-        cms_build, cms_point_query, hll_distinct)
+        cms_build, cms_point_query, hll_distinct, token_counts)
     docs = read_table(spark, sf_dir, "documents")
+    # ONE tokenize scan + one (lang, tok) multiplicity aggregate feeds
+    # all four token arms (r13): the HLL registers hash distinct tokens
+    # and sum counts, the CMS counters re-aggregate globally, and both
+    # exact twins are trivial reads of the same table — previously each
+    # arm re-tokenized the corpus (4 scans) and hashed per OCCURRENCE.
+    tc = token_counts(docs.select(F.col("lang").alias("key"), "text"),
+                      ["key"]).persist()
     # persist: the estimate and zero-bucket arms both read this tiny
-    # (one row per lang) frame — one token scan, not two
-    hll = hll_distinct(docs, "lang").persist()
+    # (one row per lang) frame — one register pass, not two
+    hll = hll_distinct(docs, "lang", tok_counts=tc).persist()
     h = hll.select(F.lit("hll_distinct_words").alias("sketch"),
                    "key", F.col("hll_estimate").alias("value"))
     z = hll.select(F.lit("hll_zero_buckets").alias("sketch"),
                    "key", F.col("zero_buckets").cast("double")
                    .alias("value"))
-    ex_d = (docs.select("lang", F.explode(
-                F.expr("filter(split(text, ' +'), x -> x != '')"))
-                .alias("tok"))
-            .groupBy(F.col("lang").alias("key"))
-            .agg(F.countDistinct("tok").cast("double").alias("value"))
+    ex_d = (tc.groupBy("key")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
             .select(F.lit("exact_distinct_words").alias("sketch"),
                     "key", "value"))
-    cms = (cms_point_query(cms_build(docs), spark, SKETCH_PROBE_WORDS)
+    cms = (cms_point_query(cms_build(docs, tok_counts=tc), spark,
+                           SKETCH_PROBE_WORDS)
            .select(F.lit("cms_count").alias("sketch"),
                    F.col("word").alias("key"),
                    F.col("cms_count").cast("double").alias("value")))
-    ex_c = (docs.select(F.explode(
-                F.expr("filter(split(text, ' +'), x -> x != '')"))
-                .alias("tok"))
-            .filter(F.col("tok").isin(SKETCH_PROBE_WORDS))
+    ex_c = (tc.filter(F.col("tok").isin(SKETCH_PROBE_WORDS))
             .groupBy(F.col("tok").alias("key"))
-            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .agg(F.sum("_c").cast("double").alias("value"))
             .select(F.lit("exact_count").alias("sketch"), "key", "value"))
     pct = (q_length_percentiles(spark, sf_dir)
            .selectExpr("lang AS key", "p10", "p50", "p90")

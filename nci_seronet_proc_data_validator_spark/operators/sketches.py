@@ -67,29 +67,67 @@ def _h32_sql(col: str) -> str:
     return f"CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT)"
 
 
-def hll_registers(df: DataFrame, key_col: str, text_col: str = "text"
-                  ) -> DataFrame:
+def token_counts(df: DataFrame, key_cols: list[str],
+                 text_col: str = "text") -> DataFrame:
+    """``(key_cols..., tok, _c)`` — token multiplicities from ONE
+    tokenize scan + one keyed count (map-side combinable).
+
+    The shared front half of every token sketch (r13): hashing work
+    downstream then scales with DISTINCT tokens, not occurrences — md5
+    per (key, tok) once instead of per occurrence — and several sketch
+    arms can derive from one persisted copy (a global token count is
+    ``groupBy(tok).sum(_c)`` of a per-key one; an exact distinct count
+    is ``count(*)``). The input scan is spread across cores first: local
+    single-file parquet otherwise runs the whole tokenize+hash stage as
+    one task (no-op on an already-split cluster scan)."""
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        spread_small_input,
+    )
+    toks = spread_small_input(df).select(
+        *key_cols, F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
+    return (toks.groupBy(*key_cols, "tok")
+            .agg(F.count(F.lit(1)).alias("_c")))
+
+
+def hll_registers(df: DataFrame, key_col: str, text_col: str = "text",
+                  tok_counts: DataFrame | None = None) -> DataFrame:
     """The HLL register table ``(key, bucket, m_j, n)`` — the sketch's
-    ENTIRE state, built by one keyed max/count (≤ keys·m rows survive
-    map-side combine). This single-aggregation form is also the
-    streaming form: max/count are order-insensitive monotone updates, so
-    the same expression runs under ``readStream`` (complete/update mode)
-    and the register table after any prefix of micro-batches IS the
-    sketch of the data seen so far."""
-    toks = df.select(
-        F.col(key_col).alias("key"),
-        F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
-    # stage the hash once: bucket and rho both derive from _h, so the
-    # md5 runs once per token, not three times
-    hashed = toks.select("key", F.expr(_h32("tok")).alias("_h"))
+    ENTIRE state, built over the ``token_counts`` aggregate (max(rho) is
+    multiplicity-blind; n sums the counts — identical registers, md5
+    once per distinct (key, token) instead of per occurrence). The
+    register updates stay order-insensitive monotone (max/sum), so a
+    streaming deployment runs the same occurrence-level expressions
+    under ``readStream`` (complete/update mode) and the register table
+    after any prefix of micro-batches IS the sketch of the data so far.
+
+    ``tok_counts``: a precomputed ``token_counts(df, [key_col])`` frame
+    (column named ``key``) shared with sibling sketch arms. A STREAMING
+    ``df`` uses the occurrence-level single-aggregation form (stacked
+    streaming aggregations are unsupported); the registers are identical
+    by the same monotonicity."""
+    tc = tok_counts
+    if tc is None and df.isStreaming:
+        toks = df.select(
+            F.col(key_col).alias("key"),
+            F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
+        hashed = toks.select("key", F.lit(1).cast("long").alias("_c"),
+                             F.expr(_h32("tok")).alias("_h"))
+    else:
+        if tc is None:
+            tc = token_counts(
+                df.select(F.col(key_col).alias("key"), text_col),
+                ["key"], text_col)
+        # stage the hash once: bucket and rho both derive from _h, so
+        # the md5 runs once per distinct token, not three times
+        hashed = tc.select("key", "_c", F.expr(_h32("tok")).alias("_h"))
     w = F.expr(f"_h DIV {HLL_M}")
     rho = F.when(w == 0, F.lit(HLL_R)) \
         .otherwise(F.lit(HLL_R) - F.length(F.expr(
             f"bin(_h DIV {HLL_M})")))
     return (hashed.select("key", (F.col("_h") % HLL_M).alias("bucket"),
-                          rho.alias("rho"))
+                          rho.alias("rho"), "_c")
             .groupBy("key", "bucket")
-            .agg(F.max("rho").alias("m_j"), F.count(F.lit(1)).alias("n")))
+            .agg(F.max("rho").alias("m_j"), F.sum("_c").alias("n")))
 
 
 def hll_finalize(regs: DataFrame) -> DataFrame:
@@ -114,12 +152,12 @@ def hll_finalize(regs: DataFrame) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
-def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text"
-                 ) -> DataFrame:
+def hll_distinct(df: DataFrame, key_col: str, text_col: str = "text",
+                 tok_counts: DataFrame | None = None) -> DataFrame:
     """Per-``key_col`` HLL distinct-token estimate:
     ``(key, hll_estimate, zero_buckets, n_tokens)`` —
     ``hll_registers`` + ``hll_finalize`` composed for batch use."""
-    return hll_finalize(hll_registers(df, key_col, text_col))
+    return hll_finalize(hll_registers(df, key_col, text_col, tok_counts))
 
 
 def hll_distinct_oracle_sql(key_col: str, text_col: str = "text",
@@ -157,21 +195,37 @@ FROM agg
 """
 
 
-def cms_build(df: DataFrame, text_col: str = "text") -> DataFrame:
+def cms_build(df: DataFrame, text_col: str = "text",
+              tok_counts: DataFrame | None = None) -> DataFrame:
     """The d×w Count-Min counter table ``(r, bucket, cnt)`` over token
-    OCCURRENCES (multiplicity counts, the CMS contract). One explode ×d
-    map + one keyed count; ≤ d·w rows survive map-side combine."""
-    toks = df.select(
-        F.explode(F.expr(_WS.format(c=text_col))).alias("tok"))
-    rows = toks.select(
-        F.explode(F.array(*[
-            F.struct(F.lit(r).alias("r"),
-                     (F.expr(_h32(f"concat('{r}-', tok)")) % CMS_W)
-                     .alias("bucket"))
-            for r in range(CMS_D)])).alias("rb"))
-    return (rows.select("rb.r", "rb.bucket")
+    OCCURRENCES (multiplicity counts, the CMS contract), built from the
+    ``token_counts`` aggregate: the d salted hashes run once per
+    DISTINCT token and each bucket sums the token multiplicities —
+    identical counters, a d× smaller explode, and the shuffle carries
+    ≤ d·w rows after map-side combine either way.
+
+    ``tok_counts``: any frame with ``tok``/``_c`` columns (extra columns
+    are dropped; a per-key count is re-aggregated globally here). A
+    STREAMING ``df`` uses the occurrence-level single-aggregation form
+    (stacked streaming aggregations are unsupported) — identical
+    counters, the original streaming contract."""
+    tc = tok_counts
+    if tc is None and df.isStreaming:
+        tc = df.select(
+            F.explode(F.expr(_WS.format(c=text_col))).alias("tok"),
+            F.lit(1).cast("long").alias("_c"))
+    else:
+        if tc is None:
+            tc = token_counts(df.select(text_col), [], text_col)
+        tc = tc.groupBy("tok").agg(F.sum("_c").alias("_c"))
+    rows = tc.select("_c", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (F.expr(_h32(f"concat('{r}-', tok)")) % CMS_W)
+                 .alias("bucket"))
+        for r in range(CMS_D)])).alias("rb"))
+    return (rows.select("rb.r", "rb.bucket", "_c")
             .groupBy("r", "bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+            .agg(F.sum("_c").cast("long").alias("cnt")))
 
 
 def cms_point_query(counters: DataFrame, spark, words: list[str]

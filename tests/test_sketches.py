@@ -77,11 +77,16 @@ def test_cms_matches_duckdb_and_never_undercounts(spark):
     assert got == exact
 
 
-def test_cms_counter_table_is_bounded_and_single_shuffle(spark):
+def test_cms_counter_table_is_bounded_and_two_shuffles(spark):
     counters = cms_build(_spark_docs(spark))
     assert counters.count() <= CMS_D * CMS_W
     plan = counters._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1   # one keyed count
+    # r13: counters build from the token_counts aggregate — one keyed
+    # token count (md5 ×d runs once per DISTINCT token, not per
+    # occurrence) + the keyed counter sum; both partial-agg map-side.
+    # The second groupBy(tok) inside cms_build reuses the first's
+    # hash(tok) partitioning, so the dedup adds no third exchange.
+    assert plan.count("Exchange") == 2
     assert "HashAggregate" in plan       # partial agg combines map-side
 
 
