@@ -47,6 +47,10 @@ _PAIRS = ("CASE WHEN size(_t) >= 2 THEN"
           " transform(sequence(1, size(_t) - 1),"
           " i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
           " ELSE array() END")
+#: materialize the accumulated merge chain every this many training
+#: rounds — bounds per-round replace work at O(window) passes without
+#: paying a vocab-wide persist every round (see bpe_train)
+_MATERIALIZE_EVERY = 8
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 8,
@@ -66,14 +70,33 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
              .selectExpr(f"{_SEQ0} AS seq", "freq")
              .persist())
     merges = []
+    # The replace chain accumulates on the persisted words table; every
+    # _MATERIALIZE_EVERY rounds the merged sequences are materialized
+    # (persist, realized by the following round's collect) and the chain
+    # resets. Rationale (r13, measured): with an UNBOUNDED chain, round
+    # r re-runs r replaces over every word — O(n_merges²) string passes
+    # at tokenizer-training merge counts (real vocabularies: thousands)
+    # — but materializing EVERY round doubles the per-round fixed cost
+    # at bench scale (A/B: 3.34 → 5.08 s best), because a persist write
+    # of the whole vocab costs more than the few replaces it saves.
+    # The window bounds work at O(n_merges · window) passes while the
+    # registered 8-merge query never crosses the boundary and keeps its
+    # exact pre-r13 plan. The outgoing cache is released only AFTER the
+    # next round's action has materialized its successor, so nothing
+    # recomputes from lineage.
+    cur, prev = words, None
     seq = F.col("seq")
+    pending = 0
     for step in range(1, n_merges + 1):
-        pairs = (words.select(F.col("freq"), seq.alias("_s"))
+        pairs = (cur.select(F.col("freq"), seq.alias("_s"))
                  .withColumn("_t", F.expr(_TOKS))
                  .select("freq", F.explode(F.expr(_PAIRS)).alias("pair"))
                  .groupBy("pair").agg(F.sum("freq").alias("cnt")))
         top = pairs.orderBy(F.col("cnt").desc(), F.col("pair")).limit(1) \
             .collect()
+        if prev is not None and prev is not words:
+            prev.unpersist()
+        prev = None
         if not top:
             break
         pair, cnt = top[0]["pair"], top[0]["cnt"]
@@ -81,6 +104,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         merges.append((step, left, right, left + right, cnt))
         seq = F.replace(seq, F.lit(f" {left}  {right} "),
                         F.lit(f" {left}{right} "))
+        pending += 1
+        if pending >= _MATERIALIZE_EVERY and step < n_merges:
+            nxt = cur.select(seq.alias("seq"), "freq").persist()
+            prev, cur = cur, nxt
+            seq = F.col("seq")
+            pending = 0
+    if cur is not words:
+        cur.unpersist()
     words.unpersist()
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, "
