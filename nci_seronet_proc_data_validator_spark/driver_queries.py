@@ -3172,6 +3172,8 @@ def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``triangles``: per-node triangle counts over that k-NN graph
       (node-iterator, two equi-joins, no cartesian).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from nci_seronet_proc_data_validator_spark.operators.graph import (
         knn_graph, pagerank, triangle_counts)
     orders = read_table(spark, sf_dir, "orders").select(
@@ -3182,9 +3184,6 @@ def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select((F.col("o_custkey") * 2).alias("src"),
                      (F.col("l_suppkey") * 2 + 1).alias("dst"))
              .distinct())
-    pr = (pagerank(edges, iters=3)
-          .select(F.lit("pagerank").alias("arm"), "node_id",
-                  F.col("rank").alias("val")))
     el = li.distinct()
     pairs = (el.alias("x")
              .join(el.alias("y"),
@@ -3193,14 +3192,28 @@ def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy(F.col("x.l_suppkey").alias("a"),
                       F.col("y.l_suppkey").alias("b"))
              .agg(F.count(F.lit(1)).alias("w")))
-    # the two downstream arms share the materialized sparse graph (the
-    # same contract as triangle_counts' own checkpoint of its edges)
-    knn = knn_graph(pairs, k=_KNN_K).localCheckpoint()
+    # The pagerank chain (edge checkpoint + node count) and the k-NN
+    # build (self-join + window + checkpoint) are independent EAGER
+    # pipelines; run them on two driver threads so their jobs back-fill
+    # each other's stragglers (guide §2.6) instead of serializing —
+    # measured 4.1 s → ~2.8 s for the union (r13).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pr = pool.submit(pagerank, edges, 3)
+        # the two downstream arms share the materialized sparse graph
+        # (the same contract as triangle_counts' own edge checkpoint)
+        f_knn = pool.submit(
+            lambda: knn_graph(pairs, k=_KNN_K).localCheckpoint())
+        pr_ranks, knn = f_pr.result(), f_knn.result()
+    pr = (pr_ranks
+          .select(F.lit("pagerank").alias("arm"), "node_id",
+                  F.col("rank").alias("val")))
     deg = (knn.select(F.col("a").alias("node_id"))
            .union(knn.select(F.col("b").alias("node_id")))
            .groupBy("node_id").agg(F.count(F.lit(1)).alias("val"))
            .select(F.lit("knn_degree").alias("arm"), "node_id", "val"))
-    tri = (triangle_counts(knn)
+    # knn is already a checkpoint; a second materialization of its
+    # projection would be a wasted eager pass
+    tri = (triangle_counts(knn, materialize=False)
            .select(F.lit("triangles").alias("arm"), "node_id",
                    F.col("triangles").alias("val")))
     return (pr.unionByName(deg).unionByName(tri)

@@ -355,7 +355,7 @@ FROM ranked WHERE rn <= {k}
 
 
 def triangle_counts(edges: DataFrame, src: str = "a",
-                    dst: str = "b") -> DataFrame:
+                    dst: str = "b", materialize: bool = True) -> DataFrame:
     """Per-node triangle counts over an undirected edge set (rows
     canonical ``src < dst``, no duplicates — ``knn_graph`` output
     qualifies). Node-iterator shape: wedges from one self-equi-join on
@@ -368,10 +368,17 @@ def triangle_counts(edges: DataFrame, src: str = "a",
 
     Returns ``(node_id, triangles)`` for every node incident to at least
     one edge (0 for nodes in edges but in no triangle).
+
+    ``materialize=False`` skips the defensive ``localCheckpoint`` when
+    the caller's edge set is ALREADY materialized (a checkpointed k-NN
+    graph): the wedge join references the edges three times, and
+    re-checkpointing a projection of a checkpoint is a wasted eager
+    pass (r13).
     """
-    e = (edges.select(F.col(src).cast("long").alias("x"),
-                      F.col(dst).cast("long").alias("y"))
-         .localCheckpoint())
+    e = edges.select(F.col(src).cast("long").alias("x"),
+                     F.col(dst).cast("long").alias("y"))
+    if materialize:
+        e = e.localCheckpoint()
     w = (e.alias("e1")
          .join(e.alias("e2"), F.col("e1.y") == F.col("e2.x"))
          .select(F.col("e1.x").alias("ta"), F.col("e1.y").alias("tb"),
