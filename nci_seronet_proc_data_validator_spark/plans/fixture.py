@@ -610,7 +610,26 @@ def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
             [c for c in spec.columns if c not in spec.drop_list])
     base = read_table(spark, sf_dir, spec.base)
     if spread_partitions:
-        base = base.repartition(spread_partitions)
+        # Size-derived spread (r13, guide §2.5): a blanket
+        # repartition(cpus) pays an exchange + a 32-way cache for every
+        # sheet, but half the fixture bases are tiny (supplier 22 KB,
+        # part 180 KB at sf0.1) and their whole rule pass is cheaper
+        # than the shuffle it buys. Scale the target to the input size
+        # (~1 partition per 64 KB of parquet — raw expansion plus the
+        # per-row rule work make that a conservatively small chunk),
+        # capped at the caller's cpus; 1 partition → no repartition at
+        # all. On a real cluster the caller passes None and scan
+        # parallelism is the file split count.
+        import os as _os
+        try:
+            sz = _os.path.getsize(_os.path.join(
+                sf_dir, f"{spec.base}.parquet"))
+        except OSError:
+            sz = None
+        n = (spread_partitions if sz is None
+             else min(spread_partitions, max(1, sz // 65536)))
+        if n > 1:
+            base = base.repartition(n)
     exprs = [f"CAST({spec.key} AS LONG) AS row_index"]
     exprs += [f"CAST({e} AS STRING) AS {c}" for c, e in spec.columns.items()]
     df = base.selectExpr(*exprs)
