@@ -1029,13 +1029,22 @@ def q_vocab_pipeline(spark: SparkSession, sf_dir: str, n: int = 200
     from nci_seronet_proc_data_validator_spark.operators.training import (
         build_vocab, vocab_encode)
     docs = spread_small_input(read_table(spark, sf_dir, "documents"))
-    vocab = build_vocab(docs, n=n)
+    # ONE persisted token-count aggregate (vocabulary-sized — distinct
+    # tokens × two longs) feeds the vocab build, the 'vocab' rows and
+    # both 'stats' rows: previously those four branches each re-ran the
+    # tokenize scan + aggregation (r13). A shared posexplode/persist of
+    # the raw token stream was measured SLOWER (1.72 → 2.71 s best):
+    # caching occurrence-level rows costs more than the cheap map-side
+    # re-tokenize it saves — cache the AGGREGATE, not the stream. The
+    # encoder keeps its own posexplode (it needs token positions).
     counts = (docs.select("doc_id", F.explode(
                   F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
                   .alias("token"))
               .groupBy("token")
               .agg(F.count(F.lit(1)).alias("n_occ"),
-                   F.countDistinct("doc_id").alias("n_docs")))
+                   F.countDistinct("doc_id").alias("n_docs"))
+              .persist())
+    vocab = build_vocab(docs, n=n, tok_counts=counts)
     vrows = (counts
              .join(vocab.select("token", "token_id"), "token")
              .select(F.lit("vocab").alias("part"),

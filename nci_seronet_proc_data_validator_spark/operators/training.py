@@ -180,7 +180,8 @@ FROM o GROUP BY 1, 2 ORDER BY shard, seq_id
 
 
 def build_vocab(docs: DataFrame, n: int = 50_000,
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                tok_counts: DataFrame | None = None) -> DataFrame:
     """Frequency-truncated vocabulary with dense integer ids.
 
     Tokens = lowercase [a-z0-9]+ runs (the same regex family as
@@ -191,13 +192,22 @@ def build_vocab(docs: DataFrame, n: int = 50_000,
     zero-WindowExec idiom as ``search.bm25_topk``, so the no-global-window
     plan guard holds for every query composing this. id 0 is reserved for
     <unk>.
+
+    ``tok_counts``: a precomputed ``(token, n_occ)`` aggregate (extra
+    columns ignored) shared with sibling pipeline stages — skips this
+    function's own tokenize scan (r13).
     """
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         tokens as _tokens)
-    top = (docs.select(F.explode(_tokens(text_col)).alias("token"))
-           .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
-           .orderBy(F.col("n_occ").desc(), "token")
-           .limit(n))
+    if tok_counts is not None:
+        top = (tok_counts.select("token", "n_occ")
+               .orderBy(F.col("n_occ").desc(), "token")
+               .limit(n))
+    else:
+        top = (docs.select(F.explode(_tokens(text_col)).alias("token"))
+               .groupBy("token").agg(F.count(F.lit(1)).alias("n_occ"))
+               .orderBy(F.col("n_occ").desc(), "token")
+               .limit(n))
     # rank(t) = 1 + |{peer strictly before t}| over the <= n survivors
     peers = top.select(F.col("n_occ").alias("peer_occ"),
                        F.col("token").alias("peer_tok"))
@@ -210,20 +220,25 @@ def build_vocab(docs: DataFrame, n: int = 50_000,
 
 
 def vocab_encode(docs: DataFrame, vocab: DataFrame, unk_id: int = 0,
-                 text_col: str = "text", id_col: str = "doc_id"
-                 ) -> DataFrame:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 toks: DataFrame | None = None) -> DataFrame:
     """Encode each document as its token-id array against ``vocab`` —
     the final text→training-tokens step before ``pack_sequences``.
 
     Shape: posexplode tokens (map-only) → BROADCAST join against the
     bounded vocabulary → one keyed agg reassembling ids in order.
     Out-of-vocabulary tokens map to ``unk_id``.
+
+    ``toks``: a precomputed ``(id_col, pos, token)`` posexplode shared
+    with sibling pipeline stages — skips this function's own tokenize
+    scan (r13).
     """
     from nci_seronet_proc_data_validator_spark.operators.dedup import (
         tokens as _tokens)
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(_tokens(text_col)).alias("pos", "token"))
+    if toks is None:
+        toks = docs.select(
+            F.col(id_col),
+            F.posexplode(_tokens(text_col)).alias("pos", "token"))
     joined = toks.join(F.broadcast(vocab.select("token", "token_id")),
                        "token", "left")
     ids = F.transform(
