@@ -47,14 +47,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
               .withColumn("label", F.col("id")).persist())
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for it in range(max_iter):
-        nbr_min = (e.join(labels.withColumnRenamed("id", "src"), "src")
-                   .groupBy(F.col("dst").alias("id"))
-                   .agg(F.min("label").alias("nbr_min")))
-        new_labels = (labels.join(nbr_min, "id", "left")
-                      .select("id",
-                              F.least(F.col("label"),
-                                      F.coalesce("nbr_min", "label"))
-                              .alias("label")))
+        # min(own, neighbor labels) as ONE union + keyed min: unioning
+        # the current labels into the contribution stream replaces the
+        # former nbr_min aggregate + left join back onto labels — one
+        # exchange instead of two per round, same fixpoint (r13).
+        contrib = (e.join(labels.withColumnRenamed("id", "src"), "src")
+                   .select(F.col("dst").alias("id"), "label"))
+        new_labels = (contrib.union(labels.select("id", "label"))
+                      .groupBy("id").agg(F.min("label").alias("label")))
         # Path halving (pointer jumping): label <- label[label]. One more
         # keyed join per round, but convergence drops from O(diameter)
         # rounds to O(log diameter) — at cluster scale rounds are the
