@@ -751,29 +751,37 @@ def substr_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     ``overlap_bp`` (n_shared / min(|fps|) in integer basis points — no
     float compare crosses the engine boundary).
     """
+    # The doc's fingerprint-set size rides along on every posting row (one
+    # long) so the final overlap ratio needs NO join back to a sizes
+    # table: the naive two-join form re-ran the whole winnowing scan (the
+    # O(L) md5 gram chain) once per join side — three corpus scans for
+    # one answer. Here `documents` is scanned ONCE and the only shuffles
+    # are the two keyed aggregations (guide: shuffle metadata, not
+    # recompute payloads).
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
-    sizes = fps.select(F.col(id_col).alias("_sid"),
-                       F.size("fps").cast("long").alias("n_fp"))
-    posting = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    posting = fps.select(F.col(id_col),
+                         F.size("fps").cast("long").alias("n_fp"),
+                         F.explode("fps").alias("fp"))
+    # struct sorts field-by-field, ids are distinct -> same bucket order
+    # as the old array_sort(collect_set(id)).
     buckets = (posting.groupBy("fp")
-               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .agg(F.array_sort(F.collect_set(
+                   F.struct(F.col(id_col).alias("id"),
+                            F.col("n_fp").alias("n")))).alias("ids"))
                .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df)))
     pairs = (buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> transform("
         "slice(ids, i + 2, size(ids)), "
-        "y -> named_struct('id_a', x, 'id_b', y))))")).alias("p"))
-        .select("p.id_a", "p.id_b"))
+        "y -> named_struct('id_a', x.id, 'n_a', x.n, "
+        "'id_b', y.id, 'n_b', y.n))))")).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b"))
     shared = (pairs.groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .agg(F.count(F.lit(1)).alias("n_shared"),
+                   F.min("n_a").alias("n_a"), F.min("n_b").alias("n_b"))
               .filter(F.col("n_shared") >= min_shared))
-    return (shared
-            .join(sizes.withColumnRenamed("n_fp", "n_a"),
-                  F.col("id_a") == F.col("_sid")).drop("_sid")
-            .join(sizes.withColumnRenamed("n_fp", "n_b"),
-                  F.col("id_b") == F.col("_sid")).drop("_sid")
-            .select("id_a", "id_b", "n_shared",
-                    F.expr("n_shared * 10000 div least(n_a, n_b)")
-                    .alias("overlap_bp")))
+    return shared.select("id_a", "id_b", "n_shared",
+                         F.expr("n_shared * 10000 div least(n_a, n_b)")
+                         .alias("overlap_bp"))
 
 
 def substr_dup_oracle_sql(k: int = 8, w: int = 4, min_shared: int = 2,
@@ -824,28 +832,37 @@ def substr_dup_cross(new_docs: DataFrame, corpus: DataFrame,
     ``(new_id, corpus_id, n_shared, overlap_bp)`` with overlap measured
     against the smaller fingerprint set, as in ``substr_dup_pairs``.
     """
+    # Sizes ride on the posting rows (one long each) and the corpus side
+    # is folded to ONE keyed aggregate per fingerprint (df-cap applied in
+    # the same pass), so each side's winnowing scan runs exactly once —
+    # the naive form re-ran the corpus gram-hash chain three times (df
+    # count, anti-join probe, size join) and the new side twice.
     new_fps = winnow_fingerprints(new_docs, id_col, text_col, k, w)
     corpus_fps = winnow_fingerprints(corpus, id_col, text_col, k, w)
-    new_sizes = new_fps.select(F.col(id_col).alias("_nid"),
-                               F.size("fps").cast("long").alias("n_new"))
-    corpus_sizes = corpus_fps.select(F.col(id_col).alias("_cid"),
-                                     F.size("fps").cast("long")
-                                     .alias("n_corpus"))
     np_ = new_fps.select(F.col(id_col).alias("new_id"),
+                         F.size("fps").cast("long").alias("n_new"),
                          F.explode("fps").alias("fp"))
     cp = corpus_fps.select(F.col(id_col).alias("corpus_id"),
+                           F.size("fps").cast("long").alias("n_corpus"),
                            F.explode("fps").alias("fp"))
-    hot = (cp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-           .filter(F.col("df") > max_df).select("fp"))
-    cp_ok = cp.join(F.broadcast(hot), "fp", "left_anti")
-    shared = (np_.join(cp_ok, "fp")
+    # One shuffle of the corpus postings: bucket rows carry the (id, n)
+    # pairs, the df-cap drops boilerplate fingerprints in the same
+    # aggregate (bucket payload bounded by max_df). This is also the
+    # persistable "corpus posting index" shape (bucketBy(fp)).
+    cbuckets = (cp.groupBy("fp")
+                .agg(F.collect_list(
+                    F.struct(F.col("corpus_id"),
+                             F.col("n_corpus"))).alias("cids"))
+                .filter(F.size("cids") <= max_df))
+    shared = (np_.join(cbuckets, "fp")
+              .select("new_id", "n_new",
+                      F.explode("cids").alias("c"))
+              .select("new_id", "n_new", "c.corpus_id", "c.n_corpus")
               .groupBy("new_id", "corpus_id")
-              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .agg(F.count(F.lit(1)).alias("n_shared"),
+                   F.min("n_new").alias("n_new"),
+                   F.min("n_corpus").alias("n_corpus"))
               .filter(F.col("n_shared") >= min_shared))
-    return (shared
-            .join(new_sizes, F.col("new_id") == F.col("_nid")).drop("_nid")
-            .join(corpus_sizes,
-                  F.col("corpus_id") == F.col("_cid")).drop("_cid")
-            .select("new_id", "corpus_id", "n_shared",
-                    F.expr("n_shared * 10000 div least(n_new, n_corpus)")
-                    .alias("overlap_bp")))
+    return shared.select("new_id", "corpus_id", "n_shared",
+                         F.expr("n_shared * 10000 div least(n_new, n_corpus)")
+                         .alias("overlap_bp"))

@@ -89,6 +89,12 @@ def hashed_ngram_importance(df: DataFrame, target: Column, n: int = 2,
     base = staged.select(id_col, "_is_target",
                          _ngram_buckets("_ws", n, buckets,
                                         pretokenized=True).alias("_bk"))
+    # doc_ng feeds BOTH the bucket-stats build and the scoring join
+    # probe. The static plan prints the scan + n-gram subtree twice, but
+    # AQE reuses the shuffle stage at runtime (same canonical exchange),
+    # so the corpus tokenizes ONCE — an explicit .persist() here was
+    # measured 35% SLOWER at sf0.1 (cache write of the doc×bucket rows
+    # costs more than it saves; r13 A/B).
     doc_ng = (base.select(id_col, "_is_target",
                           F.explode("_bk").alias("bucket"))
               .groupBy(id_col, "_is_target", "bucket")

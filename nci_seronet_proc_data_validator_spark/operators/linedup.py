@@ -39,11 +39,19 @@ def common_lines(df: DataFrame, max_doc_freq: int,
                  text_col: str = "text", id_col: str = "doc_id",
                  sep: str = "\n") -> DataFrame:
     """The blocklist: (line, doc_freq) for lines appearing in more than
-    ``max_doc_freq`` distinct documents. Small output by construction."""
+    ``max_doc_freq`` distinct documents. Small output by construction.
+
+    Per-document line dedup happens MAP-SIDE (``array_distinct`` on the
+    split array — ``id_col`` is one row per document by corpus contract,
+    so per-row distinct == per-document distinct): the naive
+    ``.distinct()`` shuffled every (doc, line) occurrence pair across
+    the cluster just to dedupe what each row already holds; here only
+    map-side-aggregated (line, partial_count) rows reach the exchange.
+    """
     if max_doc_freq < 1:
         raise ValueError(f"max_doc_freq must be >= 1: {max_doc_freq}")
-    return (_lines(df, text_col, id_col, sep)
-            .select(id_col, "line").distinct()
+    return (df.select(F.explode(F.array_distinct(
+                F.split(F.col(text_col), re.escape(sep)))).alias("line"))
             .groupBy("line")
             .agg(F.count(F.lit(1)).alias("doc_freq"))
             .filter(F.col("doc_freq") > max_doc_freq))
