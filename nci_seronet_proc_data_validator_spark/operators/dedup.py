@@ -441,6 +441,12 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     ham.alias("hamming"))
+            # The hamming verify is written after the pair dedup but
+            # EXECUTES inside the join: Catalyst pushes the
+            # deterministic filter through the distinct all the way
+            # into the join condition (r13 plan audit — rewriting it
+            # as filter-before-distinct produced a byte-identical
+            # plan), so far pairs never reach the distinct's exchange.
             .distinct()
             .filter(F.col("hamming") <= max_hamming))
 

@@ -292,7 +292,11 @@ def ivfpq_topk(emb: DataFrame, centroids: DataFrame,
                           .alias("_lut"),
                           F.col("centroid_id").alias("cluster_id")))
     w = W.partitionBy(query_id).orderBy("adc_dist", "neighbor_id")
-    return (probes.join(codes, "cluster_id")
+    # Probe side is (queries × nprobe) rows — query-batch-scale by
+    # contract — so broadcast it (guide §3.2): the corpus-sized code
+    # index stays in place (bucketed or not) instead of being
+    # shuffled/sorted under a sort-merge join.
+    return (F.broadcast(probes).join(codes, "cluster_id")
             .select(query_id, F.col(id_col).alias("neighbor_id"),
                     _adc_dist("pq_code", "_lut",
                               len(codebooks)).alias("adc_dist"))

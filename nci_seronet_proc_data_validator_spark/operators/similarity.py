@@ -71,15 +71,35 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     At scale, write the result bucketed by ``cluster_id``
     (``.write.bucketBy(K, 'cluster_id')``) so probe-time joins co-locate.
     """
-    sim = _dot(F.col(vec_col), F.col(cvec_col)) \
-        / (_norm(F.col(vec_col)) * _norm(F.col(cvec_col)))
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("_csim"), 12).desc(), F.col(cid_col))
-    return (spread_small_input(emb).crossJoin(F.broadcast(centroids))
-            .withColumn("_csim", sim)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, vec_col, F.col(cid_col).alias("cluster_id")))
+    # MAP-ONLY argmin (guide §2.4 remove shuffles outright): the old
+    # form cross-joined K centroid rows onto every vector and ran
+    # row_number over Window.partitionBy(vec_id) — a K·N-row exchange
+    # CARRYING THE EMBEDDINGS, just to pick a per-row maximum. The
+    # centroids are model-scale by contract, so fold them into ONE row
+    # (sorted struct array, ascending cid) broadcast to every task and
+    # take the per-row struct max: (round(sim,12) desc, cid asc) via
+    # max over (s, -cid) — the same ranking rule, zero shuffles, and
+    # the vector never leaves its input partition.
+    cents = F.broadcast(
+        centroids.select(F.struct(F.col(cid_col).alias("cid"),
+                                  F.col(cvec_col).alias("ce")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("_cents")))
+
+    def scored(c):
+        s = _dot(F.col(vec_col), c["ce"]) \
+            / (F.col("_nrm") * _norm(c["ce"]))
+        return F.struct(F.round(s, 12).alias("s"),
+                        (-c["cid"]).alias("nc"), c["cid"].alias("cid"))
+
+    best = F.array_max(F.transform(F.col("_cents"), scored))
+    return (spread_small_input(emb).crossJoin(cents)
+            .withColumn("_nrm", _norm(F.col(vec_col)))
+            .select(F.col(id_col), F.col(vec_col),
+                    best["cid"].alias("cluster_id"))
+            # the 1-row aggregate exists even for an EMPTY centroid
+            # table (cluster_id NULL there) where the old join emitted
+            # zero rows — keep that contract
+            .filter(F.col("cluster_id").isNotNull()))
 
 
 def ivf_topk(emb: DataFrame, centroids: DataFrame, queries: DataFrame,
@@ -105,7 +125,11 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, queries: DataFrame,
         / (_norm(F.col(qvec_col)) * _norm(F.col(vec_col)))
     w = Window.partitionBy(qid_col).orderBy(
         F.round(F.col("_sim"), 12).desc(), F.col(id_col))
-    return (probes.join(assigned, "cluster_id")
+    # The probe list is (queries × nprobe) rows — query-batch-scale by
+    # contract — so BROADCAST it (guide §3.2): the corpus-sized
+    # ``assigned`` side stays in place instead of shuffling by
+    # cluster_id through a sort-merge join.
+    return (F.broadcast(probes).join(assigned, "cluster_id")
             .filter(F.col(qid_col) != F.col(id_col))
             .withColumn("_sim", sim)
             .withColumn("rank", F.row_number().over(w))

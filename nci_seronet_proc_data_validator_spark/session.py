@@ -31,6 +31,16 @@ def get_spark(app_name: str = "nci_seronet_proc_data_validator_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's SMJ -> shuffled-hash rewrite (guide §3.1): removes both
+        # sorts from an iterative keyed join when every post-shuffle
+        # build partition fits under the bound. Exposed as an env knob
+        # for cluster tuning but DEFAULT OFF (the upstream default): a
+        # same-session alternating A/B at 64m on the SMJ-heaviest keys
+        # (graph_metrics 2.85->2.95 s best, dedup_clusters 2.13->2.12 s)
+        # measured it neutral here — the iterative joins' frames are
+        # already small enough that sorting them is not the cost.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Read TIMESTAMP(NANOS) parquet (events table) as long nanos;
