@@ -80,14 +80,22 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame,
     # take the per-row struct max: (round(sim,12) desc, cid asc) via
     # max over (s, -cid) — the same ranking rule, zero shuffles, and
     # the vector never leaves its input partition.
+    # The centroid norm is a constant per centroid: fold it into the
+    # broadcast struct ONCE instead of re-running an O(dim) aggregate
+    # per (vector, centroid) in the scoring lambda (measured at sf1:
+    # the per-row transform was ~50% slower than the old join form
+    # until this hoist; cid is unique, so the extra struct field does
+    # not perturb sort_array's order).
     cents = F.broadcast(
         centroids.select(F.struct(F.col(cid_col).alias("cid"),
-                                  F.col(cvec_col).alias("ce")).alias("c"))
+                                  F.col(cvec_col).alias("ce"),
+                                  _norm(F.col(cvec_col)).alias("nrm"))
+                         .alias("c"))
         .agg(F.sort_array(F.collect_list("c")).alias("_cents")))
 
     def scored(c):
         s = _dot(F.col(vec_col), c["ce"]) \
-            / (F.col("_nrm") * _norm(c["ce"]))
+            / (F.col("_nrm") * c["nrm"])
         return F.struct(F.round(s, 12).alias("s"),
                         (-c["cid"]).alias("nc"), c["cid"].alias("cid"))
 
