@@ -572,6 +572,28 @@ FIXTURE_SHEETS: list[SheetFixture] = [
 ]
 
 
+def _table_data_size(sf_dir: str, base: str) -> int | None:
+    """Bytes of data behind ``<sf_dir>/<base>.parquet`` — the input to
+    the size-derived fixture spread (r13, guide §2.5).
+
+    Spark-written tables are DIRECTORIES of part files; ``getsize`` on a
+    directory returns the inode size (~4 KB), which silently collapsed
+    the spread to 1 partition for every sheet on directory-layout data
+    (caught by an sf1 A/B: rulebook_full 42.6 -> 49.0 s best). Sum the
+    data files instead; None = unknown (caller keeps its full spread).
+    """
+    import os as _os
+    try:
+        p = _os.path.join(sf_dir, f"{base}.parquet")
+        if _os.path.isdir(p):
+            return sum(e.stat().st_size for e in _os.scandir(p)
+                       if e.is_file()
+                       and not e.name.startswith(("_", ".")))
+        return _os.path.getsize(p)
+    except OSError:
+        return None
+
+
 def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
                      spread_partitions: int | None = None,
                      persist: bool = False,
@@ -620,12 +642,7 @@ def fixture_sheet_df(spark: SparkSession, sf_dir: str, spec: SheetFixture,
         # capped at the caller's cpus; 1 partition → no repartition at
         # all. On a real cluster the caller passes None and scan
         # parallelism is the file split count.
-        import os as _os
-        try:
-            sz = _os.path.getsize(_os.path.join(
-                sf_dir, f"{spec.base}.parquet"))
-        except OSError:
-            sz = None
+        sz = _table_data_size(sf_dir, spec.base)
         n = (spread_partitions if sz is None
              else min(spread_partitions, max(1, sz // 65536)))
         if n > 1:

@@ -554,3 +554,29 @@ def test_batched_build_py4j_budget(spark, tmp_path):
     assert n8 < 2.2 * n1, (f"8-sub batched build used {n8} round-trips "
                            f"vs {n1} for 1 sub — per-submission driver "
                            f"cost crept back in")
+
+
+def test_fixture_spread_sizes_directory_tables(tmp_path):
+    """The size-derived fixture spread must see the DATA size of a
+    Spark-written directory table, not the directory inode (~4 KB),
+    which would collapse the spread to 1 partition on any real layout
+    (sf1 A/B regression: rulebook_full 42.6 -> 49.0 s best)."""
+    from nci_seronet_proc_data_validator_spark.plans.fixture import (
+        _table_data_size)
+
+    # single-file layout (the bench testdata shape)
+    f = tmp_path / "lineitem.parquet"
+    f.write_bytes(b"x" * 300_000)
+    assert _table_data_size(str(tmp_path), "lineitem") == 300_000
+
+    # directory layout (Spark-written): sum part files, skip markers
+    d = tmp_path / "orders.parquet"
+    d.mkdir()
+    (d / "part-00000.snappy.parquet").write_bytes(b"x" * 200_000)
+    (d / "part-00001.snappy.parquet").write_bytes(b"x" * 150_000)
+    (d / "_SUCCESS").write_bytes(b"")
+    (d / ".part-00000.crc").write_bytes(b"y" * 999)
+    assert _table_data_size(str(tmp_path), "orders") == 350_000
+
+    # missing table -> None (caller keeps its full spread)
+    assert _table_data_size(str(tmp_path), "nope") is None
