@@ -104,3 +104,29 @@ def test_ivf_assign_literal_matches_broadcast_join_path(spark):
             .filter(F.col("_rn") <= 2)
             .select("query_id", "centroid_id")).collect()}
     assert lit == win
+
+
+def test_ivf_assign_empty_centroids_and_tiebreak(spark):
+    """Pins the r13 map-only ivf_assign contracts the broadcast-struct
+    rewrite must preserve: an EMPTY centroid table emits zero rows (the
+    old join's semantics — the 1-row collect_list aggregate still exists
+    there, so the NULL-cluster filter is load-bearing), equal-similarity
+    ties go to the LOWEST centroid id, and the per-vector plan keeps the
+    zero-shuffle shape (no Window, no SortMergeJoin)."""
+    from nci_seronet_proc_data_validator_spark.operators.similarity import (
+        ivf_assign)
+    emb = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    empty = spark.createDataFrame([], "centroid_id int, ce array<double>")
+    assert ivf_assign(emb, empty).count() == 0
+    # centroids 7 and 3 are the same direction as each other (identical
+    # cosine to every vector); the (round(sim,12) desc, cid asc) rule
+    # must pick cid 3 for both vectors
+    ties = spark.createDataFrame(
+        [(7, [1.0, 1.0]), (3, [2.0, 2.0])],
+        "centroid_id int, ce array<double>")
+    got = {r["vec_id"]: r["cluster_id"]
+           for r in ivf_assign(emb, ties).collect()}
+    assert got == {1: 3, 2: 3}
+    plan = (ivf_assign(emb, ties)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "SortMergeJoin" not in plan
