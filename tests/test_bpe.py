@@ -116,6 +116,22 @@ def test_property_matches_naive_reference(spark):
     check()
 
 
+def test_window_crossing_matches_naive_reference(spark):
+    """Training past _MATERIALIZE_EVERY (8) crosses the r13 windowed
+    materialization boundary (persist swap, unpersist-after-successor
+    ordering, replace-chain reset) — pin that the merges on the far side
+    of the window are still the classic greedy sequence. The corpus is
+    built so at least 10 distinct merges exist."""
+    texts = ["low low low lower lower lowest newest",
+             "new newer newest wide wider widest",
+             "deep deeper deepest steep steeper"]
+    got = [tuple(r) for r in bpe_train(_docs(spark, texts), n_merges=10)
+           .orderBy("step").collect()]
+    want = _naive_bpe(texts, 10)
+    assert got == want
+    assert len(got) == 10            # the window must not truncate
+
+
 def test_encode_applies_merges_in_order(spark):
     from nci_seronet_proc_data_validator_spark.operators.bpe import (
         bpe_encode,
