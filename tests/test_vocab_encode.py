@@ -52,3 +52,33 @@ def test_vocab_encode_semantics(spark):
     plan = (vocab_encode(df, vocab)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_precomputed_hooks_match_self_tokenized_paths(spark):
+    """The r13 shared-aggregate hooks (build_vocab(tok_counts=...),
+    vocab_encode(toks=...)) must be value-identical to the functions'
+    own tokenize scans — q_vocab_pipeline feeds both from one persisted
+    aggregate, so a drift here silently corrupts the whole pipeline."""
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.operators.dedup import (
+        tokens as _tokens)
+
+    rows = [(1, "the cat the cat dog"), (2, "zebra the zebra"), (3, "!!!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select(
+        F.col("doc_id"), F.posexplode(_tokens("text")).alias("pos", "token"))
+    tok_counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"))   # extra col: ignored
+
+    plain_vocab = build_vocab(df, n=3)
+    hook_vocab = build_vocab(df, n=3, tok_counts=tok_counts)
+    as_set = lambda v: {tuple(r) for r in
+                        v.select("token", "n_occ", "token_id").collect()}
+    assert as_set(plain_vocab) == as_set(hook_vocab)
+
+    enc = lambda d: {r["doc_id"]: (list(r["token_ids"]), r["n_tokens"],
+                                   r["n_unk"]) for r in d.collect()}
+    assert enc(vocab_encode(df, plain_vocab)) == \
+        enc(vocab_encode(df, plain_vocab, toks=toks))
