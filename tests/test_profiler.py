@@ -444,3 +444,32 @@ def test_fused_auto_ignores_approx_spelled_constraints(spark, sf_dir):
                               approx_distinct="auto")
     metrics = {r["metric"] for r in auto.collect()}
     assert "distinct" in metrics and "distinct_approx" not in metrics
+
+
+def test_struct_agg_split_matches_single_aggregate(spark):
+    """The r13 split-DISTINCT planning (_struct_agg: algebraic and exact-
+    DISTINCT aggregates as two 1-row aggregates stitched by cross join)
+    must be value- and schema-identical to the single mixed aggregate it
+    replaced — including on an EMPTY input, where both sides still emit
+    their one global-aggregate row."""
+    from pyspark.sql import functions as F
+
+    from nci_seronet_proc_data_validator_spark.operators.profiler import (
+        _struct_agg)
+
+    items = ["count(*) AS n", "count(DISTINCT a) AS d_a",
+             "sum(a) AS s_a", "count(DISTINCT b) AS d_b",
+             "max(b) AS mx_b"]
+    single = lambda df: (df.agg(F.expr(f"struct({', '.join(items)})")
+                                .alias("_m")).select("_m.*"))
+    data = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (None, None)],
+        "a int, b string")
+    for df in (data, data.limit(0)):
+        got, want = _struct_agg(df, items), single(df)
+        # the split emits algebraic columns first, then distinct ones —
+        # callers reference metrics BY NAME (m{i} aliases), so pin the
+        # name set and the per-name values, not positional order
+        assert sorted(got.columns) == sorted(want.columns)
+        [g], [w] = got.collect(), want.collect()
+        assert g.asDict() == w.asDict()
