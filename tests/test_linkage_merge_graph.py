@@ -205,3 +205,16 @@ def test_fuzzy_join_qgram_oracle_parity(spark):
         "did", "name", "pid", "name", max_dist=2, qgrams=3)
     want = {tuple(r) for r in con.execute(sql).fetchall()}
     assert got == want and len(got) >= 2
+
+
+def test_triangle_counts_materialize_false_identical(spark):
+    """materialize=False (r13: callers whose edge set is already a
+    checkpoint skip the defensive localCheckpoint) must not change
+    values — the flag only controls lineage truncation."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+        "a long, b long").localCheckpoint()
+    res = lambda m: {(r.node_id, r.triangles)
+                     for r in triangle_counts(edges,
+                                              materialize=m).collect()}
+    assert res(False) == res(True) == {(1, 2), (2, 2), (3, 1), (4, 1)}
