@@ -72,13 +72,34 @@ ERROR = "Error"
 WARNING = "Warning"
 
 
+def local_rows_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Driver-computed metadata rows (A4 count mismatches, P10 header
+    findings, failure records, arrival ledgers) as a SINGLE-slice frame.
+
+    ``createDataFrame(list)`` parallelizes local rows into
+    ``defaultParallelism`` pickled slices, and EVERY slice costs a
+    Python-worker round trip per action — all wait, no compute. Measured
+    on a 24-submission burst drain (r13, event-log trace): the
+    completion status action unioned 24 such frames into a 768-task
+    stage holding 170 s of blocked task time and 1.7 s of CPU for ~150
+    metadata rows. These frames are metadata-scale by contract, so one
+    slice per ~100k rows (almost always exactly one) keeps each frame a
+    single task. EMPTY input goes through the same one-slice path:
+    ``createDataFrame([], schema)`` still parallelizes into
+    defaultParallelism empty pickled slices, each a Python round trip
+    per action."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1 + len(rows) // 100_000),
+        schema)
+
+
 def empty_findings(spark: SparkSession) -> DataFrame:
     """A zero-row findings DataFrame with the canonical schema."""
-    return spark.createDataFrame([], FINDING_SCHEMA)
+    return local_rows_df(spark, [], FINDING_SCHEMA)
 
 
 def empty_column_findings(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame([], COLUMN_FINDING_SCHEMA)
+    return local_rows_df(spark, [], COLUMN_FINDING_SCHEMA)
 
 
 def finding_struct(severity: Column | str, sheet: Column | str,

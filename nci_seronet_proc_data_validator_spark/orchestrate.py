@@ -527,6 +527,7 @@ def validate_batched_results(
 
     from nci_seronet_proc_data_validator_spark.errors import (
         findings_summary,
+        local_rows_df,
         union_findings,
     )
     from nci_seronet_proc_data_validator_spark.sources.readers import (
@@ -622,7 +623,8 @@ def validate_batched_results(
     if combined_out is not None:
         combined = tagged
         if a4_rows:
-            extra = spark.createDataFrame(
+            extra = local_rows_df(
+                spark,
                 [(sid, *row) for sid, rows in sorted(a4_rows.items())
                  for row in rows],
                 f"{SUB_COL} string, {A4_ROW_SCHEMA}")
@@ -640,7 +642,7 @@ def validate_batched_results(
         if sid in a4_rows:
             findings = union_findings([
                 findings,
-                spark.createDataFrame(a4_rows[sid], A4_ROW_SCHEMA)])
+                local_rows_df(spark, a4_rows[sid], A4_ROW_SCHEMA)])
         return sid, ValidationResult(
             findings=findings,
             column_findings=sv._column_findings(clean),

@@ -109,8 +109,11 @@ def job_status_rows(findings: DataFrame, submission_id: str,
                       F.count(F.when(F.col("Message_Type") != ERROR, 1))
                       .alias("n_warnings")))
     if sheet_names:
-        sheets = findings.sparkSession.createDataFrame(
-            [(s,) for s in sheet_names], f"{SHEET_NAME} string")
+        from nci_seronet_proc_data_validator_spark.errors import (
+            local_rows_df)
+        sheets = local_rows_df(findings.sparkSession,
+                               [(s,) for s in sheet_names],
+                               f"{SHEET_NAME} string")
         per_sheet = (sheets.join(per_sheet, SHEET_NAME, "left")
                      .na.fill(0, ["n_errors", "n_warnings"]))
 

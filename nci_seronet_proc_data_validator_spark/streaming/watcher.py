@@ -497,7 +497,9 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
             if sheet in declared:
                 rows.append(
                     (os.path.basename(os.path.dirname(pth)), sheet, pth))
-        adf = sess.createDataFrame(rows, ledger_schema)
+        from nci_seronet_proc_data_validator_spark.errors import (
+            local_rows_df)
+        adf = local_rows_df(sess, rows, ledger_schema)
         (adf.withColumn("epoch", F.lit(epoch_id))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
@@ -712,12 +714,13 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                 # "File_Error" twin) — replay-idempotent like every
                 # other row of the epoch partition
                 from nci_seronet_proc_data_validator_spark.errors import (
-                    FINDING_SCHEMA, ROW_VALIDATION_FAILURE)
+                    FINDING_SCHEMA, ROW_VALIDATION_FAILURE, local_rows_df)
                 fail_schema = T.StructType(
                     list(FINDING_SCHEMA.fields)
                     + [T.StructField("__submission_id",
                                      T.StringType(), False)])
-                parts.append(sess.createDataFrame(
+                parts.append(local_rows_df(
+                    sess,
                     [("Error", "__submission__",
                       ROW_VALIDATION_FAILURE, "__validation_failure__",
                       None, msg, sub)

@@ -24,6 +24,7 @@ from nci_seronet_proc_data_validator_spark.errors import (
     dedup_findings,
     empty_findings,
     findings_summary,
+    local_rows_df,
     union_findings,
 )
 from nci_seronet_proc_data_validator_spark.operators.joins import (
@@ -211,7 +212,7 @@ def a4_mismatch_row(spark: SparkSession, declared, n: int, label: str,
     tup = a4_mismatch_tuple(declared, n, label, fname)
     if tup is None:
         return None
-    return spark.createDataFrame([tup], A4_ROW_SCHEMA)
+    return local_rows_df(spark, [tup], A4_ROW_SCHEMA)
 
 
 @dataclass
@@ -506,4 +507,4 @@ class SubmissionValidator:
                 cols = df if isinstance(df, list) else df.columns
                 have = [c for c in cols if c != "row_index"]
                 rows.extend(column_compare_rows(name, have, expected))
-        return self.spark.createDataFrame(rows, COLUMN_FINDING_SCHEMA)
+        return local_rows_df(self.spark, rows, COLUMN_FINDING_SCHEMA)

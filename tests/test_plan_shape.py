@@ -580,3 +580,32 @@ def test_fixture_spread_sizes_directory_tables(tmp_path):
 
     # missing table -> None (caller keeps its full spread)
     assert _table_data_size(str(tmp_path), "nope") is None
+
+
+def test_local_rows_df_is_single_slice_and_value_faithful(spark):
+    """Driver-computed metadata frames (A4 mismatches, P10 header
+    findings, failure records, arrival ledgers) must be ONE pickled
+    slice, not defaultParallelism slices — every slice costs a Python
+    worker round trip per action, and a 24-submission burst's status
+    action ran 768 such tasks (170 s blocked, 1.7 s CPU) before r13
+    pinned this. Values, schema, and NULL handling must match the plain
+    createDataFrame path; empty input stays a zero-task LocalRelation."""
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+
+    schema = ("Message_Type string, CSV_Sheet_Name string, "
+              "Row_Index bigint, Column_Name string, "
+              "Column_Value string, Error_Message string")
+    rows = [("Error", "submission.csv", -5, "f", None, "m"),
+            ("Warning", "a.csv", 2, "c", "v", "w")]
+    got = local_rows_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.rdd.getNumPartitions() == 1
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    empty = local_rows_df(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == want.schema
+    # one empty slice — a plain createDataFrame([], schema) parallelizes
+    # into defaultParallelism empty pickled slices, each still a Python
+    # worker round trip per action
+    assert empty.rdd.getNumPartitions() == 1
