@@ -227,7 +227,9 @@ def q_c8_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     market segments."""
     cust = read_table(spark, sf_dir, "customer")
     sheet = _as_sheet(cust, "c_custkey", ["c_mktsegment"])
-    codes = spark.createDataFrame([(c,) for c in _VALID_SEGMENTS], "code string")
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+    codes = local_rows_df(spark, [(c,) for c in _VALID_SEGMENTS],
+                          "code string")
     sheet = icd10_flag_join(sheet, "c_mktsegment", codes,
                             "c_mktsegment__icd10_valid")
     return _findings(sheet, "customer.csv", "c_mktsegment",
@@ -2563,7 +2565,9 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     gn, gs, gg = int_gram_fit(emb, 64)
     xv = power_iteration_top_component(gn, gs, gg, 64, iters=64)
-    pw = spark.createDataFrame(
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+    pw = local_rows_df(
+        spark,
         [("power_iter", f"pos_{i:02d}", v / POW_XSCALE)
          for i, v in enumerate(xv)], "sketch string, key string, value double")
     return (h.unionByName(z).unionByName(ex_d).unionByName(cms)

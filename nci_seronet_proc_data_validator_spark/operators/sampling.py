@@ -67,8 +67,8 @@ def mixture_sample(df: DataFrame, strata_col: str,
     if any(w <= 0 for _, w in w_rows):
         raise ValueError(f"shares must be > 0: {shares}")
     spark = df.sparkSession
-    weights = spark.createDataFrame(
-        w_rows, f"{strata_col} string, w long")
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+    weights = local_rows_df(spark, w_rows, f"{strata_col} string, w long")
     counts = (df.groupBy(strata_col)
               .agg(F.count(F.lit(1)).alias("n")))
     j = counts.join(F.broadcast(weights), strata_col)

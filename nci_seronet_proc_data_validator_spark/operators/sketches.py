@@ -235,7 +235,8 @@ def cms_point_query(counters: DataFrame, spark, words: list[str]
     side). The counter table — bounded at d·w rows by construction, the
     sketch property — is the broadcast build side."""
     probe_rows = [(w, r) for w in words for r in range(CMS_D)]
-    probes = (spark.createDataFrame(probe_rows, "word string, r int")
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+    probes = (local_rows_df(spark, probe_rows, "word string, r int")
               .withColumn("bucket",
                           F.expr(_h32("concat(r, '-', word)")) % CMS_W))
     joined = (probes.join(F.broadcast(counters), ["r", "bucket"], "left")

@@ -47,9 +47,12 @@ def load_icd10_codes(spark: SparkSession,
 
         codes = sorted(icd10.codes.keys()) if hasattr(icd10, "codes") else []
         if codes:
-            return spark.createDataFrame([(c,) for c in codes],
-                                         "code string")
+            from nci_seronet_proc_data_validator_spark.errors import (
+                local_rows_df)
+            return local_rows_df(spark, [(c,) for c in codes],
+                                 "code string")
     except Exception:
         pass
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
     return _dotless(
-        spark.createDataFrame([(c,) for c in DEMO_CODES], "code string"))
+        local_rows_df(spark, [(c,) for c in DEMO_CODES], "code string"))
