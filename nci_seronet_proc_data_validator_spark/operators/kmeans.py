@@ -80,11 +80,22 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 2,
     exploded scalar form ``(centroid_id, pos, cq, n_assigned)`` where
     ``cq`` is the quantized component after the last mean update and
     ``n_assigned`` the size of the cluster in the final assignment.
+
+    The returned frame is a LOCAL model frame (one slice, k·dim rows)
+    built from the final iteration's own model-sync collect — the loop
+    already holds every output value driver-side, so re-executing the
+    distributed assignment+aggregation subtree per downstream action
+    (the pre-r14 shape: one full corpus scan per consumer action) bought
+    nothing. Model syncs are the Lloyd contract (MLlib collects centers
+    the same way); values are bit-identical by construction (r14).
     """
-    sums, _assigned = _lloyd(emb, k, iters, id_col, vec_col)
-    return (sums.select(F.col("cid").alias("centroid_id"), "pos", "cq",
-                        F.col("n").alias("n_assigned"))
-            .orderBy("centroid_id", "pos"))
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+    rows, _assigned = _lloyd(emb, k, iters, id_col, vec_col)
+    data = sorted((int(r["cid"]), int(r["pos"]), int(r["cq"]), int(r["n"]))
+                  for r in rows)
+    return local_rows_df(
+        emb.sparkSession, data,
+        "centroid_id int, pos int, cq long, n_assigned long")
 
 
 def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
@@ -107,14 +118,24 @@ def kmeans_assignments(emb: DataFrame, k: int = 8, iters: int = 2,
         from nci_seronet_proc_data_validator_spark.plans.advisor import (
             warn_fixed_k)
         warn_fixed_k("kmeans_assignments", k, max_rows)
-    _sums, assigned = _lloyd(emb, k, iters, id_col, vec_col)
+    # final_stats=False: the assignment is the argmin under the model
+    # AFTER iters-1 mean updates (the oracle's a{iters} contract), so the
+    # final iteration's stats aggregation+collect — a full scan + keyed
+    # agg + driver sync whose result this caller throws away — is skipped
+    # outright: iters-1 sync jobs instead of iters (r14, guide §1.2
+    # "don't compute things you throw away").
+    _rows, assigned = _lloyd(emb, k, iters, id_col, vec_col,
+                             final_stats=False)
     return assigned
 
 
 def _lloyd(emb: DataFrame, k: int, iters: int,
-           id_col: str, vec_col: str):
-    """Shared Lloyd loop: returns (final per-component stats DF, final
-    assignment DF)."""
+           id_col: str, vec_col: str, final_stats: bool = True):
+    """Shared Lloyd loop: returns (final iteration's collected stats rows,
+    final assignment DF). ``final_stats=False`` skips the LAST iteration's
+    stats aggregation+collect entirely (returning ``None`` for the rows):
+    the final assignment only needs the model after iters-1 mean updates,
+    so assignment-only consumers save one full scan+agg+sync job."""
     if k < 1 or iters < 1:
         raise ValueError(f"kmeans requires k >= 1 and iters >= 1 "
                          f"(got k={k}, iters={iters})")
@@ -128,9 +149,9 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
     # scalars — model sync, not data collection).
     centers = [r["qv"] for r in v.orderBy("vid").limit(k).collect()]
     cids = list(range(len(centers)))
-    sums = None
+    stats_rows = None
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         # model-as-literal via ONE generated expression per iteration —
         # k*dim F.lit Columns cost ~0.3 s of py4j round-trips each pass
         c_lit_sql = ("array(" + ", ".join(
@@ -151,14 +172,19 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
                                 cid_lit,
                                 F.array_position("_d", F.array_min("_d"))
                                 .cast("int")).alias("cid")))
+        if it == iters - 1 and not final_stats:
+            break
         sums = (assigned
                 .select("cid", F.posexplode("qv").alias("pos", "val"))
                 .groupBy("cid", "pos")
                 .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
                 .withColumn("cq", F.round(F.col("s").cast("double")
                                           / F.col("n")).cast("long")))
+        rows = sums.collect()
+        if it == iters - 1:
+            stats_rows = rows
         by_cid: dict[int, dict[int, int]] = {}
-        for r in sums.collect():
+        for r in rows:
             by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cq"]
         cids = sorted(by_cid)
         centers = [[by_cid[c][pos] for pos in sorted(by_cid[c])]
@@ -168,7 +194,7 @@ def _lloyd(emb: DataFrame, k: int, iters: int,
     # of pinning executor memory for every later kmeans consumer
     # (semdedup, IVF build) in the session.
     v.unpersist()
-    return sums, assigned
+    return stats_rows, assigned
 
 
 def kmeans_ctes(k: int | str = 8, iters: int = 2,
@@ -225,12 +251,24 @@ def kmeans_centroid_vectors(emb: DataFrame, k: int = 8, iters: int = 2,
                             vec_col: str = "embedding") -> DataFrame:
     """Trained centroids as float vectors ``(centroid_id, ce)`` — the
     shape ``similarity.ivf_topk`` consumes. De-quantization is a single
-    IEEE double divide per component, bit-identical on both engines."""
-    return (kmeans_fit(emb, k, iters, id_col, vec_col)
-            .groupBy(F.col("centroid_id"))
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cq"))),
-                lambda s: s["cq"].cast("double") / QUANT).alias("ce")))
+    IEEE double divide per component, bit-identical on both engines
+    (int64→double conversion is exact at centroid magnitudes and both
+    engines round the quotient to nearest).
+
+    Like :func:`kmeans_fit`, the output is a LOCAL model frame built from
+    the final sync's collected rows (k·dim scalars): the pre-r14 shape
+    re-executed the whole Lloyd final round — a full corpus scan + agg —
+    inside every consumer action just to regroup values the driver
+    already held (r14)."""
+    from nci_seronet_proc_data_validator_spark.errors import local_rows_df
+    rows, _assigned = _lloyd(emb, k, iters, id_col, vec_col)
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = int(r["cq"])
+    data = [(c, [by_cid[c][p] / QUANT for p in sorted(by_cid[c])])
+            for c in sorted(by_cid)]
+    return local_rows_df(emb.sparkSession, data,
+                         "centroid_id int, ce array<double>")
 
 
 def kmeans_centroid_vectors_cte(k: int = 8, iters: int = 2,

@@ -105,13 +105,20 @@ def pq_fit_fused(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
     spans = [(s * dsub, dsub) for s in range(m)]
     if include_full:
         spans.append((0, dim))
+    # Persist the NARROW quantized table, not the exploded slice table:
+    # sub carries 2× v's payload (m subspace slices + the full-vector
+    # slice re-materialize every component), and v must be scanned for
+    # the init collect anyway — caching v makes that init scan the ONE
+    # read of the embeddings (the pre-r14 shape scanned the parquet
+    # twice: once for init, once to materialize sub) and each
+    # iteration's re-explode from cache is a map-only transform (r14,
+    # guide §5 cache the cheaper-to-hold intermediate).
     v = emb.select(F.col(id_col).alias("vid"),
-                   quantize(F.col(vec_col)).alias("qv"))
+                   quantize(F.col(vec_col)).alias("qv")).persist()
     sub = v.select(
         "vid",
         F.posexplode(F.array(*[F.slice("qv", lo + 1, ln)
-                               for lo, ln in spans])).alias("s", "qv")
-    ).persist()
+                               for lo, ln in spans])).alias("s", "qv"))
     init = v.orderBy("vid").limit(ksub).collect()
     centers = [[list(r["qv"])[lo:lo + ln] for r in init]
                for lo, ln in spans]
@@ -148,7 +155,7 @@ def pq_fit_fused(emb: DataFrame, dim: int, m: int = 4, ksub: int = 8,
             cids.append(cs)
             centers.append([[by_cid[c][p] for p in sorted(by_cid[c])]
                             for c in cs])
-    sub.unpersist()
+    v.unpersist()
     return centers, cids
 
 
