@@ -49,8 +49,15 @@ _PAIRS = ("CASE WHEN size(_t) >= 2 THEN"
           " ELSE array() END")
 #: materialize the accumulated merge chain every this many training
 #: rounds — bounds per-round replace work at O(window) passes without
-#: paying a vocab-wide persist every round (see bpe_train)
-_MATERIALIZE_EVERY = 8
+#: paying a vocab-wide persist every round (see bpe_train). Width set by
+#: measurement (r14, sf0.01 corpus, 100-merge training, warm JVM,
+#: alternating arms): window=8 33-41 s vs UNBOUNDED 19-22 s (the r13
+#: width spent ~1.5 s/materialization to save sub-millisecond replace
+#: passes), window=32 20.2 s, window=64 15.5 s vs unbounded 16.1 s —
+#: i.e. 64 is free where 8 was a 2x tax, while still capping the chain
+#: at 2·64−1 replaces/round (30k-merge trainings stay O(n·window)
+#: instead of O(n²/2) ≈ 4.5e8 string passes).
+_MATERIALIZE_EVERY = 64
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 8,
@@ -105,7 +112,21 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
         seq = F.replace(seq, F.lit(f" {left}  {right} "),
                         F.lit(f" {left}{right} "))
         pending += 1
-        if pending >= _MATERIALIZE_EVERY and step < n_merges:
+        # Payback-horizon trigger (r14): materialize only when at least
+        # a full window of LATER rounds will amortize the persist — the
+        # r13 unconditional every-8-rounds trigger charged the 12-merge
+        # registered query one vocab-wide materialization (bench +13%,
+        # sf1 +5-9%) that only 4 trailing rounds ever repaid (a persist
+        # costs more than the few replaces it saves, the same
+        # measurement that rejected per-round materialization). With the
+        # horizon check the 12-merge query keeps its exact pre-r13 plan
+        # (zero materializations), while long trainings (30k-50k merges)
+        # still materialize every window; the accumulated chain is
+        # bounded at 2·window−1 replaces (window−1 pending at the last
+        # materialization + window−1 skipped tail rounds), so per-round
+        # work stays O(window) and the O(n_merges²) blowup stays fixed.
+        if (pending >= _MATERIALIZE_EVERY
+                and step + _MATERIALIZE_EVERY <= n_merges):
             nxt = cur.select(seq.alias("seq"), "freq").persist()
             prev, cur = cur, nxt
             seq = F.col("seq")

@@ -116,12 +116,18 @@ def test_property_matches_naive_reference(spark):
     check()
 
 
-def test_window_crossing_matches_naive_reference(spark):
-    """Training past _MATERIALIZE_EVERY (8) crosses the r13 windowed
-    materialization boundary (persist swap, unpersist-after-successor
-    ordering, replace-chain reset) — pin that the merges on the far side
-    of the window are still the classic greedy sequence. The corpus is
-    built so at least 10 distinct merges exist."""
+def test_window_crossing_matches_naive_reference(spark, monkeypatch):
+    """Training past the materialization window crosses the r13 windowed
+    boundary (persist swap, unpersist-after-successor ordering,
+    replace-chain reset) — pin that the merges on the far side of the
+    window are still the classic greedy sequence. The window is patched
+    to 3 so a 10-merge run actually materializes (twice): the r14
+    payback-horizon trigger only fires when a full window of later
+    rounds remains, so at the default window of 8 a 10-merge run — like
+    the registered 12-merge query — never materializes at all. The
+    corpus is built so at least 10 distinct merges exist."""
+    from nci_seronet_proc_data_validator_spark.operators import bpe as _bpe
+    monkeypatch.setattr(_bpe, "_MATERIALIZE_EVERY", 3)
     texts = ["low low low lower lower lowest newest",
              "new newer newest wide wider widest",
              "deep deeper deepest steep steeper"]
@@ -130,6 +136,39 @@ def test_window_crossing_matches_naive_reference(spark):
     want = _naive_bpe(texts, 10)
     assert got == want
     assert len(got) == 10            # the window must not truncate
+
+
+def test_bench_scale_merge_count_never_materializes(spark):
+    """The r14 payback-horizon contract: a 12-merge training (the
+    registered query's scale) stays strictly on the un-materialized
+    replace-chain plan — no mid-training persist, values unchanged."""
+    from nci_seronet_proc_data_validator_spark.operators import bpe as _bpe
+    texts = ["low low low lower lower lowest newest",
+             "new newer newest wide wider widest",
+             "deep deeper deepest steep steeper"]
+    calls = []
+    docs = _docs(spark, texts)
+    # patch the CONCRETE class (pyspark.sql.classic overrides the base
+    # pyspark.sql.DataFrame.persist, so patching the base intercepts
+    # nothing)
+    cls = type(docs)
+    orig = cls.persist
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    cls.persist = counting
+    try:
+        got = [tuple(r) for r in
+               bpe_train(docs, n_merges=12)
+               .orderBy("step").collect()]
+    finally:
+        cls.persist = orig
+    assert got == _naive_bpe(texts, 12)
+    # exactly ONE persist: the word-frequency table itself — the windowed
+    # mid-training materialization must not fire at 12 merges
+    assert len(calls) == 1
 
 
 def test_encode_applies_merges_in_order(spark):
