@@ -301,10 +301,16 @@ def validate_batched(spark: SparkSession,
                              f"{sorted(missing_pre)}")
         # cbc per row from the submission tag; unknown tags fail loud
         # (a pretagged frame with a sid outside `subs` would otherwise
-        # silently validate under no CBC)
+        # silently validate under no CBC). ONE SQL map literal — per-
+        # entry F.lit Columns cost a py4j round-trip each, 2N per burst
+        # (the r7 model-as-literal lesson, r14).
+        def _q(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+        cbc_map_sql = "map(" + ", ".join(
+            f"'{_q(sid)}', '{_q(c)}'"
+            for sid, c in sorted(cbc_by_sub.items())) + ")"
         cbc_expr = F.coalesce(
-            F.create_map(*[x for sid, c in sorted(cbc_by_sub.items())
-                           for x in (F.lit(sid), F.lit(c))])[F.col(SUB_COL)],
+            F.expr(cbc_map_sql)[F.col(SUB_COL)],
             F.raise_error(F.concat(
                 F.lit("validate_batched: pretagged row with unknown "
                       "submission id "), F.col(SUB_COL))))
@@ -526,6 +532,7 @@ def validate_batched_results(
     from pyspark.sql import functions as F
 
     from nci_seronet_proc_data_validator_spark.errors import (
+        COLUMN_FINDING_SCHEMA,
         findings_summary,
         local_rows_df,
         union_findings,
@@ -620,15 +627,23 @@ def validate_batched_results(
         if rows:
             a4_rows[sid] = rows
 
+    # ONE local relation for every A4 row in the batch: per-submission
+    # local_rows_df calls would each pay an RDD parallelize + DDL-schema
+    # parse round trip; the per-submission frames below are filters of
+    # this shared relation (values identical), and the combined batch
+    # frame unions it whole (r14).
+    a4_all = None
+    if a4_rows:
+        a4_all = local_rows_df(
+            spark,
+            [(sid, *row) for sid, rows in sorted(a4_rows.items())
+             for row in rows],
+            f"{SUB_COL} string, {A4_ROW_SCHEMA}")
+
     if combined_out is not None:
         combined = tagged
-        if a4_rows:
-            extra = local_rows_df(
-                spark,
-                [(sid, *row) for sid, rows in sorted(a4_rows.items())
-                 for row in rows],
-                f"{SUB_COL} string, {A4_ROW_SCHEMA}")
-            combined = combined.unionByName(extra)
+        if a4_all is not None:
+            combined = combined.unionByName(a4_all)
         combined_out.append(combined)
 
     def _tail(item: "tuple[str, dict]") -> "tuple[str, ValidationResult]":
@@ -638,15 +653,26 @@ def validate_batched_results(
                      else cleanup_sheet(df, sv.fix_reference_bugs))
                  for n, df in kw["sheets"].items()
                  if n not in SKIP_VALIDATION}
-        findings = tagged.filter(F.col(SUB_COL) == sid).drop(SUB_COL)
-        if sid in a4_rows:
-            findings = union_findings([
-                findings,
-                local_rows_df(spark, a4_rows[sid], A4_ROW_SCHEMA)])
+
+        # Frames as THUNKS (built on first access): every frame here is
+        # tens of py4j round-trips of plan construction, and a burst
+        # consumer (the completion watcher) sinks the COMBINED frame and
+        # reads only column_finding_rows — eagerly building N filters,
+        # unions and pivots was the tail pool's whole cost (r14).
+        def _findings(sid=sid):
+            f = tagged.filter(F.col(SUB_COL) == sid).drop(SUB_COL)
+            if sid in a4_rows:
+                f = union_findings([
+                    f, a4_all.filter(F.col(SUB_COL) == sid).drop(SUB_COL)])
+            return f
+
+        col_rows = sv._column_finding_rows(clean)
         return sid, ValidationResult(
-            findings=findings,
-            column_findings=sv._column_findings(clean),
-            summary=findings_summary(findings))
+            findings_thunk=_findings,
+            column_findings_thunk=lambda: local_rows_df(
+                spark, col_rows, COLUMN_FINDING_SCHEMA),
+            summary_thunk=lambda s=_findings: findings_summary(s()),
+            column_finding_rows=col_rows)
 
     # The tail is now action-free per submission (A4 counts precomputed
     # batch-wide above; P10 is header set algebra; the summary is a

@@ -256,7 +256,8 @@ def read_sheet_csv_tagged(spark: SparkSession,
                           paths_by_tag: "dict[str, str]",
                           tag_col: str,
                           offset: int = 2,
-                          multiline: bool = True) -> DataFrame:
+                          multiline: bool = True,
+                          columns: "list[str] | None" = None) -> DataFrame:
     """One multi-file scan of the SAME sheet across N submissions.
 
     The batched-mode scan shape: N per-submission ``read_sheet_csv``
@@ -285,6 +286,12 @@ def read_sheet_csv_tagged(spark: SparkSession,
     schemas: the CSV source takes the header from one file, so callers
     group same-schema submissions first, exactly like validate_batched
     requires).
+
+    ``columns``: the probed header (``csv_header``) as an explicit
+    all-string schema, same contract as :func:`read_sheet_csv` — skips
+    the scan's header-inference job, which at burst scale reads EVERY
+    member file on its own task (measured: one 96-task job per sheet of
+    a 96-submission completion group, r14).
     """
     if not paths_by_tag:
         raise ValueError("no paths")
@@ -295,13 +302,17 @@ def read_sheet_csv_tagged(spark: SparkSession,
         from nci_seronet_proc_data_validator_spark.plans.advisor import (
             warn_nonsplittable_csv)
         warn_nonsplittable_csv(list(norm))
-    df = (spark.read
-          .option("header", "true")
-          .option("inferSchema", "false")
-          .option("nullValue", "\u0000")
-          .option("emptyValue", "")
-          .option("multiLine", "true" if multiline else "false")
-          .csv(sorted(norm)))
+    reader = (spark.read
+              .option("header", "true")
+              .option("inferSchema", "false")
+              .option("nullValue", "\u0000")
+              .option("emptyValue", "")
+              .option("multiLine", "true" if multiline else "false"))
+    if columns is not None:
+        from pyspark.sql import types as T
+        reader = reader.schema(T.StructType(
+            [T.StructField(c, T.StringType(), True) for c in columns]))
+    df = reader.csv(sorted(norm))
     df = df.na.fill("")
     data_cols = list(df.columns)
     file_col = "__sg_file"
@@ -310,11 +321,15 @@ def read_sheet_csv_tagged(spark: SparkSession,
     # The tag lookup is total by construction (the scan reads exactly
     # norm's keys); a NULL lookup would mean URI normalization broke —
     # fail loud (raise_error), never silently drop rows into no
-    # submission.
+    # submission. Rendered as ONE SQL map literal: per-entry F.lit
+    # Columns cost a py4j round-trip each — ~2N round-trips per sheet
+    # at an N-submission burst (the r7 model-as-literal lesson, r14).
+    def _q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+    map_sql = "map(" + ", ".join(
+        f"'{_q(p)}', '{_q(t)}'" for p, t in sorted(norm.items())) + ")"
     tag = F.coalesce(
-        F.create_map(
-            *[x for p, t in sorted(norm.items())
-              for x in (F.lit(p), F.lit(t))])[F.col(file_col)],
+        F.expr(map_sql)[F.col(file_col)],
         F.raise_error(F.concat(
             F.lit("read_sheet_csv_tagged: unmatched input file "),
             F.col(file_col))))

@@ -659,10 +659,16 @@ def validate_stream_submissions(spark: SparkSession, root_dir: str,
                                for s in members}
                     names = [n for n in subs_kw[members[0]]["sheets"]
                              if n not in SKIP_VALIDATION]
+                    # probed header -> explicit schema: the group key
+                    # guarantees every member shares it, and without it
+                    # the multi-file scan runs a header-inference job
+                    # reading EVERY member file (one 96-task job per
+                    # sheet at a 96-submission burst, r14)
                     pretagged = {
                         n: read_sheet_csv_tagged(
                             sess, {s: have[s][n] for s in members},
-                            SUB_COL)
+                            SUB_COL,
+                            columns=hdr_cache[have[members[0]][n]])
                         for n in names}
                     combined: list = []
                     results.update(validate_batched_results(

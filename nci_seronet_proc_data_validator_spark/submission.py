@@ -215,17 +215,71 @@ def a4_mismatch_row(spark: SparkSession, declared, n: int, label: str,
     return local_rows_df(spark, [tup], A4_ROW_SCHEMA)
 
 
-@dataclass
 class ValidationResult:
-    findings: DataFrame            # canonical 6-column findings table
-    column_findings: DataFrame     # header/schema findings (4 columns)
-    summary: DataFrame             # sheet × {Errors, Warnings} crosstab
-    # The cache() node inside `findings` (the deduped row findings) —
-    # long-lived consumers (a resident watcher validating thousands of
-    # submissions) must `release()` after their final action on
-    # `findings`, or pinned storage blocks accumulate for the session's
-    # lifetime. Batch CLIs may ignore it (the process exits).
-    cached: DataFrame | None = None
+    """One submission's validation outputs.
+
+    - ``findings``: canonical 6-column findings table
+    - ``column_findings``: header/schema findings (4 columns)
+    - ``summary``: sheet × {Errors, Warnings} crosstab
+    - ``column_finding_rows``: the header/column findings as plain driver
+      tuples (they are pure driver-side set algebra — P10 never touches
+      data), populated wherever the rows are known at build time.
+      Consumers that only need the VALUES (the watcher's completion
+      printout) read these and skip the DataFrame round trip: at a
+      96-submission burst the union-of-96-local-frames collect was a
+      96-task Python-worker wave plus a 96-leg analysis for rows the
+      driver already held (r14).
+    - ``cached``: the cache() node inside ``findings`` (the deduped row
+      findings) — long-lived consumers (a resident watcher validating
+      thousands of submissions) must ``release()`` after their final
+      action on ``findings``, or pinned storage blocks accumulate for
+      the session's lifetime. Batch CLIs may ignore it (the process
+      exits).
+
+    Each frame may be passed either directly or as a zero-arg THUNK
+    (``findings_thunk=...``) built on first attribute access: plan
+    construction is tens of py4j round-trips per frame, and a burst
+    completing N submissions through the batched tail was paying
+    N × (filter + union + local-rows + pivot) builds for frames its
+    consumer (the watcher, which reads only ``column_finding_rows``)
+    never touched (r14, guide §1.2 "don't compute things you throw
+    away"). Access is idempotent; values are identical either way.
+    """
+
+    def __init__(self, findings: "DataFrame | None" = None,
+                 column_findings: "DataFrame | None" = None,
+                 summary: "DataFrame | None" = None,
+                 column_finding_rows: "list | None" = None,
+                 cached: "DataFrame | None" = None,
+                 findings_thunk=None, column_findings_thunk=None,
+                 summary_thunk=None):
+        self._findings = findings
+        self._column_findings = column_findings
+        self._summary = summary
+        self._findings_thunk = findings_thunk
+        self._column_findings_thunk = column_findings_thunk
+        self._summary_thunk = summary_thunk
+        self.column_finding_rows = column_finding_rows
+        self.cached = cached
+
+    @property
+    def findings(self) -> DataFrame:
+        if self._findings is None and self._findings_thunk is not None:
+            self._findings = self._findings_thunk()
+        return self._findings
+
+    @property
+    def column_findings(self) -> DataFrame:
+        if (self._column_findings is None
+                and self._column_findings_thunk is not None):
+            self._column_findings = self._column_findings_thunk()
+        return self._column_findings
+
+    @property
+    def summary(self) -> DataFrame:
+        if self._summary is None and self._summary_thunk is not None:
+            self._summary = self._summary_thunk()
+        return self._summary
 
     def error_count(self) -> int:
         return self.findings.filter(F.col("Message_Type") == "Error").count()
@@ -349,10 +403,13 @@ class SubmissionValidator:
                                                  bio_sheets))
         findings = union_findings(parts2)
 
-        column_findings = self._column_findings(clean)
+        col_rows = self._column_finding_rows(clean)
         return ValidationResult(findings=findings,
-                                column_findings=column_findings,
+                                column_findings=local_rows_df(
+                                    self.spark, col_rows,
+                                    COLUMN_FINDING_SCHEMA),
                                 summary=findings_summary(findings),
+                                column_finding_rows=col_rows,
                                 cached=cached)
 
     # ------------------------------------------------------------------
@@ -492,7 +549,7 @@ class SubmissionValidator:
                 out.append(row)
         return out
 
-    def _column_findings(self, clean: dict) -> DataFrame:
+    def _column_finding_rows(self, clean: dict) -> list:
         """P10 ``check_col_names`` (File_Submission_Object.py:55-72):
         header set vs expected catalog — pure driver-side set algebra on
         the column NAMES, no data movement. Values may be DataFrames or
@@ -507,4 +564,8 @@ class SubmissionValidator:
                 cols = df if isinstance(df, list) else df.columns
                 have = [c for c in cols if c != "row_index"]
                 rows.extend(column_compare_rows(name, have, expected))
-        return local_rows_df(self.spark, rows, COLUMN_FINDING_SCHEMA)
+        return rows
+
+    def _column_findings(self, clean: dict) -> DataFrame:
+        return local_rows_df(self.spark, self._column_finding_rows(clean),
+                             COLUMN_FINDING_SCHEMA)

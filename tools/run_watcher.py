@@ -200,26 +200,39 @@ def _run_complete(args) -> int:
         # rows — a fully clean submission completes with zero findings.
         # column_findings (P10 header-vs-catalog) feed the printout the
         # way the batch CLI's quality gate consumes them; they are not
-        # part of the findings sink there either. ONE collect for the
-        # whole batch, not one count job per submission — a burst of N
-        # completions would otherwise pay N driver actions here.
+        # part of the findings sink there either. The rows are pure
+        # driver-side set algebra, carried on the result as plain tuples
+        # (ValidationResult.column_finding_rows) — read them directly:
+        # the old union-of-N-local-frames collect was an N-task Python-
+        # worker wave plus an N-leg analysis for rows the driver already
+        # held (r14). Results missing the tuples (a custom result
+        # object) fall back to ONE collect for the whole batch.
+        by_sub: dict[str, list] = {}
         legs = []
         for sub in sorted(results):
             completed.append(sub)
-            legs.append(results[sub].column_findings
-                        .withColumn("__submission_id", F.lit(sub)))
-        u = legs[0]
-        for leg in legs[1:]:
-            u = u.unionByName(leg)
-        rows = u.collect()
-        by_sub: dict[str, list] = {}
-        for r in rows:
-            by_sub.setdefault(r["__submission_id"], []).append(r)
+            rws = results[sub].column_finding_rows
+            if rws is not None:
+                if rws:
+                    by_sub[sub] = list(rws)
+            else:
+                legs.append(results[sub].column_findings
+                            .withColumn("__submission_id", F.lit(sub)))
+        if legs:
+            u = legs[0]
+            for leg in legs[1:]:
+                u = u.unionByName(leg)
+            for r in u.collect():
+                by_sub.setdefault(r["__submission_id"], []).append(r)
         for sub, sub_rows in sorted(by_sub.items()):
             print(f"{sub}: {len(sub_rows)} header/column finding(s):")
             for r in sub_rows[:50]:
-                print(f"  {r['Message_Type']} {r['CSV_Sheet_Name']} "
-                      f"{r['Column_Name']}: {r['Error_Message']}")
+                # plain 4-tuples (column_finding_rows) or collected Rows
+                mt, sheet, col, msg = (
+                    r if isinstance(r, tuple)
+                    else (r["Message_Type"], r["CSV_Sheet_Name"],
+                          r["Column_Name"], r["Error_Message"]))
+                print(f"  {mt} {sheet} {col}: {msg}")
 
     def on_failed(failures, epoch_id):
         # per-submission isolation (reference: "Moving onto Next
