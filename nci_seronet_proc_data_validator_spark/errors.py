@@ -87,7 +87,13 @@ def local_rows_df(spark: SparkSession, rows: list, schema) -> DataFrame:
     single task. EMPTY input goes through the same one-slice path:
     ``createDataFrame([], schema)`` still parallelizes into
     defaultParallelism empty pickled slices, each a Python round trip
-    per action."""
+    per action.
+
+    Classic-session only: the explicit ``sparkContext.parallelize`` has
+    no Spark Connect equivalent (where ``createDataFrame(list)`` is a
+    true LocalRelation and this perf issue does not exist) — branch on
+    session type before calling this if Connect support is ever in
+    scope."""
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1 + len(rows) // 100_000),
         schema)

@@ -64,6 +64,13 @@ def remove_common_lines(df: DataFrame, max_doc_freq: int,
     (original order preserved; documents whose every line is boilerplate
     come back with empty text, mirroring the C4 rule).
 
+    Corpus contract: ONE ROW PER DOCUMENT. ``common_lines`` dedupes a
+    document's lines map-side per ROW (``array_distinct`` on the split
+    array), so a corpus with several rows sharing an ``id_col`` counts
+    each ROW toward a line's doc_freq — i.e. frequencies are per row,
+    not per distinct id (pinned by
+    ``test_linedup.test_duplicated_doc_id_counts_per_row``).
+
     Returns (id_col, text, n_lines_kept, n_lines_dropped).
     """
     lines = _lines(df, text_col, id_col, sep)

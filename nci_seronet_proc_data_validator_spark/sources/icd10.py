@@ -46,6 +46,12 @@ def load_icd10_codes(spark: SparkSession,
         import icd10  # optional; vendored by the reference
 
         codes = sorted(icd10.codes.keys()) if hasattr(icd10, "codes") else []
+        # Validate eagerly while still inside the try: local_rows_df
+        # verifies rows lazily (at first action), so malformed package
+        # data would otherwise escape this fallback and fail mid-query
+        # instead of degrading to DEMO_CODES (r14, ADVICE).
+        if codes and not all(isinstance(c, str) for c in codes):
+            raise TypeError("icd10.codes keys must all be strings")
         if codes:
             from nci_seronet_proc_data_validator_spark.errors import (
                 local_rows_df)

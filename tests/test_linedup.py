@@ -82,3 +82,17 @@ def test_dedup_lines_within_doc_keeps_first_in_order(spark):
     plan = (dedup_lines_within_doc(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_duplicated_doc_id_counts_per_row(spark):
+    """The declared one-row-per-document contract (r14): a corpus with
+    several rows sharing a doc_id counts each ROW toward doc_freq —
+    array_distinct dedupes lines within a row, never across rows of the
+    same id. Two rows with id 1 each carrying 'DUP' push DUP's doc_freq
+    to 3 (> 2) even though only two distinct ids carry it."""
+    rows = [(1, "DUP\nalpha"), (1, "DUP\nbeta"), (2, "DUP\ngamma"),
+            (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    block = {r["line"]: r["doc_freq"]
+             for r in common_lines(df, max_doc_freq=2).collect()}
+    assert block == {"DUP": 3}

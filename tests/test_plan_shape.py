@@ -589,7 +589,8 @@ def test_local_rows_df_is_single_slice_and_value_faithful(spark):
     worker round trip per action, and a 24-submission burst's status
     action ran 768 such tasks (170 s blocked, 1.7 s CPU) before r13
     pinned this. Values, schema, and NULL handling must match the plain
-    createDataFrame path; empty input stays a zero-task LocalRelation."""
+    createDataFrame path; empty input becomes a single empty slice (one
+    task per action, not defaultParallelism of them)."""
     from nci_seronet_proc_data_validator_spark.errors import local_rows_df
 
     schema = ("Message_Type string, CSV_Sheet_Name string, "
